@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Generic relational operators of the engine, re-expressing the
+  * reference's Django-ORM query surface Spark-first.
+  *
+  * Design notes (scale):
+  *  - Membership tests are LEFT SEMI / LEFT ANTI joins, never
+  *    join+distinct: no fan-out, no shuffle-heavy de-dup, and Catalyst
+  *    can broadcast the filter side when it is small. This replaces the
+  *    reference's join-then-`.distinct()` idiom
+  *    (/root/reference/tantalus/views.py:1750-1756).
+  *  - Money arithmetic goes through DECIMAL(18,2) so that aggregate
+  *    results are exact and independent of partial-aggregation order —
+  *    required for bit-exact oracle equivalence and, at 100 TB, for
+  *    run-to-run reproducibility.
+  */
+object Ops {
+
+  /** Exact money cast: doubles carrying 2-decimal values → DECIMAL(18,2). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Order-insensitive exact sum of a 2-decimal double column, returned
+    * as double. Partial (map-side) aggregation still applies; decimal
+    * addition is associative so the result is deterministic.
+    */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** EXISTS: rows of `df` having at least one match in `other`. */
+  def semiJoin(df: DataFrame, other: DataFrame, joinExpr: Column): DataFrame =
+    df.join(other, joinExpr, "left_semi")
+
+  /** NOT EXISTS: rows of `df` with no match in `other`. */
+  def antiJoin(df: DataFrame, other: DataFrame, joinExpr: Column): DataFrame =
+    df.join(other, joinExpr, "left_anti")
+
+  /** Relational division (conjunctive M2M membership, J7): keys of
+    * `bridge` associated with ALL of `wanted` values of `valueCol`.
+    * The reference loops one extra join per tag
+    * (/root/reference/tantalus/forms.py:583-587); here it is a single
+    * shuffle: filter to the wanted set, de-dup (key, value), count
+    * distinct values per key, keep keys hitting them all.
+    */
+  def division(bridge: DataFrame, keyCol: String, valueCol: String, wanted: Seq[String]): DataFrame =
+    bridge
+      .filter(col(valueCol).isin(wanted: _*))
+      .groupBy(col(keyCol))
+      .agg(countDistinct(col(valueCol)).as("n_matched"))
+      .filter(col("n_matched") === wanted.size)
+      .select(col(keyCol))
+
+  /** HAVING: keys of `df` whose group count satisfies `pred`. */
+  def havingCount(df: DataFrame, keyCol: String, pred: Column => Column): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(pred(col("n")))
+      .select(col(keyCol))
+
+  /** Deterministic pagination (W1): `orderCols` must be a total order.
+    * Implemented as a row_number window so any page is addressable; for
+    * page 0 Catalyst would use a TakeOrderedAndProject instead. At
+    * cluster scale deep OFFSET pagination is inherently a full sort —
+    * the engine exposes it for parity but callers should keyset-paginate
+    * (filter on last-seen key) for hot paths.
+    */
+  def paginate(df: DataFrame, orderCols: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    val w = Window.orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") > page.toLong * pageSize && col("rn") <= (page.toLong + 1) * pageSize)
+  }
+
+  /** Latest row per key (W2): the reference's `history.last()`. */
+  def latestPerKey(df: DataFrame, partCols: Seq[Column], orderDesc: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderDesc.map(_.desc): _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Version diff via lag (W3): previous-row column comparison per key. */
+  def lagDiff(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column], valueCol: Column, outName: String): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn(outName, valueCol - lag(valueCol, 1).over(w))
+  }
+
+  /** Lower-cased search blob over hop columns (§2.9 full-text search).
+    * Precomputable/cacheable; `icontains` subsumes the exact-token branch.
+    */
+  def searchBlob(cols: Seq[Column]): Column =
+    lower(concat_ws(" ", cols: _*))
+}

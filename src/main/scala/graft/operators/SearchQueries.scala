@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text search and DataTables-style endpoint queries
+  * (SURVEY §2.9, §3.3 honorable mention).
+  */
+object SearchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** §2.9 — cross-relation text search: the reference builds a
+    * SearchVector over FK/M2M hop fields
+    * (/root/reference/search_util/search_fields.py:20-39) and filters
+    * icontains. Here: customer + nation + region blob, term "asia".
+    * The seven sequential per-entity queries of the reference run as one
+    * parallel plan; small dims broadcast.
+    */
+  val q31_text_search: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val blob = Ops.searchBlob(Seq(col("c_name"), col("c_mktsegment"), col("n_name"), col("r_name")))
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(blob.contains("asia"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+      .dropDuplicates("c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** DataTables endpoint shape (/root/reference/tantalus/views.py:1173-1398):
+    * annotate countDistinct, OR-of-icontains search, order on the
+    * computed column, page cap 50. The reference's per-row N+1
+    * render_column lookups fold into the one plan.
+    */
+  val q32_datatables: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val counts = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
+      .filter(
+        lower(concat_ws(" ", col("c_name"), col("o_orderstatus"), col("o_orderpriority")))
+          .contains("urgent"))
+      .select(
+        col("o_orderkey"),
+        col("c_name"),
+        coalesce(col("n_parts"), lit(0L)).as("n_parts"))
+      .orderBy(col("n_parts").desc, col("o_orderkey"))
+      .limit(50)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q31_text_search" -> q31_text_search,
+    "q32_datatables"  -> q32_datatables,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q31_text_search" ->
+      """SELECT DISTINCT c_custkey, c_name, n_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE lower(concat_ws(' ', c_name, c_mktsegment, n_name, r_name)) LIKE '%asia%'
+        |ORDER BY c_custkey""".stripMargin,
+    "q32_datatables" ->
+      """SELECT o.o_orderkey, c.c_name, COALESCE(lc.n_parts, 0) AS n_parts
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN (SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS n_parts
+        |           FROM lineitem GROUP BY l_orderkey) lc
+        |       ON o.o_orderkey = lc.l_orderkey
+        |WHERE lower(concat_ws(' ', c.c_name, o.o_orderstatus, o.o_orderpriority)) LIKE '%urgent%'
+        |ORDER BY n_parts DESC, o.o_orderkey LIMIT 50""".stripMargin,
+  )
+}
