@@ -26,7 +26,8 @@ object SparkEntry {
       AggQueries.queries ++
       WindowQueries.queries ++
       SetScalarQueries.queries ++
-      SearchQueries.queries
+      SearchQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       AggQueries.oracles ++
       WindowQueries.oracles ++
       SetScalarQueries.oracles ++
-      SearchQueries.oracles
+      SearchQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,26 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, dialect-portable hashing primitives.
+  *
+  * `hash60` is the engine's canonical content hash for dedup /
+  * fingerprinting: the top 60 bits of md5, reconstructable in any
+  * engine with an md5 function (DuckDB: `CAST('0x'||substr(md5(x),1,15)
+  * AS BIGINT)`), unlike Spark-private xxhash64/Murmur3 seeds. md5 is
+  * codegen'd in Spark, so this stays inside whole-stage codegen.
+  * 60 bits keeps the value positive in a signed 64-bit long and leaves
+  * collision odds at ~n²/2⁶¹ (negligible below ~10⁹ distinct keys per
+  * scope; for 100 TB corpora use the full 128-bit md5 pair instead).
+  */
+object Hashing {
+
+  /** 60-bit positive content hash of a string column. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash family member i (MinHash). */
+  def hash60Seeded(i: Int, c: Column): Column =
+    hash60(concat(lit(i.toString), lit(":"), c))
+}

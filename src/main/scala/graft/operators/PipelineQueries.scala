@@ -1,0 +1,393 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextAnalysis
+import graft.operators.Ops.dsum
+import graft.similarity.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents`,
+  * `embeddings` and `events` tables: dedup (exact / n-gram Jaccard /
+  * MinHash-LSH / SimHash), similarity search (brute-force + IVF-style
+  * bucketed ANN), text analysis (lang-ID, quality, token stats),
+  * multimodal column plumbing, event-time bucketing, and write-path
+  * upsert/soft-delete semantics. Every query ships a DuckDB oracle —
+  * including MinHash, via the dialect-portable md5-based hash60.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------- shared DuckDB CTE fragments ----------
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source, text,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  private val shCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(generate_series(1, len(t) - 2),
+      |                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      |      ELSE [] END) AS s
+      |    FROM toks))""".stripMargin
+
+  // ---------- dedup ----------
+
+  /** Exact dedup by normalized content hash; keeps group metadata. */
+  val d01_dedup_exact: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup
+      .exactDedup(t.documents, "doc_id", "text")
+      .select(col("doc_id"), col("content_hash"), col("group_size"), col("keeper"), col("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact 3-gram Jaccard near-dup pairs via inverted-index blocking. */
+  val d02_ngram_jaccard: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup
+      .jaccardPairs(Dedup.shingleSet(t.documents, "doc_id", "text", 3), "doc_id", 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash(16) + LSH(8 bands of 2) candidates, exact-Jaccard verified. */
+  val d03_minhash_lsh: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup
+      .minhashLshPairs(t.documents, "doc_id", "text", shingleN = 3, k = 16, rowsPerBand = 2, threshold = 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** 60-bit SimHash per document. */
+  val d04_simhash: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.simhash60(t.documents, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  // ---------- text analysis ----------
+
+  /** Heuristic marker-based language-ID vs the labeled lang column. */
+  val d05_lang_id: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-score components: length, token, stopword, punct metrics. */
+  val d06_quality: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean_tok_len"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token statistics per source. */
+  val d07_token_stats: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(length(col("text")).cast("long")).cast("double") / count(lit(1))).as("avg_len"))
+      .orderBy(col("source"))
+  }
+
+  /** Document fingerprint: min-hash60 over the shingle set (+ set size);
+    * docs with fewer than 3 tokens keep a null fingerprint.
+    */
+  val d08_fingerprint: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3)
+    val fp = sh
+      .withColumn("h", graft.functions.Hashing.hash60(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+    t.documents
+      .select(col("doc_id"))
+      .join(fp, Seq("doc_id"), "left")
+      .withColumn("n_shingles", coalesce(col("n_shingles"), lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------- similarity search ----------
+
+  /** Exact brute-force cosine top-10 for query vectors vec_id < 5. */
+  val e01_knn_brute: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Knn
+      .bruteTopK(t.embeddings.filter(col("vec_id") < 5), t.embeddings, "vec_id", "embedding", 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ANN: sign-bit IVF cell (8 cells), top-5 within the query's cell. */
+  val e02_ann_bucketed: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Knn
+      .bucketedTopK(t.embeddings.filter(col("vec_id") < 5), t.embeddings, "vec_id", "embedding", 5, bits = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------- multimodal plumbing ----------
+
+  /** Opaque-binary media column with typed metadata (S10-style nested
+    * schema): byte length, content-addressed key, head sample.
+    */
+  val mm01_media_meta: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .select(
+        col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("byte_len"),
+        substring(md5(col("text")), 1, 16).as("content_key"),
+        substring(col("text"), 1, 16).as("head16"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------- event-time bucketing (batch form of the streaming agg) ----------
+
+  /** Hourly tumbling-window counts/sums per event type — the batch
+    * equivalent of streaming.EventStreams.hourlyStats (same transform).
+    * ts arrives as long nanos (nanosAsLong read).
+    */
+  val st01_event_hourly: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .select(
+        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        col("value"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  // ---------- write-path semantics ----------
+
+  /** M1 upsert: incoming rows win, others survive. */
+  val wp01_upsert: Q = (s, dir) => {
+    val t        = Tables(s, dir)
+    val existing = t.customer.select(col("c_custkey"), col("c_name"))
+    val incoming = t.customer
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"))
+    WritePath.upsert(existing, incoming, Seq("c_custkey")).orderBy(col("c_custkey"))
+  }
+
+  /** M4 soft-delete cascade: lineitems of 'F' orders flagged deleted on
+    * top of their own returned-flag state.
+    */
+  val wp02_softdelete_cascade: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val instances = t.lineitem.select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      (col("l_returnflag") === "R").as("is_deleted"))
+    val deletedKeys =
+      t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey").as("l_orderkey"))
+    WritePath
+      .softDeleteCascade(instances, deletedKeys, "l_orderkey")
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact"   -> d01_dedup_exact,
+    "d02_ngram_jaccard" -> d02_ngram_jaccard,
+    "d03_minhash_lsh"   -> d03_minhash_lsh,
+    "d04_simhash"       -> d04_simhash,
+    "d05_lang_id"       -> d05_lang_id,
+    "d06_quality"       -> d06_quality,
+    "d07_token_stats"   -> d07_token_stats,
+    "d08_fingerprint"   -> d08_fingerprint,
+    "e01_knn_brute"     -> e01_knn_brute,
+    "e02_ann_bucketed"  -> e02_ann_bucketed,
+    "mm01_media_meta"   -> mm01_media_meta,
+    "st01_event_hourly" -> st01_event_hourly,
+    "wp01_upsert"       -> wp01_upsert,
+    "wp02_softdelete_cascade" -> wp02_softdelete_cascade,
+  )
+
+  // ---------- oracles ----------
+
+  private def langScoreSql: String = {
+    def occ(m: String) =
+      s"CAST((length(pt) - length(replace(pt, '$m', ''))) / ${m.length} AS BIGINT)"
+    TextAnalysis.LangMarkers
+      .map { case (l, ms) => ms.map(occ).mkString(" + ") + s" AS s_$l" }
+      .mkString(",\n  ")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT doc_id, content_hash,
+        |       COUNT(*) OVER (PARTITION BY content_hash) AS group_size,
+        |       MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper,
+        |       doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS is_kept
+        |FROM (SELECT doc_id,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "d02_ngram_jaccard" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.id1, i.id2, i.inter / (s1.n + s2.n - i.inter) AS jac
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.id1
+         |JOIN sizes s2 ON s2.doc_id = i.id2
+         |WHERE i.inter / (s1.n + s2.n - i.inter) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+    "d03_minhash_lsh" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |mh AS (SELECT doc_id, i,
+         |              MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) hi
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.id1, i.id2, i.inter / (s1.n + s2.n - i.inter) AS jac
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.id1
+         |JOIN sizes s2 ON s2.doc_id = i.id2
+         |WHERE i.inter / (s1.n + s2.n - i.inter) >= 0.5
+         |  AND EXISTS (SELECT 1 FROM cand c WHERE c.id1 = i.id1 AND c.id2 = i.id2)
+         |ORDER BY id1, id2""".stripMargin,
+    "d04_simhash" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+         |bits AS (SELECT doc_id, j,
+         |                SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) bj
+         |         GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d05_lang_id" ->
+      s"""WITH p AS (SELECT doc_id, lang, text,
+         |                  ' ' || lower(text) || ' ' AS pt FROM documents),
+         |sc AS (SELECT doc_id, lang, text,
+         |  $langScoreSql
+         |FROM p)
+         |SELECT doc_id, lang,
+         |       CASE WHEN greatest(s_en, s_es, s_de, s_fr) > 0 AND s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+         |            WHEN greatest(s_en, s_es, s_de, s_fr) > 0 AND s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+         |            WHEN greatest(s_en, s_es, s_de, s_fr) > 0 AND s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+         |            WHEN greatest(s_en, s_es, s_de, s_fr) > 0 AND s_fr = greatest(s_en, s_es, s_de, s_fr) THEN 'fr'
+         |            ELSE 'und' END AS lang_pred,
+         |       CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "d06_quality" ->
+      s"""WITH $toksCte
+         |SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS len_chars,
+         |       CAST(len(t) AS BIGINT) AS n_tokens,
+         |       CASE WHEN len(t) = 0 THEN 0.0
+         |            ELSE CAST(length(regexp_replace(trim(text), '\\s+', '', 'g')) AS DOUBLE) / len(t) END AS mean_tok_len,
+         |       CASE WHEN len(t) = 0 THEN 0.0
+         |            ELSE CAST(len(list_filter(t, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(t) END AS stopword_ratio,
+         |       CASE WHEN length(text) = 0 THEN 0.0
+         |            ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "d07_token_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d08_fingerprint" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |fp AS (SELECT doc_id,
+         |              MIN(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS fingerprint,
+         |              COUNT(*) AS n_shingles
+         |       FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, fp.fingerprint, COALESCE(fp.n_shingles, 0) AS n_shingles
+         |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "e01_knn_brute" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b) AS dot,
+        |             sqrt(list_reduce(list_transform(list_zip(q.v, q.v), s -> s[1] * s[2]), (a, b) -> a + b)) AS qn,
+        |             sqrt(list_reduce(list_transform(list_zip(c.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b)) AS cn
+        |      FROM e q, e c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        |SELECT q_id, n_id,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot / (qn * cn) DESC, n_id) AS BIGINT) AS rank,
+        |       dot / (qn * cn) AS cos
+        |FROM p QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "e02_ann_bucketed" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |             CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+        |                + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+        |                + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell
+        |      FROM e),
+        |p AS (SELECT q.vec_id AS q_id, q.cell AS cell, c.vec_id AS n_id,
+        |             list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b) AS dot,
+        |             sqrt(list_reduce(list_transform(list_zip(q.v, q.v), s -> s[1] * s[2]), (a, b) -> a + b)) AS qn,
+        |             sqrt(list_reduce(list_transform(list_zip(c.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b)) AS cn
+        |      FROM b q JOIN b c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 5)
+        |SELECT q_id, cell, n_id,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot / (qn * cn) DESC, n_id) AS BIGINT) AS rank,
+        |       dot / (qn * cn) AS cos
+        |FROM p QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "mm01_media_meta" ->
+      """SELECT doc_id,
+        |       octet_length(CAST(text AS BLOB)) AS byte_len,
+        |       substr(md5(text), 1, 16) AS content_key,
+        |       substr(text, 1, 16) AS head16
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "st01_event_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "wp01_upsert" ->
+      """WITH incoming AS (SELECT c_custkey, upper(c_name) AS c_name
+        |                  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT c_custkey, c_name FROM incoming
+        |UNION ALL
+        |SELECT c.c_custkey, c.c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM incoming i WHERE i.c_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "wp02_softdelete_cascade" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |       CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')
+        |            THEN TRUE ELSE l.l_returnflag = 'R' END AS is_deleted
+        |FROM lineitem l ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -1,0 +1,86 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * All vector math is pure `Column` expressions — `zip_with` +
+  * left-fold `aggregate` in double precision, a deterministic
+  * sequential summation identical across engines (bit-exact vs the
+  * DuckDB oracle's `list_reduce`).
+  *
+  * Scale design: `bruteTopK` is the exactness baseline (query-side
+  * broadcast × corpus scan — fine for few queries, O(Q·N) at scale);
+  * `bucketedTopK` is the scale path: a coarse IVF-style partition
+  * (sign-bit cell) restricts each query to 1/2^bits of the corpus, and
+  * the join is an equi-join on the cell key, so the corpus can be
+  * pre-partitioned/bucketed by cell and never reshuffled per query.
+  */
+object Knn {
+
+  /** Elementwise float→double cast (exact). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential left-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Sign-bit IVF cell over the first `bits` dimensions (1-based
+    * element_at): deterministic coarse quantization into 2^bits cells.
+    */
+  def signCell(v: Column, bits: Int = 3): Column =
+    (0 until bits)
+      .map(j => when(element_at(v, j + 1) > 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Exact brute-force cosine top-k for each query vector. */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = q
+      .crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+
+  /** ANN: search only the query's sign-bit cell (IVF nprobe=1).
+    * Recall trades against `bits`; candidates drop to ~N/2^bits.
+    */
+  def bucketedTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 3): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("q_id"),
+      asDouble(col(vecCol)).as("qv"),
+      signCell(asDouble(col(vecCol)), bits).as("cell"))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("cv"),
+      signCell(asDouble(col(vecCol)), bits).as("cell"))
+    val scored = q
+      .join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
+  }
+}
