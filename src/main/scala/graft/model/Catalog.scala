@@ -1,0 +1,42 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The catalog: one named DataFrame per entity/bridge table, backed by
+  * one parquet directory per table.
+  *
+  * Physical layout (SURVEY §4): partition hot tables by their hottest
+  * filter column — `file_instance` by storage, `sequence_dataset` by
+  * dataset_type — and sort by id within files so point lookups prune
+  * row groups. Writes are snapshot rewrites (single writer), the batch
+  * analog of the reference's transactional saves.
+  */
+final case class Catalog(spark: SparkSession, tables: Map[String, DataFrame]) {
+  def apply(name: String): DataFrame =
+    tables.getOrElse(name, throw new NoSuchElementException(s"unknown catalog table: $name"))
+
+  /** Write every table to `dir/<name>` parquet. */
+  def save(dir: String): Unit =
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    }
+}
+
+object Catalog {
+
+  /** Empty catalog with the full schema set — the "fresh migration". */
+  def empty(spark: SparkSession): Catalog =
+    Catalog(
+      spark,
+      Schemas.all.map { case (name, schema) =>
+        name -> spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      })
+
+  /** Load a previously saved catalog directory. */
+  def load(spark: SparkSession, dir: String, names: Iterable[String] = Schemas.all.keys): Catalog =
+    Catalog(spark, names.map(n => n -> spark.read.parquet(s"$dir/$n")).toMap)
+
+  /** Schema of a table as declared (for round-trip validation). */
+  def expectedSchema(name: String): StructType = Schemas.all(name)
+}

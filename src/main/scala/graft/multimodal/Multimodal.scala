@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct alongside.
+  *
+  * The Spark-side machinery — schema, batch shape, partition-parallel
+  * decode, frame sampling — is real and tested; the *codec* itself is a
+  * STUB (this environment ships no image/audio libraries): decode
+  * produces a deterministic fake feature vector derived from the bytes.
+  * Swapping in a real codec is a one-function change in
+  * `decodeStub`, everything else (distribution, batching, schema)
+  * stays.
+  *
+  * Scale notes: payload columns are large — keep them OUT of shuffles.
+  * `decodeFeatures` repartitions by a hash of the id only (narrow
+  * columns shuffle, payload stays columnar in the scan), then decodes
+  * partition-locally via mapPartitions, the Scala analog of a
+  * `mapInPandas` batch UDF.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata. */
+  case class Media(media_id: Long, payload: Array[Byte], format: String, n_bytes: Long)
+
+  /** Decoded feature row. */
+  case class MediaFeatures(media_id: Long, format: String, features: Array[Float])
+
+  /** Wrap a text corpus as a media table (payload = utf8 bytes) —
+    * stand-in for real image/audio ingestion.
+    */
+  def toMediaTable(docs: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      // deterministic fake format tag from content
+      when(col(idCol) % 3 === 0, "png").when(col(idCol) % 3 === 1, "jpeg").otherwise("wav")
+        .as("format"),
+      octet_length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
+
+  /** STUB codec: a real implementation would decode the image/audio
+    * payload (libjpeg / ffmpeg / PIL-equivalent). Deterministic fake:
+    * 8 floats folded from the payload bytes. Batch shape (Iterator →
+    * Iterator) matches a vectorized UDF: per-partition init cost is
+    * paid once, rows stream through.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Float](8)
+    var i   = 0
+    while (i < payload.length) {
+      acc(i % 8) += (payload(i) & 0xff).toFloat / 255f
+      i += 1
+    }
+    acc
+  }
+
+  /** Partition-parallel decode: repartition on the narrow id (payload
+    * rides along column-pruned), then stream each partition through the
+    * codec once.
+    */
+  def decodeFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val df = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    df.select(col("media_id"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec init would go here (once, not per row)
+        it.map { case (id, fmt, bytes) => MediaFeatures(id, fmt, decodeStub(bytes)) }
+      }
+  }
+
+  /** Frame/sample extraction: byte-range slices of the payload
+    * (stand-in for video frame sampling); pure Column expressions.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, nFrames: Int): DataFrame =
+    media.select(
+      col("media_id"),
+      transform(
+        sequence(lit(0), lit(nFrames - 1)),
+        i =>
+          substring(
+            col("payload"),
+            // 1-based offset; frames evenly spaced over the payload
+            (i * greatest(col("n_bytes") - frameBytes, lit(1)) / nFrames + 1).cast("int"),
+            lit(frameBytes))).as("frames"))
+}

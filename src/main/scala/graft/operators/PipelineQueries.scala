@@ -180,6 +180,14 @@ object PipelineQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Gap-based sessionization (30-min inactivity), batch form of the
+    * streaming flatMapGroupsWithState semantics.
+    */
+  val st02_sessionize: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.streaming.EventStreams.sessionize(t.events)
+  }
+
   // ---------- write-path semantics ----------
 
   /** M1 upsert: incoming rows win, others survive. */
@@ -221,6 +229,7 @@ object PipelineQueries {
     "e02_ann_bucketed"  -> e02_ann_bucketed,
     "mm01_media_meta"   -> mm01_media_meta,
     "st01_event_hourly" -> st01_event_hourly,
+    "st02_sessionize"   -> st02_sessionize,
     "wp01_upsert"       -> wp01_upsert,
     "wp02_softdelete_cascade" -> wp02_softdelete_cascade,
   )
@@ -375,6 +384,20 @@ object PipelineQueries {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st02_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+        |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, tus, value,
+        |             CASE WHEN prev IS NULL OR tus - prev > 30*60*1000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |g AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM f)
+        |SELECT user_id, session_seq,
+        |       MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
     "wp01_upsert" ->
       """WITH incoming AS (SELECT c_custkey, upper(c_name) AS c_name
         |                  FROM customer WHERE c_custkey % 7 = 0)

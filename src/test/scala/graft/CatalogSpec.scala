@@ -1,0 +1,36 @@
+package graft
+
+import graft.model.{Catalog, Schemas}
+import java.nio.file.Files
+
+/** Schema round-trip — the analog of the reference's only CI guarantee
+  * (migration-integrity smoke test, /root/reference/test/test_tantalus.sh).
+  */
+class CatalogSpec extends SparkTestBase {
+
+  test("all 34 catalog tables round-trip parquet with identical schemas") {
+    val dir = Files.createTempDirectory("graft_catalog").toString
+    val cat = Catalog.empty(spark)
+    assert(cat.tables.size == 34)
+    cat.save(dir)
+    val back = Catalog.load(spark, dir)
+    Schemas.all.foreach { case (name, expected) =>
+      val got = back(name).schema
+      assert(
+        got.fields.map(f => (f.name, f.dataType)).toSeq ==
+          expected.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"schema drift in $name")
+    }
+  }
+
+  test("historical twin appends the simple_history columns") {
+    val h = Schemas.historical(Schemas.tag)
+    assert(h.fieldNames.takeRight(4).toSeq ==
+      Seq("history_id", "history_date", "history_type", "history_user_id"))
+    assert(h.fieldNames.take(3).toSeq == Schemas.tag.fieldNames.toSeq)
+  }
+
+  test("unknown table access fails loudly") {
+    intercept[NoSuchElementException] { Catalog.empty(spark)("nope") }
+  }
+}

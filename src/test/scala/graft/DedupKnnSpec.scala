@@ -1,0 +1,75 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import org.apache.spark.sql.functions._
+
+class DedupKnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different content entirely here now"),
+    (4L, "the  quick brown  fox jumps  over the lazy dog"), // dup of 1 modulo whitespace
+    (5L, "tiny doc"), // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups normalized duplicates") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "group_size", "is_kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, true)) && got(4L) == ((2L, false)))
+    assert(got(2L) == ((1L, true)) && got(3L) == ((1L, true)))
+  }
+
+  test("jaccardPairs finds the near-dup and only it at 0.5") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingleSet(docs, "doc_id", "text", 3), "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical shingle sets after tokenization
+    assert(pairs.contains((1L, 2L)) || !pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH pairs are a subset of exact jaccard pairs") {
+    val sh    = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(sh, "doc_id", 0.5).select("id1", "id2")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 4L))) // identical docs always collide on every band
+  }
+
+  test("simhash: identical normalized docs get identical hashes") {
+    val h = Dedup.simhash60(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(4L))
+    assert(h(1L) != h(3L))
+    assert(h.values.forall(v => v >= 0L)) // 60-bit: always positive
+  }
+
+  test("bruteTopK is exact and self-excluding") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(-1f, 0f, 0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Knn.bruteTopK(emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 3)
+      .select("n_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == 1L && got(2L) == 2L && got(3L) == 3L) // cosine order
+  }
+
+  test("bucketedTopK searches only the query's sign cell") {
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f)),
+      (1L, Array(0.5f, 0.5f, 0.5f)), // same cell as 0
+      (2L, Array(-1f, -1f, -1f)),    // opposite cell
+    ).toDF("vec_id", "embedding")
+    val got = Knn.bucketedTopK(emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", 5, 3)
+      .select("n_id").as[Long].collect().toSet
+    assert(got == Set(1L)) // vec 2 is in another cell, never scored
+  }
+}

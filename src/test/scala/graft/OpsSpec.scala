@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{Ops, Predicates, WritePath}
+import graft.operators.Predicates.{Lookup, Pred}
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("division: keys associated with ALL wanted values") {
+    val bridge = Seq((1, "a"), (1, "b"), (1, "a"), (2, "a"), (3, "a"), (3, "b"), (3, "c"))
+      .toDF("k", "v")
+    val got = Ops.division(bridge, "k", "v", Seq("a", "b")).as[Int].collect().sorted
+    assert(got.toSeq == Seq(1, 3)) // duplicate (1,a) must not double-count
+  }
+
+  test("division with empty wanted set matches nothing") {
+    val bridge = Seq((1, "a")).toDF("k", "v")
+    assert(Ops.division(bridge, "k", "v", Seq.empty).count() == 0)
+  }
+
+  test("paginate partitions the ordered stream without overlap") {
+    val df = (1 to 25).toDF("id")
+    val pages = (0 to 2).map(p =>
+      Ops.paginate(df, Seq(col("id")), p, 10).select("id").as[Int].collect().toSet)
+    assert(pages(0).size == 10 && pages(1).size == 10 && pages(2).size == 5)
+    assert(pages.reduce(_ ++ _).size == 25) // exhaustive, disjoint
+  }
+
+  test("latestPerKey picks max order cols with desc tie-break") {
+    val df  = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "ver", "tag")
+    val got = Ops.latestPerKey(df, Seq(col("k")), Seq(col("ver")))
+      .select("k", "tag").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "new", 2 -> "only"))
+  }
+
+  test("upsert: incoming wins, others survive, no dup keys") {
+    val existing = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val incoming = Seq((2, "B"), (3, "C")).toDF("id", "v")
+    val got = WritePath.upsert(existing, incoming, Seq("id"))
+      .as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "a", 2 -> "B", 3 -> "C"))
+  }
+
+  test("softDeleteCascade flags targets and preserves prior flags") {
+    val inst = Seq((1, false), (2, true), (3, false)).toDF("rid", "is_deleted")
+    val del  = Seq(Tuple1(3)).toDF("rid")
+    val got = WritePath.softDeleteCascade(inst, del, "rid")
+      .select("rid", "is_deleted").as[(Int, Boolean)].collect().toMap
+    assert(got == Map(1 -> false, 2 -> true, 3 -> true))
+  }
+
+  test("curationDiff classifies added/deleted/unchanged") {
+    val old = Seq(1, 2, 3).toDF("id")
+    val neu = Seq(2, 3, 4).toDF("id")
+    val got = WritePath.curationDiff(old, neu)
+      .as[(Int, String)].collect().groupMap(_._2)(_._1).view.mapValues(_.toSet).toMap
+    assert(got == Map("added" -> Set(4), "deleted" -> Set(1), "unchanged" -> Set(2, 3)))
+  }
+
+  test("predicate allowlist rejects undeclared lookups (P14)") {
+    val allowed = Map("name" -> Set[Lookup](Lookup.Exact, Lookup.IContains))
+    val df      = Seq(("x")).toDF("name")
+    Predicates(df, allowed, Seq(Pred("name", Lookup.Exact, "x"))) // legal
+    intercept[Predicates.UnknownFilterException] {
+      Predicates(df, allowed, Seq(Pred("name", Lookup.StartsWith, "x")))
+    }
+    intercept[Predicates.UnknownFilterException] {
+      Predicates(df, allowed, Seq(Pred("other", Lookup.Exact, "x")))
+    }
+  }
+
+  test("predicates compile to the expected filters") {
+    val df = Seq(("Customer#1", 5), ("Other#2", 9)).toDF("name", "n")
+    val allowed = Map(
+      "name" -> Set[Lookup](Lookup.IStartsWith, Lookup.Contains),
+      "n"    -> Set[Lookup](Lookup.Gte))
+    val got = Predicates(
+      df,
+      allowed,
+      Seq(Pred("name", Lookup.IStartsWith, "CUST"), Pred("n", Lookup.Gte, 1)))
+    assert(got.count() == 1)
+  }
+}

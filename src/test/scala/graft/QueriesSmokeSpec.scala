@@ -1,0 +1,29 @@
+package graft
+
+/** Every declared query runs at sf0.001 and returns a sane result.
+  * (DuckDB value equivalence is covered by Verify + tools/check.py —
+  * this guards compile/runtime health of the whole inventory.)
+  */
+class QueriesSmokeSpec extends SparkTestBase {
+
+  // queries whose correct result may legitimately be empty at sf0.001
+  private val mayBeEmpty = Set("q08_anti_join", "d02_ngram_jaccard", "d03_minhash_lsh")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      val n  = df.count()
+      assert(n >= 0)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+}

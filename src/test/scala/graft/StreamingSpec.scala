@@ -1,0 +1,72 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming semantics: streaming windowed agg matches the
+  * batch transform; watermark finalizes and drops late data.
+  */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  private def ev(id: Long, tsNanos: Long, typ: String, value: Double) =
+    (id, tsNanos, id % 3, typ, value, "{}")
+
+  private val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("streaming hourly agg equals batch on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq(
+      ev(1, 10L * 1000000000L, "click", 1.0),
+      ev(2, 20L * 1000000000L, "click", 2.0),
+      ev(3, H + 5L, "view", 3.0),
+      ev(4, 3 * H, "click", 4.0), // advances watermark past hours 0 and 1
+    )
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val sdf    = stream.toDF().toDF(cols: _*)
+    val q = EventStreams
+      .hourlyStatsStreaming(sdf)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("hourly_out")
+      .start()
+    try {
+      stream.addData(data.take(3))
+      q.processAllAvailable()
+      stream.addData(data.drop(3)) // watermark now 3H - 2h = 1H ⇒ hour-0 final
+      q.processAllAvailable()
+      stream.addData(Seq(ev(5, 15L * 1000000000L, "click", 99.0))) // late: hour 0 closed
+      q.processAllAvailable()
+
+      val streamed = spark.table("hourly_out")
+        .select(col("event_type"), col("n"), col("total"))
+        .as[(String, Long, Double)].collect().toSet
+      // hour 0 finalized without the late event
+      assert(streamed.contains(("click", 2L, 3.0)))
+      assert(!streamed.exists { case (t, _, v) => t == "click" && v > 100 })
+
+      val batch = EventStreams
+        .hourlyStats(data.toDF(cols: _*))
+        .filter(col("event_type") === "click" && col("n") === 2)
+        .select(col("total")).as[Double].collect()
+      assert(batch.sameElements(Array(3.0))) // identical window result
+    } finally q.stop()
+  }
+
+  test("sessionize splits on >30min gaps and aggregates per session") {
+    val min = 60L * 1000000000L
+    val data = Seq(
+      ev(1, 0L, "a", 1.0),
+      ev(2, 10 * min, "a", 2.0),     // same session (10 min gap)
+      ev(3, 50 * min, "a", 3.0),     // new session (40 min gap)
+    ).map { case (id, ts, _, t, v, p) => (id, ts, 7L, t, v, p) }
+    val got = EventStreams.sessionize(data.toDF(cols: _*))
+      .select("session_seq", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
+  }
+}
