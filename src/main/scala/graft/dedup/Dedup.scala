@@ -37,25 +37,105 @@ object Dedup {
     * Documents with fewer than n tokens vanish (empty shingle set).
     */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs.select(
-      col(idCol),
-      explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("s"))
+    docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
+      .select(col(idCol), explode(array_distinct(TextAnalysis.shinglesFromTokens(col("t"), n))).as("s"))
 
   /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jac >= threshold).
-    * Candidate pairs are generated only for documents sharing at least
-    * one shingle (inverted-index self-join) — the blocked alternative to
-    * an all-pairs comparison.
+    *
+    * Scale path (PPJoin-style prefix filtering): a pair can reach
+    * jaccard >= t only if the two sets share an element among each set's
+    * first `n - ceil(t*n) + 1` shingles in a global canonical order.
+    * Ordering shingles rarest-first means hot shingles never sit in
+    * prefixes, so the inverted-index self-join fans out on rare tokens
+    * only — candidate count collapses from the naive
+    * sum(df_s choose 2) while remaining provably complete for the
+    * threshold. Verification is per-pair `array_intersect` on the
+    * collected (bounded, per-doc) shingle arrays: one narrow join, no
+    * second shuffle over the inverted index.
     */
-  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val inter = sh
-      .as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("id1"), col("n").as("n1")), "id1")
-      .join(sizes.select(col(idCol).as("id2"), col("n").as("n2")), "id2")
+  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame =
+    verifyJaccard(prefixCandidates(sh, idCol, threshold), sh, idCol, threshold)
+
+  /** All unordered id pairs within each group of a grouped id-array
+    * column `ds` (sorted): pairs are generated group-locally after ONE
+    * shuffle of the index — no self-join, no second pass. Skew note: a
+    * group of g members emits g·(g-1)/2 pairs inside one row; for
+    * blocking keys with unbounded fan-in (not the case for rarity
+    * prefixes / LSH bands on real corpora) salt the key and two-stage
+    * the expansion.
+    */
+  private def pairsWithinGroups(grouped: DataFrame): DataFrame =
+    grouped
+      .filter(size(col("ds")) >= 2)
+      .select(
+        explode(
+          flatten(
+            transform(
+              sequence(lit(0), size(col("ds")) - 2),
+              i =>
+                transform(
+                  sequence(i + 1, size(col("ds")) - 1),
+                  j =>
+                    struct(
+                      element_at(col("ds"), i + 1).as("id1"),
+                      element_at(col("ds"), j + 1).as("id2")))))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
+
+  /** Prefix-filtered candidate pairs (complete for jaccard >= t), with
+    * the PPJoin positional refinement: a shared prefix shingle at ranks
+    * (r1, r2) can witness a qualifying pair only if the remaining-suffix
+    * upper bound `1 + min(n1-r1, n2-r2)` reaches the required overlap
+    * `ceil(t/(1+t) * (n1+n2))`; a qualifying pair always survives via
+    * its first shared prefix shingle, so the filter is lossless.
+    */
+  def prefixCandidates(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val freq  = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val prefix = sh
+      .join(freq, "s")
+      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("plen", col("n") - ceil(col("n") * threshold) + 1)
+      .filter(col("rnk") <= col("plen"))
+      .select(col(idCol), col("s"), col("rnk"), col("n"))
+    val grouped = prefix
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("rnk"), col("n")))).as("ds"))
+    val frac = threshold / (1.0 + threshold)
+    grouped
+      .filter(size(col("ds")) >= 2)
+      .select(
+        explode(
+          flatten(
+            transform(
+              sequence(lit(0), size(col("ds")) - 2),
+              i =>
+                transform(
+                  sequence(i + 1, size(col("ds")) - 1),
+                  j => struct(
+                    element_at(col("ds"), i + 1).as("a"),
+                    element_at(col("ds"), j + 1).as("b")))))).as("p"))
+      .filter(
+        lit(1) + least(
+          col("p.a.n") - col("p.a.rnk"),
+          col("p.b.n") - col("p.b.rnk")) >= ceil((col("p.a.n") + col("p.b.n")) * frac))
+      .select(col("p.a.id").as("id1"), col("p.b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs via per-doc shingle
+    * arrays (sorted, distinct): size(array_intersect) / union size.
+    */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sets = sh
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("s"))).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
@@ -83,16 +163,14 @@ object Dedup {
             x => x.getField("mh").cast("string")),
           "_").as("sig"))
 
-  /** Candidate pairs = documents agreeing on at least one full band. */
+  /** Candidate pairs = documents agreeing on at least one full band
+    * (group-local pair generation per (band, sig) bucket).
+    */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
-    bands
-      .as("a")
-      .join(
-        bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
-      .distinct()
+    pairsWithinGroups(
+      bands
+        .groupBy(col("band"), col("sig"))
+        .agg(array_sort(collect_list(col(idCol))).as("ds")))
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     * candidates → exact-Jaccard verification of candidates only.
@@ -105,11 +183,10 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh    = shingleSet(docs, idCol, textCol, shingleN)
-    val cand  = lshCandidates(lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand), idCol)
-    val pairs = jaccardPairs(sh, idCol, threshold)
-    // verify candidates with exact jaccard: semi-join the exact pairs
-    pairs.join(cand, Seq("id1", "id2"), "left_semi")
+    val sh   = shingleSet(docs, idCol, textCol, shingleN)
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand), idCol)
+    // exact-jaccard verification of the (small) candidate set only
+    verifyJaccard(cand, sh, idCol, threshold)
   }
 
   /** 60-bit SimHash per document (token-frequency weighted). Bits 0-59

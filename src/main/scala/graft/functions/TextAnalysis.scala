@@ -18,18 +18,26 @@ object TextAnalysis {
   def tokenCount(c: Column): Column =
     size(tokens(c)).cast("long")
 
-  /** Word n-gram shingles (space-joined), empty array when the document
-    * has fewer than n tokens.
+  /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    * column. Callers must project `tokens(...)` into a named column
+    * first: Catalyst inlines (rather than CSEs) expression arguments
+    * into lambda bodies, so passing `tokens(text)` directly here would
+    * re-run the regex split once per element access — O(len²) per row.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     when(
       size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Word n-gram shingles of a text column — convenience form for small
+    * inputs; hot paths should materialize tokens and use
+    * `shinglesFromTokens` (see that method's note).
+    */
+  def shingles(c: Column, n: Int): Column =
+    shinglesFromTokens(tokens(c), n)
 
   /** Tokens that belong to the given vocabulary. */
   def tokensIn(c: Column, vocab: Seq[String]): Column =

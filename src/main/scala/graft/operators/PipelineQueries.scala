@@ -48,20 +48,25 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Exact 3-gram Jaccard near-dup pairs via inverted-index blocking. */
+  /** Exact 3-gram Jaccard near-dup pairs via prefix-filtered blocking.
+    * The shingle index feeds three plan branches (document frequencies,
+    * prefix index, verification sets) — persist it once, the caller's
+    * cache decision (Spark-ML style).
+    */
   val d02_ngram_jaccard: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    Dedup
-      .jaccardPairs(Dedup.shingleSet(t.documents, "doc_id", "text", 3), "doc_id", 0.5)
-      .orderBy(col("id1"), col("id2"))
+    val t  = Tables(s, dir)
+    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
+    Dedup.jaccardPairs(sh, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
   /** MinHash(16) + LSH(8 bands of 2) candidates, exact-Jaccard verified. */
   val d03_minhash_lsh: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    Dedup
-      .minhashLshPairs(t.documents, "doc_id", "text", shingleN = 3, k = 16, rowsPerBand = 2, threshold = 0.5)
-      .orderBy(col("id1"), col("id2"))
+    val t  = Tables(s, dir)
+    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 16), "doc_id", 2),
+      "doc_id")
+    Dedup.verifyJaccard(cand, sh, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
   /** 60-bit SimHash per document. */

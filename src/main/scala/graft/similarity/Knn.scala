@@ -44,7 +44,7 @@ object Knn {
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
     val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("cv"))
-    val scored = q
+    val scored = broadcast(q)
       .crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -73,7 +73,7 @@ object Knn {
       col(idCol).as("n_id"),
       asDouble(col(vecCol)).as("cv"),
       signCell(asDouble(col(vecCol)), bits).as("cell"))
-    val scored = q
+    val scored = broadcast(q)
       .join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
