@@ -117,7 +117,28 @@ object SetScalarQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** S10 — nested JSON rendering (DRF serializer shape,
+    * /root/reference/tantalus/api/serializers.py:187-200), assembled
+    * with dialect-portable string concatenation so the oracle is exact;
+    * `Sources.nestedJson` provides the to_json struct variant.
+    */
+  val q34_nested_json: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"),
+        concat(
+          lit("{\"id\":"), col("o_orderkey").cast("string"),
+          lit(",\"status\":\""), col("o_orderstatus"),
+          lit("\",\"customer\":{\"name\":\""), col("c_name"),
+          lit("\",\"segment\":\""), col("c_mktsegment"),
+          lit("\"}}")).as("json"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q34_nested_json" -> q34_nested_json,
     "q25_union_search" -> q25_union_search,
     "q26_set_diff"     -> q26_set_diff,
     "q27_scalar_funcs" -> q27_scalar_funcs,
@@ -127,6 +148,14 @@ object SetScalarQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_nested_json" ->
+      """SELECT o_orderkey,
+        |       '{"id":' || CAST(o_orderkey AS VARCHAR) ||
+        |       ',"status":"' || o_orderstatus ||
+        |       '","customer":{"name":"' || c_name ||
+        |       '","segment":"' || c_mktsegment || '"}}' AS json
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q25_union_search" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS kind, c_name AS display
         |FROM customer WHERE lower(c_name) LIKE '%0042%'
