@@ -189,6 +189,25 @@ object Dedup {
     verifyJaccard(cand, sh, idCol, threshold)
   }
 
+  /** Embedding-cosine near-dup pairs (id1 < id2, cos >= threshold).
+    * Exact all-pairs with per-row precomputed norms and the codegen'd
+    * sequential dot product — the correctness baseline. Scale path: the
+    * same verification applied to sign-LSH candidate buckets
+    * (similarity.Knn.signCell blocks candidates to ~N²/2^bits), exactly
+    * how minhashLshPairs relates to jaccardPairs.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    import graft.similarity.Knn
+    val e = emb.select(col(idCol).as("id"), Knn.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(Knn.dot(col("v"), col("v"))))
+    val a = e.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", Knn.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** 60-bit SimHash per document (token-frequency weighted). Bits 0-59
     * only, keeping the value positive in a signed 64-bit long on every
     * engine. Emits one row per document that has at least one token.

@@ -39,6 +39,15 @@ object TextAnalysis {
   def shingles(c: Column, n: Int): Column =
     shinglesFromTokens(tokens(c), n)
 
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and
+    * punctuation runs of the lower-cased text (the GPT-2 pre-tokenizer
+    * shape, minus byte-level merges) — the standard cheap token-budget
+    * estimator for LLM corpora.
+    */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(BpePattern), lit(0))).cast("long")
+
   /** Tokens that belong to the given vocabulary. */
   def tokensIn(c: Column, vocab: Seq[String]): Column =
     filter(tokens(c), t => t.isin(vocab.map(_.asInstanceOf[Any]): _*))

@@ -111,9 +111,20 @@ object PipelineQueries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+        sum(TextAnalysis.bpeTokenCount(col("text"))).as("total_bpe_tokens"),
         sum(col("n_chars")).as("total_chars"),
         (sum(length(col("text")).cast("long")).cast("double") / count(lit(1))).as("avg_len"))
       .orderBy(col("source"))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact baseline; sign-LSH is the
+    * scale path — see Dedup.embeddingNearDupPairs).
+    */
+  val d09_embed_neardup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup
+      .embeddingNearDupPairs(t.embeddings, "vec_id", "embedding", 0.45)
+      .orderBy(col("id1"), col("id2"))
   }
 
   /** Document fingerprint: min-hash60 over the shingle set (+ set size);
@@ -230,6 +241,7 @@ object PipelineQueries {
     "d06_quality"       -> d06_quality,
     "d07_token_stats"   -> d07_token_stats,
     "d08_fingerprint"   -> d08_fingerprint,
+    "d09_embed_neardup" -> d09_embed_neardup,
     "e01_knn_brute"     -> e01_knn_brute,
     "e02_ann_bucketed"  -> e02_ann_bucketed,
     "mm01_media_meta"   -> mm01_media_meta,
@@ -336,9 +348,21 @@ object PipelineQueries {
     "d07_token_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
         |       CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0))) AS BIGINT) AS total_bpe_tokens,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
         |       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_len
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "d09_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |             list_reduce(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]), (x, y) -> x + y)
+        |               / (a.nrm * b.nrm) AS cos
+        |      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, cos FROM p WHERE cos >= 0.45 ORDER BY id1, id2""".stripMargin,
     "d08_fingerprint" ->
       s"""WITH $toksCte,
          |$shCte,

@@ -24,8 +24,19 @@ object Knn {
   /** Elementwise float→double cast (exact). */
   def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Sequential left-fold dot product of two double arrays. */
+  /** Sequential dot product of two double arrays — a native codegen'd
+    * Catalyst expression (graft.functions.DotProductExpr) with the same
+    * left-to-right accumulation as the interpreted `zip_with` +
+    * `aggregate` fold it replaces (see `dotFold`), so results are
+    * bit-identical while the per-pair cost drops to a tight Java loop.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.dotProduct(a, b)
+
+  /** The composable-built-ins form of `dot` (kept as the reference
+    * semantics / fallback; interpreted lambdas, same result).
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
