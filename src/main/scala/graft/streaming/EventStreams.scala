@@ -1,9 +1,35 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
+
+/** Typed event row (epoch-micros time) for stateful streaming ops.
+  * Carries the watermarked `event_time` attribute so the watermark tag
+  * survives into the typed plan.
+  */
+case class SessionEvent(
+    event_id: Long,
+    user_id: Long,
+    tus: Long,
+    value: Double,
+    event_time: java.sql.Timestamp)
+
+/** Emitted session (same shape as the batch `sessionize` output minus
+  * the per-user sequence number, which is meaningless under streaming
+  * out-of-order arrival).
+  */
+case class SessionOut(
+    user_id: Long,
+    session_start_us: Long,
+    session_end_us: Long,
+    n_events: Long,
+    total_value: Double)
+
+/** Open-session state carried between micro-batches. */
+case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
 
 /** Event-stream processing over the `events` table (§2.10 extension —
   * the reference is batch-only, so this is the engine's Structured
@@ -96,5 +122,59 @@ object EventStreams {
         count(lit(1)).as("n_events"),
         graft.operators.Ops.dsum(col("value")).as("total_value"))
       .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Streaming twin of `sessionize`: custom per-user state via
+    * flatMapGroupsWithState. A session closes either when a same-batch
+    * event arrives past the gap, or when the event-time watermark
+    * passes sessionEnd + gap (state timeout) — so state size is bounded
+    * by (active users × one open session), the property that lets this
+    * run indefinitely at cluster scale.
+    */
+  def sessionizeStream(events: DataFrame, gapMicros: Long = 30L * 60 * 1000000L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = withEventTime(events)
+      .withWatermark("event_time", "1 hour")
+      .withColumn("tus", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("tus"), col("value"), col("event_time"))
+      .as[SessionEvent]
+
+    def update(
+        userId: Long,
+        it: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s   = state.get
+        val out = SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
+        state.remove()
+        Iterator.single(out)
+      } else {
+        val sorted = it.toSeq.sortBy(e => (e.tus, e.event_id))
+        val closed = Seq.newBuilder[SessionOut]
+        var st     = state.getOption
+        sorted.foreach { e =>
+          st match {
+            case Some(s) if e.tus - s.endUs > gapMicros =>
+              closed += SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
+              st = Some(SessionState(e.tus, e.tus, 1L, e.value))
+            case Some(s) =>
+              st = Some(SessionState(s.startUs, math.max(s.endUs, e.tus), s.n + 1, s.total + e.value))
+            case None =>
+              st = Some(SessionState(e.tus, e.tus, 1L, e.value))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          // close via timeout when the watermark passes endUs + gap
+          state.setTimeoutTimestamp(s.endUs / 1000 + gapMicros / 1000)
+        }
+        closed.result().iterator
+      }
+    }
+
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

@@ -57,6 +57,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream closes sessions on gap and on watermark timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val min = 60L * 1000000000L
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = graft.streaming.EventStreams
+      .sessionizeStream(stream.toDF().toDF(cols: _*))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sessions_out")
+      .start()
+    try {
+      // NB: keep event times well past epoch 0 — rows whose event time
+      // equals the initial zero watermark are dropped as late.
+      val base = 1000 * min
+      // user 7: two events 10min apart (one session), then 40min later
+      stream.addData(Seq((1L, base, 7L, "a", 1.0, "{}"), (2L, base + 10 * min, 7L, "a", 2.0, "{}")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, base + 50 * min, 7L, "a", 3.0, "{}"))) // gap close in-stream
+      q.processAllAvailable()
+      // far-future event advances watermark (1h delay) beyond 50min+30min gap
+      stream.addData(Seq((9L, base + 500 * min, 8L, "a", 9.0, "{}")))
+      q.processAllAvailable()
+      stream.addData(Seq((10L, base + 900 * min, 8L, "a", 9.0, "{}"))) // fire timeouts
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((7L, 2L, 3.0))) // first session closed by in-stream gap
+      assert(got.contains((7L, 1L, 3.0))) // second closed by watermark timeout
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps and aggregates per session") {
     val min = 60L * 1000000000L
     val data = Seq(
