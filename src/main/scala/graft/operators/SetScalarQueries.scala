@@ -71,6 +71,9 @@ object SetScalarQueries {
 
   /** F12 — JSON extraction from a free-form props column
     * (`Analysis.args` JSONField, /root/reference/tantalus/models.py:688-691).
+    * Uses schema-based from_json (one Jackson parse per row) rather than
+    * get_json_object, which the optimizer duplicates into pushed filter
+    * predicates — measured 4x on the events scan.
     */
   val q28_json_extract: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -78,7 +81,9 @@ object SetScalarQueries {
       .select(
         col("event_id"),
         col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"), new org.apache.spark.sql.types.StructType().add("k", "long"))
+          .getField("k")
+          .as("k"))
       .filter(col("k").isNotNull && col("k") % 10 === 0)
       .orderBy(col("event_id"))
   }
@@ -137,8 +142,35 @@ object SetScalarQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** F9/F10/F11 — semver validation + major bump
+    * (/root/reference/tantalus/models.py:617-621,
+    * /root/reference/tantalus/views.py:1095) and flowcell_lane parsing
+    * (/root/reference/tantalus/forms.py:498-507), instanced on
+    * synthesized id strings.
+    */
+  val q35_version_funcs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val version  = concat(lit("v"), (col("p_partkey") % 4).cast("string"), lit("."),
+      (col("p_size") % 10).cast("string"), lit(".0"))
+    val flowcell = concat(lit("FC"), col("p_partkey").cast("string"), lit("_"),
+      (col("p_size") % 9).cast("string"))
+    t.part
+      .select(
+        col("p_partkey"),
+        version.as("version"),
+        version.rlike("^v\\d+\\.\\d+\\.\\d+$").as("is_semver"),
+        concat(
+          lit("v"),
+          (regexp_extract(version, "^v(\\d+)", 1).cast("long") + 1).cast("string"),
+          lit(".0.0")).as("next_major"),
+        split(flowcell, "_").getItem(0).as("fc_id"),
+        split(flowcell, "_").getItem(1).as("lane"))
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q34_nested_json" -> q34_nested_json,
+    "q34_nested_json"   -> q34_nested_json,
+    "q35_version_funcs" -> q35_version_funcs,
     "q25_union_search" -> q25_union_search,
     "q26_set_diff"     -> q26_set_diff,
     "q27_scalar_funcs" -> q27_scalar_funcs,
@@ -148,6 +180,18 @@ object SetScalarQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_version_funcs" ->
+      """WITH v AS (
+        |  SELECT p_partkey,
+        |         'v' || CAST(p_partkey % 4 AS VARCHAR) || '.' || CAST(p_size % 10 AS VARCHAR) || '.0' AS version,
+        |         'FC' || CAST(p_partkey AS VARCHAR) || '_' || CAST(p_size % 9 AS VARCHAR) AS flowcell
+        |  FROM part)
+        |SELECT p_partkey, version,
+        |       regexp_matches(version, '^v\d+\.\d+\.\d+$') AS is_semver,
+        |       'v' || CAST(CAST(regexp_extract(version, '^v(\d+)', 1) AS BIGINT) + 1 AS VARCHAR) || '.0.0' AS next_major,
+        |       string_split(flowcell, '_')[1] AS fc_id,
+        |       string_split(flowcell, '_')[2] AS lane
+        |FROM v ORDER BY p_partkey""".stripMargin,
     "q34_nested_json" ->
       """SELECT o_orderkey,
         |       '{"id":' || CAST(o_orderkey AS VARCHAR) ||
