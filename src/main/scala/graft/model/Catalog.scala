@@ -16,14 +16,30 @@ final case class Catalog(spark: SparkSession, tables: Map[String, DataFrame]) {
   def apply(name: String): DataFrame =
     tables.getOrElse(name, throw new NoSuchElementException(s"unknown catalog table: $name"))
 
-  /** Write every table to `dir/<name>` parquet. */
-  def save(dir: String): Unit =
+  /** Write every table to `dir/<name>` parquet, hive-partitioning the
+    * hot tables by their dominant filter column (SURVEY §4: partition
+    * pruning serves the reference's hottest predicates).
+    */
+  def save(dir: String, partitioning: Map[String, Seq[String]] = Catalog.DefaultPartitioning): Unit =
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
+      val w = df.write.mode("overwrite")
+      partitioning.get(name) match {
+        case Some(cols) => w.partitionBy(cols: _*).parquet(s"$dir/$name")
+        case None       => w.parquet(s"$dir/$name")
+      }
     }
 }
 
 object Catalog {
+
+  /** Hot-table partition columns (mirrors the reference's hottest
+    * filters: file instances by storage, datasets by type —
+    * /root/reference/tantalus/api/filters.py:95,214).
+    */
+  val DefaultPartitioning: Map[String, Seq[String]] = Map(
+    "file_instance"    -> Seq("storage_id"),
+    "sequence_dataset" -> Seq("dataset_type"),
+  )
 
   /** Empty catalog with the full schema set — the "fresh migration". */
   def empty(spark: SparkSession): Catalog =

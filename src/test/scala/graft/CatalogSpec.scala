@@ -12,7 +12,7 @@ class CatalogSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_catalog").toString
     val cat = Catalog.empty(spark)
     assert(cat.tables.size == 34)
-    cat.save(dir)
+    cat.save(dir, partitioning = Map.empty) // empty partitioned dirs are unreadable
     val back = Catalog.load(spark, dir)
     Schemas.all.foreach { case (name, expected) =>
       val got = back(name).schema
@@ -32,5 +32,20 @@ class CatalogSpec extends SparkTestBase {
 
   test("unknown table access fails loudly") {
     intercept[NoSuchElementException] { Catalog.empty(spark)("nope") }
+  }
+
+  test("hot tables save hive-partitioned by their dominant filter column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_catalog_part").toString
+    val ds = Seq(
+      (1L, "d1", "BAM"), (2L, "d2", "FQ"), (3L, "d3", "BAM"),
+    ).toDF("id", "name", "dataset_type")
+    Catalog(spark, Map("sequence_dataset" -> ds)).save(dir)
+    val dirs = new java.io.File(s"$dir/sequence_dataset").list().toSet
+    assert(dirs.exists(_.startsWith("dataset_type=BAM")))
+    assert(dirs.exists(_.startsWith("dataset_type=FQ")))
+    // partition pruning: a type filter reads one partition only
+    val back = spark.read.parquet(s"$dir/sequence_dataset")
+    assert(back.filter($"dataset_type" === "BAM").count() == 2)
   }
 }

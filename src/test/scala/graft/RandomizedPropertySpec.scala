@@ -1,0 +1,101 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.{Ops, WritePath}
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Randomized properties (fixed seeds): engine operators vs brute-force
+  * reference implementations on generated data (SURVEY §5.3).
+  */
+class RandomizedPropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("division equals brute-force relational division (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd    = new Random(seed)
+      val bridge = Seq.fill(200)((rnd.nextInt(20), s"v${rnd.nextInt(8)}"))
+      val wanted = Seq.fill(1 + rnd.nextInt(3))(s"v${rnd.nextInt(8)}").distinct
+      val expected = bridge
+        .groupBy(_._1)
+        .collect { case (k, vs) if wanted.forall(vs.map(_._2).contains) => k }
+        .toSet
+      val got = Ops
+        .division(bridge.toDF("k", "v"), "k", "v", wanted)
+        .as[Int].collect().toSet
+      assert(got == expected, s"seed=$seed wanted=$wanted")
+    }
+  }
+
+  test("jaccardPairs equals brute-force jaccard over random docs (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd   = new Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+      val docs  = (0 until 30).map(i => (i.toLong, Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // brute force on distinct 3-shingle sets
+      def shingles(text: String): Set[String] = {
+        val t = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (t.length < 3) Set.empty
+        else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+      }
+      val sets = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        sa = sets(a); sb = sets(b)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa & sb).size
+        jac   = inter.toDouble / (sa.size + sb.size - inter)
+        if jac >= 0.5
+      } yield (a, b)).toSet
+      val got = Dedup
+        .jaccardPairs(Dedup.shingleSet(docs.toDF("doc_id", "text"), "doc_id", "text", 3), "doc_id", 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
+  test("minhash-LSH pairs always subset of exact pairs; identical docs always found") {
+    for (seed <- 1 to 3) {
+      val rnd   = new Random(seed)
+      val vocab = Vector("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8")
+      val base  = (0 until 15).map(i => (i.toLong, Seq.fill(10)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // clone a few docs to guarantee identical pairs
+      val docs  = base ++ base.take(3).map { case (id, tx) => (id + 100, tx) }
+      val df    = docs.toDF("doc_id", "text")
+      val exact = Dedup.jaccardPairs(Dedup.shingleSet(df, "doc_id", "text", 3), "doc_id", 0.5)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.minhashLshPairs(df, "doc_id", "text")
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact))
+      (0L until 3L).foreach(i => assert(lsh.contains((i, i + 100)), s"clone pair $i missing"))
+    }
+  }
+
+  test("upsert: key set is union, incoming wins, no duplicates (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd      = new Random(seed)
+      val existing = (0 until 30).map(i => (rnd.nextInt(40), "old")).distinctBy(_._1)
+      val incoming = (0 until 15).map(i => (rnd.nextInt(40), "new")).distinctBy(_._1)
+      val got = WritePath
+        .upsert(existing.toDF("id", "v"), incoming.toDF("id", "v"), Seq("id"))
+        .as[(Int, String)].collect()
+      assert(got.length == got.map(_._1).distinct.length)
+      assert(got.map(_._1).toSet == (existing.map(_._1) ++ incoming.map(_._1)).toSet)
+      val inc = incoming.map(_._1).toSet
+      assert(got.forall { case (k, v) => if (inc(k)) v == "new" else v == "old" })
+    }
+  }
+
+  test("paginate exactly partitions any ordered id stream (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd  = new Random(seed)
+      val n    = 50 + rnd.nextInt(100)
+      val ids  = rnd.shuffle((1 to n).toList)
+      val size = 7 + rnd.nextInt(20)
+      val df   = ids.toDF("id")
+      val pages = (0 to n / size).map(p =>
+        Ops.paginate(df, Seq(col("id")), p, size).select("id").as[Int].collect().toList)
+      assert(pages.flatten == (1 to n).toList, s"seed=$seed")
+    }
+  }
+}
