@@ -38,6 +38,11 @@ object Dedup {
     */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
+      // spread docs across the cluster BEFORE the ~50x explode and the
+      // downstream per-shingle hashing: a small corpus file arrives as
+      // one input split, and everything up to the first shuffle would
+      // otherwise run on a single core
+      .repartition(col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
       .select(col(idCol), explode(array_distinct(TextAnalysis.shinglesFromTokens(col("t"), n))).as("s"))
 
