@@ -63,5 +63,6 @@ object WritePath {
     history.unionByName(
       rows
         .withColumn("history_type", lit(htype))
-        .withColumn("history_date", lit(historyDate)))
+        .withColumn("history_date", lit(historyDate)),
+      allowMissingColumns = true) // history_id / history_user_id are sink-assigned
 }
