@@ -162,6 +162,37 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Multi-probe ANN (probe own cell + Hamming-1 cells): the recall
+    * knob between e02's nprobe=1 and e01's exact scan.
+    */
+  val e03_ann_multiprobe: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Knn
+      .multiProbeTopK(t.embeddings.filter(col("vec_id") < 5), t.embeddings, "vec_id", "embedding", 5, bits = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Composed training-data filter: exact-dedup keeper ∧ token budget ∧
+    * quality thresholds ∧ language allowlist — the operators chained the
+    * way a corpus-preparation pipeline actually uses them.
+    */
+  val d10_corpus_filter: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup
+      .exactDedup(t.documents, "doc_id", "text")
+      .filter(
+        col("is_kept") &&
+          TextAnalysis.tokenCount(col("text")) >= 10 &&
+          TextAnalysis.stopwordRatio(col("text")) >= 0.05 &&
+          TextAnalysis.punctRatio(col("text")) <= 0.1 &&
+          col("lang").isin("en", "de"))
+      .select(
+        col("doc_id"),
+        col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- multimodal plumbing ----------
 
   /** Opaque-binary media column with typed metadata (S10-style nested
@@ -244,6 +275,8 @@ object PipelineQueries {
     "d09_embed_neardup" -> d09_embed_neardup,
     "e01_knn_brute"     -> e01_knn_brute,
     "e02_ann_bucketed"  -> e02_ann_bucketed,
+    "e03_ann_multiprobe" -> e03_ann_multiprobe,
+    "d10_corpus_filter" -> d10_corpus_filter,
     "mm01_media_meta"   -> mm01_media_meta,
     "st01_event_hourly" -> st01_event_hourly,
     "st02_sessionize"   -> st02_sessionize,
@@ -403,6 +436,42 @@ object PipelineQueries {
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot / (qn * cn) DESC, n_id) AS BIGINT) AS rank,
         |       dot / (qn * cn) AS cos
         |FROM p QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "e03_ann_multiprobe" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |             CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+        |                + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+        |                + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell
+        |      FROM e),
+        |qp AS (SELECT vec_id, v, unnest([cell, xor(cell, 1), xor(cell, 2), xor(cell, 4)]) AS probe
+        |       FROM b WHERE vec_id < 5),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (x, y) -> x + y) AS dot,
+        |             sqrt(list_reduce(list_transform(list_zip(q.v, q.v), s -> s[1] * s[2]), (x, y) -> x + y)) AS qn,
+        |             sqrt(list_reduce(list_transform(list_zip(c.v, c.v), s -> s[1] * s[2]), (x, y) -> x + y)) AS cn
+        |      FROM qp q JOIN b c ON q.probe = c.cell AND c.vec_id <> q.vec_id)
+        |SELECT q_id, n_id,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dot / (qn * cn) DESC, n_id) AS BIGINT) AS rank,
+        |       dot / (qn * cn) AS cos
+        |FROM p QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "d10_corpus_filter" ->
+      """WITH h AS (SELECT doc_id, lang, source, text,
+        |                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS ch
+        |           FROM documents),
+        |k AS (SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY ch) AS is_kept FROM h),
+        |t2 AS (SELECT doc_id, source, lang, text,
+        |              list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |       FROM k WHERE is_kept)
+        |SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens
+        |FROM t2
+        |WHERE len(t) >= 10
+        |  AND (CASE WHEN len(t) = 0 THEN 0.0
+        |            ELSE CAST(len(list_filter(t, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(t) END) >= 0.05
+        |  AND (CASE WHEN length(text) = 0 THEN 0.0
+        |            ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END) <= 0.1
+        |  AND lang IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
     "mm01_media_meta" ->
       """SELECT doc_id,
         |       octet_length(CAST(text AS BLOB)) AS byte_len,

@@ -66,6 +66,39 @@ object Knn {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** Multi-probe ANN: each query searches its own cell plus every cell
+    * at Hamming distance 1 (nprobe = bits + 1) — the standard recall
+    * knob for sign-LSH/IVF: vectors near a hyperplane land in adjacent
+    * cells, and probing those recovers most of the loss while still
+    * touching only (bits+1)/2^bits of the corpus.
+    */
+  def multiProbeTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 3): DataFrame = {
+    val probes = (0 until bits).map(j => col("cell").bitwiseXOR(1L << j))
+    val q = queries
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("cell", signCell(col("qv"), bits))
+      .withColumn("probe", explode(array(col("cell") +: probes: _*)))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      asDouble(col(vecCol)).as("cv"),
+      signCell(asDouble(col(vecCol)), bits).as("probe"))
+    val scored = broadcast(q)
+      .join(c, Seq("probe"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+  }
+
   /** ANN: search only the query's sign-bit cell (IVF nprobe=1).
     * Recall trades against `bits`; candidates drop to ~N/2^bits.
     */
