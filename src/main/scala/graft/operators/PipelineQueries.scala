@@ -227,6 +227,20 @@ object PipelineQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Sliding 1-hour windows every 15 minutes (batch form of the
+    * streaming sliding aggregate; each event lands in 4 windows).
+    */
+  val st03_sliding_window: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.streaming.EventStreams
+      .slidingStats(t.events)
+      .select(
+        date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("ws"),
+        col("event_type"),
+        col("n"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   /** Gap-based sessionization (30-min inactivity), batch form of the
     * streaming flatMapGroupsWithState semantics.
     */
@@ -280,6 +294,7 @@ object PipelineQueries {
     "mm01_media_meta"   -> mm01_media_meta,
     "st01_event_hourly" -> st01_event_hourly,
     "st02_sessionize"   -> st02_sessionize,
+    "st03_sliding_window" -> st03_sliding_window,
     "wp01_upsert"       -> wp01_upsert,
     "wp02_softdelete_cascade" -> wp02_softdelete_cascade,
   )
@@ -482,6 +497,14 @@ object PipelineQueries {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "st03_sliding_window" ->
+      """WITH x AS (SELECT event_type, ts, time_bucket(INTERVAL '15 minutes', ts) AS tb FROM events),
+        |w AS (SELECT event_type,
+        |             unnest([tb, tb - INTERVAL '15 minutes',
+        |                     tb - INTERVAL '30 minutes', tb - INTERVAL '45 minutes']) AS ws
+        |      FROM x)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "st02_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev

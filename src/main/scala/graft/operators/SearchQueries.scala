@@ -54,12 +54,42 @@ object SearchQueries {
       .limit(50)
   }
 
+  /** P14 — the validated predicate layer applied end-to-end: declared
+    * (field, lookup) allowlist compiled to a filter chain, exactly the
+    * RestrictedQueryMixin + FilterSet flow of the REST API
+    * (/root/reference/tantalus/api/views.py:53-82).
+    */
+  val q36_restricted_filters: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    import Predicates.{Lookup, Pred}
+    val allowed = Map(
+      "c_mktsegment" -> Set[Lookup](Lookup.Exact, Lookup.In),
+      "c_acctbal"    -> Set[Lookup](Lookup.Gte, Lookup.Lte),
+      "c_name"       -> Set[Lookup](Lookup.IContains))
+    Predicates(
+      t.customer,
+      allowed,
+      Seq(
+        Pred("c_mktsegment", Lookup.In, Seq[Any]("BUILDING", "MACHINERY")),
+        Pred("c_acctbal", Lookup.Gte, 0.0),
+        Pred("c_name", Lookup.IContains, "1")))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
+    "q36_restricted_filters" -> q36_restricted_filters,
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_restricted_filters" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |  AND c_acctbal >= 0.0
+        |  AND lower(c_name) LIKE '%1%'
+        |ORDER BY c_custkey""".stripMargin,
     "q31_text_search" ->
       """SELECT DISTINCT c_custkey, c_name, n_name
         |FROM customer
