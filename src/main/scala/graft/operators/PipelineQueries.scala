@@ -127,6 +127,29 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** tf-idf-style distinctive terms: top-3 terms per doc ranked by
+    * (term frequency desc, document frequency asc, term) — the integer-
+    * deterministic form of tf-idf ranking (no float log, so the oracle
+    * comparison is exact by construction).
+    */
+  val d11_top_terms: Q = (s, dir) => {
+    val t   = Tables(s, dir)
+    val tok = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("term"))
+    val tf    = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Document fingerprint: min-hash60 over the shingle set (+ set size);
     * docs with fewer than 3 tokens keep a null fingerprint.
     */
@@ -291,6 +314,7 @@ object PipelineQueries {
     "e02_ann_bucketed"  -> e02_ann_bucketed,
     "e03_ann_multiprobe" -> e03_ann_multiprobe,
     "d10_corpus_filter" -> d10_corpus_filter,
+    "d11_top_terms"     -> d11_top_terms,
     "mm01_media_meta"   -> mm01_media_meta,
     "st01_event_hourly" -> st01_event_hourly,
     "st02_sessionize"   -> st02_sessionize,
@@ -421,6 +445,17 @@ object PipelineQueries {
          |SELECT d.doc_id, fp.fingerprint, COALESCE(fp.n_shingles, 0) AS n_shingles
          |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "d11_top_terms" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+         |SELECT doc_id, term, tf, df, rank FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+         |              ORDER BY tf.tf DESC, dfreq.df, tf.term) AS BIGINT) AS rank
+         |  FROM tf JOIN dfreq USING (term))
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "e01_knn_brute" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
