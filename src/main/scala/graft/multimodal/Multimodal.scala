@@ -31,14 +31,25 @@ object Multimodal {
   /** Wrap a text corpus as a media table (payload = utf8 bytes) —
     * stand-in for real image/audio ingestion.
     */
-  def toMediaTable(docs: DataFrame, idCol: String, payloadCol: String): DataFrame =
+  def toMediaTable(docs: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val fmt = when(col(idCol) % 3 === 0, "png")
+      .when(col(idCol) % 3 === 1, "jpeg")
+      .otherwise("wav") // deterministic fake format tag
+    val bytes = octet_length(col(payloadCol).cast("binary")).cast("long")
     docs.select(
       col(idCol).cast("long").as("media_id"),
       col(payloadCol).cast("binary").as("payload"),
-      // deterministic fake format tag from content
-      when(col(idCol) % 3 === 0, "png").when(col(idCol) % 3 === 1, "jpeg").otherwise("wav")
-        .as("format"),
-      octet_length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
+      fmt.as("format"),
+      bytes.as("n_bytes"),
+      // typed metadata struct alongside the opaque payload (fake dims
+      // derived from content; a real ingester fills these at decode)
+      struct(
+        fmt.as("format"),
+        bytes.as("n_bytes"),
+        (pmod(crc32(col(payloadCol).cast("binary")), lit(1920)) + 1).cast("int").as("width"),
+        (pmod(crc32(col(payloadCol).cast("binary")), lit(1080)) + 1).cast("int").as("height")
+      ).as("meta"))
+  }
 
   /** STUB codec: a real implementation would decode the image/audio
     * payload (libjpeg / ffmpeg / PIL-equivalent). Deterministic fake:

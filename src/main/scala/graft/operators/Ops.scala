@@ -90,4 +90,35 @@ object Ops {
     */
   def searchBlob(cols: Seq[Column]): Column =
     lower(concat_ws(" ", cols: _*))
+
+  /** Skew-resistant two-phase aggregation: salt the key, partially
+    * aggregate per (key, salt), then combine. Correct for any
+    * commutative-associative aggregate pair (partial, merge) — counts,
+    * decimal sums, min/max. For skewed JOINS prefer AQE's skew-join
+    * splitting (`spark.sql.adaptive.skewJoin.enabled`); this helper is
+    * for the hot-key aggregation case where one key dominates a shuffle
+    * partition.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keyCols: Seq[String],
+      salts: Int)(
+      partial: Seq[(Column, String)],
+      merge: Seq[(String, Column => Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(keyCols.map(col) :+ monotonically_increasing_id(): _*), lit(salts)))
+    val phase1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partial.head._1.as(partial.head._2), partial.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        merge.head._2(col(merge.head._1)).as(merge.head._1),
+        merge.tail.map { case (n, f) => f(col(n)).as(n) }: _*)
+  }
+
+  /** Convenience: skew-resistant exact count + decimal-exact sum. */
+  def saltedCountSum(df: DataFrame, keyCols: Seq[String], valueCol: Column, salts: Int = 16): DataFrame =
+    saltedAgg(df, keyCols, salts)(
+      Seq(count(lit(1)) -> "n", sum(dec(valueCol)) -> "s"),
+      Seq("n" -> (c => sum(c)), "s" -> (c => sum(c).cast("double"))))
 }

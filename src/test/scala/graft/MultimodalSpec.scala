@@ -13,6 +13,9 @@ class MultimodalSpec extends SparkTestBase {
     val got = media.select("media_id", "format", "n_bytes").as[(Long, String, Long)]
       .collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(0L) == (("png", 50L)) && got(1L) == (("jpeg", 3L)) && got(2L) == (("wav", 0L)))
+    // typed metadata struct with plausible bounded dims
+    val meta = media.select($"meta.width", $"meta.height").as[(Int, Int)].collect()
+    assert(meta.forall { case (w, h) => w >= 1 && w <= 1920 && h >= 1 && h <= 1080 })
   }
 
   test("decodeFeatures is deterministic and partition-parallel") {

@@ -58,6 +58,17 @@ class OpsSpec extends SparkTestBase {
     assert(got == Map("added" -> Set(4), "deleted" -> Set(1), "unchanged" -> Set(2, 3)))
   }
 
+  test("saltedCountSum equals direct groupBy on skewed keys") {
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i * 1.5)) // 90% one key
+    val df   = rows.toDF("k", "v")
+    val direct = df.groupBy($"k")
+      .agg(count(lit(1)).as("n"), Ops.dsum($"v").as("s"))
+      .as[(String, Long, Double)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    val salted = Ops.saltedCountSum(df, Seq("k"), $"v")
+      .as[(String, Long, Double)].collect().map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(salted == direct)
+  }
+
   test("predicate allowlist rejects undeclared lookups (P14)") {
     val allowed = Map("name" -> Set[Lookup](Lookup.Exact, Lookup.IContains))
     val df      = Seq(("x")).toDF("name")
