@@ -218,7 +218,9 @@ object Dedup {
     * engine. Emits one row per document that has at least one token.
     */
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val tok = docs
+      .repartition(col(idCol)) // parallelize the 60x bit explode (see shingleSet)
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("w"))
     tok
       .withColumn("h", Hashing.hash60(col("w")))
       .withColumn("j", explode(array((0 until 60).map(lit): _*)))
