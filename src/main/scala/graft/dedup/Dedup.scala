@@ -147,13 +147,31 @@ object Dedup {
   }
 
   /** MinHash signatures: k independent hash-family members over the
-    * shingle set, min per (doc, i). One shuffle on (doc, i).
+    * shingle set, min per (doc, i). Composable-built-ins form: explodes
+    * k× and min-reduces — one shuffle on (doc, i).
     */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
     sh.withColumn("i", explode(array((0 until k).map(lit): _*)))
       .withColumn("h", Hashing.hash60(concat(col("i").cast("string"), lit(":"), col("s"))))
       .groupBy(col(idCol), col("i"))
       .agg(min(col("h")).as("mh"))
+
+  /** Sketch-aggregator form of `minhashSignatures`: identical output,
+    * but the k running minima live in ONE buffer per doc
+    * (functions.MinHashAgg), so the shuffle carries docs, not
+    * docs × k × shingles. Preferred at scale.
+    */
+  def minhashSignaturesAgg(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.select(col(idCol).cast("long"), col("s"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinHashAgg(k).toColumn.name("sig"))
+      .toDF(idCol, "sig")
+      .select(col(idCol), posexplode(col("sig")).as(Seq("i", "mh")))
+  }
 
   /** LSH banding: group signature rows into bands of `rowsPerBand`,
     * band key = ordered concat of the member min-hashes.
@@ -189,7 +207,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val sh   = shingleSet(docs, idCol, textCol, shingleN)
-    val cand = lshCandidates(lshBands(minhashSignatures(sh, idCol, k), idCol, rowsPerBand), idCol)
+    val cand = lshCandidates(lshBands(minhashSignaturesAgg(sh, idCol, k), idCol, rowsPerBand), idCol)
     // exact-jaccard verification of the (small) candidate set only
     verifyJaccard(cand, sh, idCol, threshold)
   }

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One-pass MinHash signature sketch (typed `Aggregator`, SURVEY §7.2).
+  *
+  * The composable form (`Dedup.minhashSignatures`) explodes every
+  * (doc, shingle) row k times and min-reduces — k× the rows through the
+  * map side. This aggregator keeps the k running minima in a single
+  * buffer per group instead: rows shuffled = docs, not docs × k ×
+  * shingles; partial aggregation merges buffers map-side.
+  *
+  * Hash family member i over shingle s is EXACTLY `Hashing.hash60` of
+  * "i:s" (top 60 bits of md5), computed here natively (MessageDigest +
+  * big-endian first-8-bytes >>> 4 ≡ first 15 hex chars as an unsigned
+  * value), so signatures are interchangeable with the column form and
+  * with the DuckDB oracle.
+  */
+class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      val h = MinHashAgg.hash60(i + ":" + shingle)
+      if (h < buf(i)) buf(i) = h
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Array[Long] = r
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+object MinHashAgg {
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM-native twin of `Hashing.hash60` (top 60 bits of md5). */
+  def hash60(s: String): Long = {
+    val d = digest.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 8 bytes big-endian, dropped low nibble == first 15 hex chars
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (bytes(i) & 0xffL); i += 1 }
+    x >>> 4
+  }
+}

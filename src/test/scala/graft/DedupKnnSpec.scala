@@ -41,6 +41,19 @@ class DedupKnnSpec extends SparkTestBase {
     assert(lsh.contains((1L, 4L))) // identical docs always collide on every band
   }
 
+  test("MinHashAgg signatures identical to the composable column form") {
+    val sh = Dedup.shingleSet(docs, "doc_id", "text", 3)
+    val a = Dedup.minhashSignatures(sh, "doc_id", 16)
+      .as[(Long, Int, Long)].collect().toSet
+    val b = Dedup.minhashSignaturesAgg(sh, "doc_id", 16)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(a == b)
+    // JVM hash60 twin matches the Column md5/conv form
+    assert(graft.functions.MinHashAgg.hash60("0:the quick brown") ==
+      spark.range(1).select(
+        graft.functions.Hashing.hash60(lit("0:the quick brown"))).as[Long].head())
+  }
+
   test("simhash: identical normalized docs get identical hashes") {
     val h = Dedup.simhash60(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
