@@ -32,6 +32,27 @@ object Dedup {
       .withColumn("is_kept", col(idCol) === col("keeper"))
   }
 
+  /** Streaming incremental exact dedup: first-seen document per
+    * normalized content hash survives, later arrivals drop. With
+    * `boundedState` the per-hash state expires once the event-time
+    * watermark passes (dropDuplicatesWithinWatermark) — the only form
+    * that runs indefinitely at corpus-firehose scale; the unbounded
+    * form is exact across the whole stream but its state grows with
+    * distinct documents.
+    */
+  def streamingExactDedup(
+      docs: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermark: String = "1 hour",
+      boundedState: Boolean = true): DataFrame = {
+    val hashed = docs
+      .withColumn("content_hash", md5(normalized(col(textCol))))
+      .withWatermark(eventTimeCol, watermark)
+    if (boundedState) hashed.dropDuplicatesWithinWatermark("content_hash")
+    else hashed.dropDuplicates("content_hash")
+  }
+
   /** Distinct word-n-gram shingle set, exploded to (id, shingle) rows —
     * the inverted-index representation all near-dup ops build on.
     * Documents with fewer than n tokens vanish (empty shingle set).

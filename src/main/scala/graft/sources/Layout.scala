@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout helpers: bucketed tables for co-located joins.
+  *
+  * At 100 TB the dominant join cost is shuffling the fact table. Tables
+  * bucketed (and sorted) by their join key join WITHOUT any exchange:
+  * Spark matches bucket specs and plans a zip-partition sort-merge
+  * join. Bucket both sides of a hot join path (e.g. orders/lineitem on
+  * orderkey; dataset/file_resource bridges on dataset id) with the SAME
+  * bucket count at write time, and every subsequent join on that key is
+  * shuffle-free — the write-once/read-many trade that batch catalogs
+  * want.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table at `path`. */
+  def bucketize(
+      df: DataFrame,
+      table: String,
+      path: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.sources.Layout
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = Files.createTempDirectory("graft_buckets").toString
+    val orders = (1L to 1000L).map(i => (i, s"o$i")).toDF("key", "o")
+    val items  = (1L to 3000L).map(i => (i % 1000 + 1, s"i$i")).toDF("key", "it")
+    Layout.bucketize(orders, "b_orders", s"$dir/o", "key", 8)
+    Layout.bucketize(items, "b_items", s"$dir/i", "key", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the sort-merge path (these test tables are broadcast-sized;
+    // the bucket win is for fact-x-fact joins neither side can broadcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.table(spark, "b_orders")
+        .join(Layout.table(spark, "b_items"), "key")
+      assert(joined.count() == 3000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected bucket sort-merge join:\n$plan")
+
+      // and a pre-aggregation on the bucket key is shuffle-free too
+      val agg  = Layout.table(spark, "b_items").groupBy($"key").agg(count(lit(1)))
+      assert(agg.count() == 1000)
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_items")
+    }
+  }
+}

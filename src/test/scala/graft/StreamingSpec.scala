@@ -90,6 +90,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingExactDedup keeps first-seen docs across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Long) = new java.sql.Timestamp(3600_000L + m * 60_000L)
+    val q = graft.dedup.Dedup
+      .streamingExactDedup(
+        stream.toDF().toDF("doc_id", "text", "event_time"), "text", "event_time")
+      .select(col("doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(Seq((1L, "hello world", ts(0)), (2L, "HELLO  world ", ts(1))))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, "hello world", ts(2)), (4L, "fresh doc", ts(3))))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out").as[Long].collect().toSet
+      assert(kept.contains(1L) && !kept.contains(2L)) // same-batch normalized dup dropped
+      assert(!kept.contains(3L))                      // cross-batch dup dropped (state)
+      assert(kept.contains(4L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps and aggregates per session") {
     val min = 60L * 1000000000L
     val data = Seq(
