@@ -83,6 +83,23 @@ object Multimodal {
       }
   }
 
+  /** Resize/downsample stub: keep every `factor`-th byte of the payload
+    * (the byte-level stand-in for image resize / audio resample). Same
+    * mapPartitions batch shape as decode; a real implementation swaps
+    * the per-row function for a codec call.
+    */
+  def resizeStub(media: DataFrame, factor: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"), col("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        val out = Array.tabulate(if (bytes.isEmpty) 0 else (bytes.length + factor - 1) / factor)(i => bytes(i * factor))
+        Media(id, out, fmt, out.length.toLong)
+      })
+  }
+
   /** Frame/sample extraction: byte-range slices of the payload
     * (stand-in for video frame sampling); pure Column expressions.
     */

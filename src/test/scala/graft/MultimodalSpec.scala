@@ -27,6 +27,11 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.last.features.forall(_ == 0f)) // empty payload → zero vector
   }
 
+  test("resizeStub decimates payloads deterministically") {
+    val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
+    assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0
+  }
+
   test("frameSample slices evenly spaced byte ranges") {
     val frames = Multimodal.frameSample(media.filter(col("media_id") === 0), 10, 3)
       .select("frames").as[Seq[Array[Byte]]].head()
