@@ -14,11 +14,12 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: JVM/codegen/session init + file-footer reads
-    try {
-      spark.read.parquet(s"$sfDir/region.parquet").count()
-      SparkEntry.queries.headOption.foreach(_._2(spark, sfDir).count())
-    } catch { case _: Throwable => () }
+    // one untimed warm-up pass: JIT/codegen compilation, parquet footer
+    // and page-cache reads, broadcast/session init — the timed pass then
+    // measures steady-state query cost
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
