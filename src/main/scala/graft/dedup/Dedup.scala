@@ -252,6 +252,51 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Connected components over near-dup pairs: every document labeled
+    * with its component's smallest id. Iterative min-label propagation —
+    * O(component diameter) rounds of one equi-join each; near-dup
+    * components are clique-ish, so 2-3 rounds typical. Lineage is cut
+    * per round with localCheckpoint so the plan stays bounded.
+    * Documents that appear in no pair are absent (they are their own
+    * representative by definition).
+    */
+  def dedupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter      = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("nbr_min"))
+      val updated = labels
+        .join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"),
+          (col("nbr_min") < col("component")).as("changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select(col("id"), col("component"))
+      iter += 1
+    }
+    labels.withColumn("is_representative", col("id") === col("component"))
+  }
+
+  /** Materialize the near-dup-free corpus: drop every document that
+    * belongs to a component but is not its representative.
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = dedupComponents(pairs).filter(!col("is_representative")).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** 60-bit SimHash per document (token-frequency weighted). Bits 0-59
     * only, keeping the value positive in a signed 64-bit long on every
     * engine. Emits one row per document that has at least one token.

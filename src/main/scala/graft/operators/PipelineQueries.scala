@@ -127,6 +127,19 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Near-dup cluster assignment: connected components over the exact
+    * Jaccard pair graph (min-label propagation), each doc labeled with
+    * its component representative. The oracle recomputes components via
+    * a recursive transitive-closure CTE.
+    */
+  val d12_dedup_clusters: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
+    Dedup
+      .dedupComponents(Dedup.jaccardPairs(sh, "doc_id", 0.5))
+      .orderBy(col("id"))
+  }
+
   /** tf-idf-style distinctive terms: top-3 terms per doc ranked by
     * (term frequency desc, document frequency asc, term) — the integer-
     * deterministic form of tf-idf ranking (no float log, so the oracle
@@ -315,6 +328,7 @@ object PipelineQueries {
     "e03_ann_multiprobe" -> e03_ann_multiprobe,
     "d10_corpus_filter" -> d10_corpus_filter,
     "d11_top_terms"     -> d11_top_terms,
+    "d12_dedup_clusters" -> d12_dedup_clusters,
     "mm01_media_meta"   -> mm01_media_meta,
     "st01_event_hourly" -> st01_event_hourly,
     "st02_sessionize"   -> st02_sessionize,
@@ -445,6 +459,26 @@ object PipelineQueries {
          |SELECT d.doc_id, fp.fingerprint, COALESCE(fp.n_shingles, 0) AS n_shingles
          |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "d12_dedup_clusters" ->
+      s"""WITH RECURSIVE $toksCte,
+         |$shCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT i.id1, i.id2 FROM inter i
+         |          JOIN sizes s1 ON s1.doc_id = i.id1
+         |          JOIN sizes s2 ON s2.doc_id = i.id2
+         |          WHERE i.inter / (s1.n + s2.n - i.inter) >= 0.5),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT id, component, id = component AS is_representative FROM (
+         |  SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a)
+         |ORDER BY id""".stripMargin,
     "d11_top_terms" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),

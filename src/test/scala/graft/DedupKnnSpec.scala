@@ -62,6 +62,28 @@ class DedupKnnSpec extends SparkTestBase {
     assert(h.values.forall(v => v >= 0L)) // 60-bit: always positive
   }
 
+  test("dedupComponents labels chains and cliques with the min id") {
+    // chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L),
+    ).toDF("id1", "id2")
+    val got = Dedup.dedupComponents(pairs)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, true)) && got(4L) == ((1L, false)))
+    assert(got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got(10L) == ((10L, true)) && got(12L) == ((10L, false)))
+    assert(got(20L) == ((20L, true)) && got(21L) == ((20L, false)))
+  }
+
+  test("dropNearDuplicates keeps representatives and untouched docs") {
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id1", "id2")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L)) // 2 and 4 fold into component 1
+  }
+
   test("bruteTopK is exact and self-excluding") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)),
