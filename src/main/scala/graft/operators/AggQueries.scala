@@ -129,7 +129,61 @@ object AggQueries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** Exact interpolated percentiles per group (idiomatic upgrade beyond
+    * the reference's count/sum stats; Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition, so the
+    * comparison is exact).
+    */
+  val q37_percentiles: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A7 idiomatic upgrade #2 — CUBE with grouping_id: every marginal of
+    * the 2-D stats table in one shuffle.
+    */
+  val q38_cube: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .orderBy(
+        col("gid"),
+        asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+  }
+
+  /** U3/U4 bag semantics — EXCEPT ALL / INTERSECT ALL with multiplicity
+    * preserved, aggregated per key.
+    */
+  val q39_bag_setops: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    def keys(from: String, to: String) =
+      t.lineitem
+        .filter(
+          col("l_shipdate") >= lit(from).cast("timestamp") &&
+            col("l_shipdate") < lit(to).cast("timestamp"))
+        .select(col("l_suppkey"))
+    val a = keys("1995-01-01", "1997-01-01")
+    val b = keys("1996-01-01", "1998-01-01")
+    a.exceptAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+      .unionByName(
+        a.intersectAll(b).groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all")))
+      .orderBy(col("op"), col("l_suppkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q37_percentiles" -> q37_percentiles,
+    "q38_cube"        -> q38_cube,
+    "q39_bag_setops"  -> q39_bag_setops,
     "q13_group_count"    -> q13_group_count,
     "q14_sum_coalesce"   -> q14_sum_coalesce,
     "q15_max_next_id"    -> q15_max_next_id,
@@ -142,6 +196,28 @@ object AggQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_extendedprice, 0.5) AS p50,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90,
+        |       quantile_cont(l_quantity, 0.5) AS qty_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q38_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q39_bag_setops" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |     b AS (SELECT l_suppkey FROM lineitem
+        |           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01')
+        |SELECT l_suppkey, COUNT(*) AS n, 'except_all' AS op
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY l_suppkey
+        |UNION ALL
+        |SELECT l_suppkey, COUNT(*) AS n, 'intersect_all' AS op
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY l_suppkey
+        |ORDER BY op, l_suppkey""".stripMargin,
     "q13_group_count" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
         |FROM orders GROUP BY o_orderstatus, o_orderpriority
