@@ -91,6 +91,56 @@ object Ops {
   def searchBlob(cols: Seq[Column]): Column =
     lower(concat_ws(" ", cols: _*))
 
+  /** As-of join — an operator Spark lacks natively: for every left row,
+    * the latest right row of the same key with rightTime <= leftTime.
+    *
+    * Composed scalably (preference (a) of the extension ladder) rather
+    * than as a custom SparkPlan: tag both inputs, union, and take a
+    * running `last_value(right, ignoreNulls)` over (key, time) — ONE
+    * shuffle on the key, no inequality-join row explosion, works on any
+    * Spark without extensions. Right rows sort before left rows at
+    * equal timestamps, so an exactly-simultaneous right row matches
+    * (ASOF `>=` semantics, same as DuckDB's ASOF JOIN oracle).
+    *
+    * Left rows with no prior right row keep a null match (left-outer
+    * as-of). `tieCols` break ordering ties among right rows sharing
+    * (key, time) — the LAST by tie order wins deterministically.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieCols: Seq[String] = Seq.empty,
+      matchedName: String = "matched"): DataFrame = {
+    val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val lTagged = left.select(
+      keyCols.map(left(_)) ++ Seq(
+        left(leftTime).as("__t"),
+        lit(1).as("__side"),
+        struct(left.columns.map(left(_)): _*).as("__lrow"),
+        lit(null).cast(rType).as("__rrow")) ++
+        tieCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tie_$c")): _*)
+    val rTagged = right.select(
+      keyCols.map(right(_)) ++ Seq(
+        right(rightTime).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(lType).as("__lrow"),
+        struct(right.columns.map(right(_)): _*).as("__rrow")) ++
+        tieCols.map(c => right(c).as(s"__tie_$c")): _*)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((Seq(col("__t"), col("__side")) ++ tieCols.map(c => col(s"__tie_$c").asc_nulls_first)): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lTagged
+      .unionByName(rTagged)
+      .withColumn(matchedName, last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__lrow").as("left"), col(matchedName))
+  }
+
   /** Skew-resistant two-phase aggregation: salt the key, partially
     * aggregate per (key, salt), then combine. Correct for any
     * commutative-associative aggregate pair (partial, merge) — counts,

@@ -277,6 +277,30 @@ object PipelineQueries {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** As-of join over the event stream: every error event matched to the
+    * same user's most recent prior (or simultaneous) purchase. Oracle is
+    * DuckDB's native ASOF LEFT JOIN; Spark-side is the composed
+    * single-shuffle union+last_value plan (Ops.asofJoin).
+    */
+  val st04_asof_join: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val ev = t.events.withColumn("tus", expr("ts div 1000"))
+    val errors    = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id"), col("tus").as("p_tus"), col("value"))
+    Ops
+      .asofJoin(errors, purchases, Seq("user_id"), "tus", "p_tus", tieCols = Seq("p_event_id"))
+      .select(
+        col("left.event_id").as("event_id"),
+        col("left.user_id").as("user_id"),
+        col("left.tus").as("err_tus"),
+        col("matched.p_event_id").as("purchase_event_id"),
+        col("matched.p_tus").as("purchase_tus"),
+        col("matched.value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Gap-based sessionization (30-min inactivity), batch form of the
     * streaming flatMapGroupsWithState semantics.
     */
@@ -333,6 +357,7 @@ object PipelineQueries {
     "st01_event_hourly" -> st01_event_hourly,
     "st02_sessionize"   -> st02_sessionize,
     "st03_sliding_window" -> st03_sliding_window,
+    "st04_asof_join"    -> st04_asof_join,
     "wp01_upsert"       -> wp01_upsert,
     "wp02_softdelete_cascade" -> wp02_softdelete_cascade,
   )
@@ -574,6 +599,18 @@ object PipelineQueries {
         |      FROM x)
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS ws, event_type, COUNT(*) AS n
         |FROM w GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "st04_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+        |err AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'error'),
+        |pur AS (SELECT event_id AS p_event_id, user_id, tus AS p_tus, value FROM e
+        |        WHERE event_type = 'purchase')
+        |SELECT err.event_id, err.user_id, err.tus AS err_tus,
+        |       pur.p_event_id AS purchase_event_id,
+        |       pur.p_tus AS purchase_tus,
+        |       pur.value AS purchase_value
+        |FROM err ASOF LEFT JOIN pur
+        |  ON err.user_id = pur.user_id AND err.tus >= pur.p_tus
+        |ORDER BY event_id""".stripMargin,
     "st02_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value,
         |                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
