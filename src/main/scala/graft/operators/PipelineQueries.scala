@@ -229,6 +229,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified sampling by content hash: per-language
+    * keep rates applied as `hash60(text) % 100 < rate`. Unlike RNG
+    * sampling this is reproducible across runs, engines, partitionings
+    * and retries — the only sampling that composes with a 100 TB
+    * pipeline's idempotence requirements.
+    */
+  val d13_hash_sample: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val slot = graft.functions.Hashing.hash60(col("text")) % 100
+    val rate = when(col("lang") === "en", 50).otherwise(10)
+    t.documents
+      .filter(slot < rate)
+      .select(col("doc_id"), col("lang"), slot.cast("long").as("slot"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- multimodal plumbing ----------
 
   /** Opaque-binary media column with typed metadata (S10-style nested
@@ -353,6 +369,7 @@ object PipelineQueries {
     "d10_corpus_filter" -> d10_corpus_filter,
     "d11_top_terms"     -> d11_top_terms,
     "d12_dedup_clusters" -> d12_dedup_clusters,
+    "d13_hash_sample"   -> d13_hash_sample,
     "mm01_media_meta"   -> mm01_media_meta,
     "st01_event_hourly" -> st01_event_hourly,
     "st02_sessionize"   -> st02_sessionize,
@@ -580,6 +597,13 @@ object PipelineQueries {
         |  AND (CASE WHEN length(text) = 0 THEN 0.0
         |            ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END) <= 0.1
         |  AND lang IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
+    "d13_hash_sample" ->
+      """SELECT doc_id, lang,
+        |       (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100) AS slot
+        |FROM documents
+        |WHERE (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100)
+        |      < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
         |ORDER BY doc_id""".stripMargin,
     "mm01_media_meta" ->
       """SELECT doc_id,
