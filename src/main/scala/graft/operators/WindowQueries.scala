@@ -63,7 +63,38 @@ object WindowQueries {
       .limit(100)
   }
 
+  /** Frame-based rolling aggregate: per-customer 3-order moving spend
+    * (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), decimal-exact.
+    */
+  val q40_rolling_window: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, 0)
+    t.orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        sum(Ops.dec(col("o_totalprice"))).over(w).cast("double").as("rolling_spend"),
+        count(lit(1)).over(w).as("rolling_n"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Fixed-width histogram binning over a measure (floor-div bucketing,
+    * engine-portable — no width_bucket dialect differences).
+    */
+  val q41_histogram: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), Ops.dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q40_rolling_window" -> q40_rolling_window,
+    "q41_histogram"      -> q41_histogram,
     "q21_pagination"     -> q21_pagination,
     "q22_latest_per_key" -> q22_latest_per_key,
     "q23_lag_diff"       -> q23_lag_diff,
@@ -71,6 +102,20 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_rolling_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_spend,
+        |       COUNT(*) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_n
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q41_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q21_pagination" ->
       """SELECT * FROM (
         |  SELECT o_orderkey, o_totalprice,
