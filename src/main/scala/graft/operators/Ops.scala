@@ -91,6 +91,17 @@ object Ops {
   def searchBlob(cols: Seq[Column]): Column =
     lower(concat_ws(" ", cols: _*))
 
+  /** Empty-result guard (/root/reference/tantalus/forms.py:527-534):
+    * the reference's search form rejects searches that match nothing;
+    * surface that as an explicit validation instead of a silently-empty
+    * DataFrame. Costs one LIMIT-1 job, not a full count.
+    */
+  def requireNonEmpty(df: DataFrame, what: String): DataFrame = {
+    if (df.isEmpty)
+      throw new IllegalArgumentException(s"$what matched no rows")
+    df
+  }
+
   /** As-of join — an operator Spark lacks natively: for every left row,
     * the latest right row of the same key with rightTime <= leftTime.
     *

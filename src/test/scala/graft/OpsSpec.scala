@@ -58,6 +58,15 @@ class OpsSpec extends SparkTestBase {
     assert(got == Map("added" -> Set(4), "deleted" -> Set(1), "unchanged" -> Set(2, 3)))
   }
 
+  test("requireNonEmpty passes data through and rejects empty results") {
+    val df = Seq(1, 2).toDF("x")
+    assert(Ops.requireNonEmpty(df, "search").count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      Ops.requireNonEmpty(df.filter($"x" > 99), "tag search")
+    }
+    assert(e.getMessage.contains("tag search"))
+  }
+
   test("asofJoin: latest prior match, >= ties, left-outer nulls, tie-break") {
     val trades = Seq((1L, 7L, 100L), (2L, 7L, 205L), (3L, 8L, 50L)).toDF("tid", "k", "t")
     val quotes = Seq(
