@@ -145,7 +145,23 @@ object FilterJoinQueries {
     none.select(col("o_orderkey"), col("o_orderstatus")).orderBy(col("o_orderkey"))
   }
 
+  /** Catalog-maintenance sweep: orphaned or under-referenced dimension
+    * rows (parts with fewer than 25 lineitem references, orphans = 0) —
+    * the referential-integrity check a file catalog runs before
+    * garbage-collecting resources.
+    */
+  val q42_orphans: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val refs = t.lineitem.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_refs"))
+    t.part
+      .join(refs, col("p_partkey") === col("l_partkey"), "left")
+      .select(col("p_partkey"), coalesce(col("n_refs"), lit(0L)).as("n_refs"))
+      .filter(col("n_refs") < 25)
+      .orderBy(col("p_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_orphans"             -> q42_orphans,
     "q01_scan_filter_project" -> q01_scan_filter_project,
     "q02_point_lookup"        -> q02_point_lookup,
     "q03_in_filter"           -> q03_in_filter,
@@ -161,6 +177,13 @@ object FilterJoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q42_orphans" ->
+      """SELECT p_partkey, COALESCE(r.n_refs, 0) AS n_refs
+        |FROM part p LEFT JOIN (SELECT l_partkey, COUNT(*) AS n_refs
+        |                       FROM lineitem GROUP BY l_partkey) r
+        |       ON p.p_partkey = r.l_partkey
+        |WHERE COALESCE(r.n_refs, 0) < 25
+        |ORDER BY p_partkey""".stripMargin,
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
         |FROM lineitem
