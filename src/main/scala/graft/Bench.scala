@@ -1,34 +1,59 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every `SparkEntry.queries` entry at
+  * `SPARK_GRAFT_SF_DIR` and prints ONE compact JSON line.
+  *
+  * Hygiene, learned from round 1 (the driver's log-tail capture
+  * truncated a ~2.9 KB line → unparseable; per-query times degraded
+  * monotonically over the run):
+  *   - values rounded to ms so the line stays well under 2 KB;
+  *   - deterministic (sorted) query order, round-robin stable;
+  *   - per-query cache reset: a query's own persist() is part of its
+  *     cost, but one query's leftovers must not skew the next;
+  *   - UI/status-store retention capped: AQE re-emits large plan
+  *     descriptions per stage, and with 126 query runs the default
+  *     retainedExecutions=1000 accumulates heap pressure that shows up
+  *     as GC time inside later queries.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "4")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // one untimed warm-up pass: JIT/codegen compilation, parquet footer
     // and page-cache reads, broadcast/session init — the timed pass then
     // measures steady-state query cost
-    SparkEntry.queries.foreach { case (_, fn) =>
+    ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries":$qs}""")
     spark.stop()
   }
 }

@@ -53,11 +53,12 @@ object Dedup {
     else hashed.dropDuplicates("content_hash")
   }
 
-  /** Distinct word-n-gram shingle set, exploded to (id, shingle) rows —
-    * the inverted-index representation all near-dup ops build on.
-    * Documents with fewer than n tokens vanish (empty shingle set).
+  /** Per-document distinct shingle ARRAY (sorted) + size — one narrow
+    * row per doc. The exploded inverted index (`shingleSet`) and the
+    * verification sets both derive from this without any shuffle, so a
+    * pipeline that persists ONE thing persists this.
     */
-  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
       // spread docs across the cluster BEFORE the ~50x explode and the
       // downstream per-shingle hashing: a small corpus file arrives as
@@ -65,9 +66,24 @@ object Dedup {
       // otherwise run on a single core
       .repartition(col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
-      .select(col(idCol), explode(array_distinct(TextAnalysis.shinglesFromTokens(col("t"), n))).as("s"))
+      .select(col(idCol), array_sort(array_distinct(TextAnalysis.shinglesFromTokens(col("t"), n))).as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
 
-  /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jac >= threshold).
+  /** Distinct word-n-gram shingle set, exploded to (id, shingle) rows —
+    * the inverted-index representation all near-dup ops build on.
+    * Documents with fewer than n tokens vanish (empty shingle set).
+    */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    explodeShingles(shingleArrays(docs, idCol, textCol, n), idCol)
+
+  /** Inverted index (id, s) rows from a `shingleArrays` frame — narrow
+    * (explode only), no shuffle.
+    */
+  def explodeShingles(arrs: DataFrame, idCol: String): DataFrame =
+    arrs.select(col(idCol), explode(col("set")).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs (id1 < id2, jac >= threshold)
+    * from a `shingleArrays` frame.
     *
     * Scale path (PPJoin-style prefix filtering): a pair can reach
     * jaccard >= t only if the two sets share an element among each set's
@@ -76,12 +92,12 @@ object Dedup {
     * prefixes, so the inverted-index self-join fans out on rare tokens
     * only — candidate count collapses from the naive
     * sum(df_s choose 2) while remaining provably complete for the
-    * threshold. Verification is per-pair `array_intersect` on the
-    * collected (bounded, per-doc) shingle arrays: one narrow join, no
-    * second shuffle over the inverted index.
+    * threshold. Verification is per-pair `array_intersect` against the
+    * already-materialized per-doc arrays: two narrow joins, no extra
+    * shuffle over the inverted index.
     */
-  def jaccardPairs(sh: DataFrame, idCol: String, threshold: Double): DataFrame =
-    verifyJaccard(prefixCandidates(sh, idCol, threshold), sh, idCol, threshold)
+  def jaccardPairs(arrs: DataFrame, idCol: String, threshold: Double): DataFrame =
+    verifyJaccard(prefixCandidates(arrs, idCol, threshold), arrs, idCol, threshold)
 
   /** All unordered id pairs within each group of a grouped id-array
     * column `ds` (sorted): pairs are generated group-locally after ONE
@@ -116,13 +132,16 @@ object Dedup {
     * `ceil(t/(1+t) * (n1+n2))`; a qualifying pair always survives via
     * its first shared prefix shingle, so the filter is lossless.
     */
-  def prefixCandidates(sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
+  def prefixCandidates(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    // doc size n rides along the explode, so the single window computes
+    // only the streaming-friendly row_number (no whole-partition frame)
+    val sh    = arrs.select(col(idCol), col("n"), explode(col("set")).as("s"))
     val freq  = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    val byDocRarity =
+      Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
     val prefix = sh
       .join(freq, "s")
-      .withColumn("rnk", row_number().over(byDoc.orderBy(col("df"), col("s"))))
-      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rnk", row_number().over(byDocRarity))
       .withColumn("plen", col("n") - ceil(col("n") * threshold) + 1)
       .filter(col("rnk") <= col("plen"))
       .select(col(idCol), col("s"), col("rnk"), col("n"))
@@ -151,13 +170,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact-Jaccard verification of candidate pairs via per-doc shingle
-    * arrays (sorted, distinct): size(array_intersect) / union size.
+  /** Exact-Jaccard verification of candidate pairs against the per-doc
+    * shingle arrays (sorted, distinct): size(array_intersect) / union
+    * size. Takes the `shingleArrays` frame directly — the sets already
+    * exist, so no collect_list re-aggregation shuffle.
     */
-  def verifyJaccard(cand: DataFrame, sh: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val sets = sh
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(col("s"))).as("set"), count(lit(1)).as("n"))
+  def verifyJaccard(cand: DataFrame, arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sets = arrs.select(col(idCol), col("set"), col("n"))
     cand
       .join(sets.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
@@ -227,10 +246,11 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    val sh   = shingleSet(docs, idCol, textCol, shingleN)
+    val arrs = shingleArrays(docs, idCol, textCol, shingleN)
+    val sh   = explodeShingles(arrs, idCol)
     val cand = lshCandidates(lshBands(minhashSignaturesAgg(sh, idCol, k), idCol, rowsPerBand), idCol)
     // exact-jaccard verification of the (small) candidate set only
-    verifyJaccard(cand, sh, idCol, threshold)
+    verifyJaccard(cand, arrs, idCol, threshold)
   }
 
   /** Embedding-cosine near-dup pairs (id1 < id2, cos >= threshold).

@@ -49,24 +49,26 @@ object PipelineQueries {
   }
 
   /** Exact 3-gram Jaccard near-dup pairs via prefix-filtered blocking.
-    * The shingle index feeds three plan branches (document frequencies,
-    * prefix index, verification sets) — persist it once, the caller's
-    * cache decision (Spark-ML style).
+    * The per-doc shingle-array frame feeds every plan branch (document
+    * frequencies, prefix index, verification sets) — persist it once
+    * (one narrow row per doc), the caller's cache decision (Spark-ML
+    * style); the exploded inverted index derives from it shuffle-free.
     */
   val d02_ngram_jaccard: Q = (s, dir) => {
-    val t  = Tables(s, dir)
-    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
-    Dedup.jaccardPairs(sh, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
+    val t    = Tables(s, dir)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    Dedup.jaccardPairs(arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
   /** MinHash(16) + LSH(8 bands of 2) candidates, exact-Jaccard verified. */
   val d03_minhash_lsh: Q = (s, dir) => {
-    val t  = Tables(s, dir)
-    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
+    val t    = Tables(s, dir)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val sh   = Dedup.explodeShingles(arrs, "doc_id")
     val cand = Dedup.lshCandidates(
       Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 16), "doc_id", 2),
       "doc_id")
-    Dedup.verifyJaccard(cand, sh, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
+    Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
   /** 60-bit SimHash per document. */
@@ -133,10 +135,10 @@ object PipelineQueries {
     * a recursive transitive-closure CTE.
     */
   val d12_dedup_clusters: Q = (s, dir) => {
-    val t  = Tables(s, dir)
-    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
+    val t    = Tables(s, dir)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
     Dedup
-      .dedupComponents(Dedup.jaccardPairs(sh, "doc_id", 0.5))
+      .dedupComponents(Dedup.jaccardPairs(arrs, "doc_id", 0.5))
       .orderBy(col("id"))
   }
 

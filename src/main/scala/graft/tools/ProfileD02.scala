@@ -20,8 +20,8 @@ object ProfileD02 {
       val t0 = System.nanoTime(); val n = f
       println(f"[prof] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
-    val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3).persist()
-    tm("shingleSet")(sh.count())
+    val sh = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    tm("shingleArrays")(sh.count())
     tm("d02-as-wired")(graft.operators.PipelineQueries.d02_ngram_jaccard(spark, "/root/testdata/sf0.1").count())
     tm("d03-as-wired")(graft.operators.PipelineQueries.d03_minhash_lsh(spark, "/root/testdata/sf0.1").count())
     tm("prefixCandidates")(Dedup.prefixCandidates(sh, "doc_id", 0.5).count())

@@ -25,15 +25,16 @@ object ProfileScale {
       println(f"[prof] $name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
     }
     for ((tag, d) <- Seq("1x(5k docs)" -> docs1, "5x(25k docs)" -> docs5)) {
-      val sh = Dedup.shingleSet(d, "doc_id", "text", 3).persist()
-      tm(s"$tag shingles")(sh.count())
-      tm(s"$tag jaccardPairs")(Dedup.jaccardPairs(sh, "doc_id", 0.5).count())
+      val arrs = Dedup.shingleArrays(d, "doc_id", "text", 3).persist()
+      tm(s"$tag shingles")(arrs.count())
+      tm(s"$tag jaccardPairs")(Dedup.jaccardPairs(arrs, "doc_id", 0.5).count())
       tm(s"$tag minhashLSH") {
+        val sh = Dedup.explodeShingles(arrs, "doc_id")
         val cand = Dedup.lshCandidates(
           Dedup.lshBands(Dedup.minhashSignaturesAgg(sh, "doc_id", 16), "doc_id", 2), "doc_id")
-        Dedup.verifyJaccard(cand, sh, "doc_id", 0.5).count()
+        Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5).count()
       }
-      sh.unpersist()
+      arrs.unpersist()
     }
     spark.stop()
   }

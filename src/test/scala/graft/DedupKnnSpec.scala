@@ -24,7 +24,7 @@ class DedupKnnSpec extends SparkTestBase {
   }
 
   test("jaccardPairs finds the near-dup and only it at 0.5") {
-    val pairs = Dedup.jaccardPairs(Dedup.shingleSet(docs, "doc_id", "text", 3), "doc_id", 0.5)
+    val pairs = Dedup.jaccardPairs(Dedup.shingleArrays(docs, "doc_id", "text", 3), "doc_id", 0.5)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L))) // identical shingle sets after tokenization
     assert(pairs.contains((1L, 2L)) || !pairs.contains((1L, 3L)))
@@ -32,8 +32,8 @@ class DedupKnnSpec extends SparkTestBase {
   }
 
   test("minhash-LSH pairs are a subset of exact jaccard pairs") {
-    val sh    = Dedup.shingleSet(docs, "doc_id", "text", 3)
-    val exact = Dedup.jaccardPairs(sh, "doc_id", 0.5).select("id1", "id2")
+    val arrs  = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardPairs(arrs, "doc_id", 0.5).select("id1", "id2")
       .as[(Long, Long)].collect().toSet
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text")
       .select("id1", "id2").as[(Long, Long)].collect().toSet

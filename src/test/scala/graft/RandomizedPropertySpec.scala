@@ -48,7 +48,7 @@ class RandomizedPropertySpec extends SparkTestBase {
         if jac >= 0.5
       } yield (a, b)).toSet
       val got = Dedup
-        .jaccardPairs(Dedup.shingleSet(docs.toDF("doc_id", "text"), "doc_id", "text", 3), "doc_id", 0.5)
+        .jaccardPairs(Dedup.shingleArrays(docs.toDF("doc_id", "text"), "doc_id", "text", 3), "doc_id", 0.5)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(got == expected, s"seed=$seed: got ${got.size}, expected ${expected.size}")
     }
@@ -62,7 +62,7 @@ class RandomizedPropertySpec extends SparkTestBase {
       // clone a few docs to guarantee identical pairs
       val docs  = base ++ base.take(3).map { case (id, tx) => (id + 100, tx) }
       val df    = docs.toDF("doc_id", "text")
-      val exact = Dedup.jaccardPairs(Dedup.shingleSet(df, "doc_id", "text", 3), "doc_id", 0.5)
+      val exact = Dedup.jaccardPairs(Dedup.shingleArrays(df, "doc_id", "text", 3), "doc_id", 0.5)
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       val lsh = Dedup.minhashLshPairs(df, "doc_id", "text")
         .select("id1", "id2").as[(Long, Long)].collect().toSet
