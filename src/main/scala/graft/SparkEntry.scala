@@ -27,7 +27,8 @@ object SparkEntry {
       WindowQueries.queries ++
       SetScalarQueries.queries ++
       SearchQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -38,5 +39,6 @@ object SparkEntry {
       WindowQueries.oracles ++
       SetScalarQueries.oracles ++
       SearchQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      ExtendedQueries.oracles
 }

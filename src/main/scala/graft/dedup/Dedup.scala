@@ -170,6 +170,57 @@ object Dedup {
       .distinct()
   }
 
+  /** Containment near-dup pairs (id1 < id2, cont >= threshold) where
+    * cont = |A ∩ B| / min(|A|, |B|) — catches subset/quotation
+    * duplicates that Jaccard misses when one document embeds another.
+    *
+    * Prefix filtering adapted to containment: if overlap >= t·min(n_a,
+    * n_b), the SMALLER set has at most ceil(t·n)-1 < overlap elements
+    * outside its first `n - ceil(t·n) + 1` rarest shingles, so some
+    * shared shingle sits in the smaller set's prefix. Candidates are
+    * therefore prefix-postings ⋈ FULL postings (the larger side may
+    * witness anywhere); fan-out stays bounded because rarest-first
+    * ordering keeps hot shingles out of every prefix — the small side
+    * of each posting-list product.
+    */
+  def containmentPairs(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val sh   = arrs.select(col(idCol), col("n"), explode(col("set")).as("s"))
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byDocRarity =
+      Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
+    val ranked = sh
+      .join(freq, "s")
+      .withColumn("rnk", row_number().over(byDocRarity))
+      .select(col(idCol), col("s"), col("rnk"), col("n"))
+    val prefix = ranked
+      .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col(idCol).as("pid"), col("s"), col("n").as("pn"))
+    val cand = prefix
+      .join(ranked.select(col(idCol).as("fid"), col("s"), col("n").as("fn")), "s")
+      // completeness only needs the probe side to be the smaller set
+      // (ties by id) — requiring it halves the candidate fan-out
+      .filter(col("pn") < col("fn") || (col("pn") === col("fn") && col("pid") =!= col("fid")))
+      .select(
+        least(col("pid"), col("fid")).as("id1"),
+        greatest(col("pid"), col("fid")).as("id2"))
+      .distinct()
+    cand
+      .join(arrs.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
+      .join(arrs.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
+      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("cont", col("inter").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("cont") >= threshold)
+      .select(col("id1"), col("id2"), col("cont"))
+  }
+
+  /** MinHash signatures as one array per doc (index-ordered) — the
+    * sketch-join representation for signature-agreement estimation.
+    */
+  def minhashSignatureArrays(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    minhashSignatures(sh, idCol, k)
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))), x => x.getField("mh")).as("sig"))
+
   /** Exact-Jaccard verification of candidate pairs against the per-doc
     * shingle arrays (sorted, distinct): size(array_intersect) / union
     * size. Takes the `shingleArrays` frame directly — the sets already

@@ -1,0 +1,347 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-2 coverage extensions: pivot / ranking-window / gaps-and-
+  * islands / SCD2 analytics over the TPC-H-ish tables, plus the
+  * next tier of training-data pipeline operators (containment near-dup,
+  * MinHash-estimate diagnostics, Zipf term statistics, IVF ANN) and
+  * approx sketches (no SQL oracle — driver records rows-only).
+  */
+object ExtendedQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source, text,
+      |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  private val shCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+      |      THEN list_transform(generate_series(1, len(t) - 2),
+      |                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
+      |      ELSE [] END) AS s
+      |    FROM toks))""".stripMargin
+
+  // ---------- relational analytics ----------
+
+  /** Pivot (crosstab): order counts by priority × status. Spark's
+    * native pivot with an explicit value list — one aggregation, no
+    * per-value scans (the reference's stats pages loop N×M queries;
+    * /root/reference/tantalus/views.py:1744-1769).
+    */
+  val q43_pivot: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Ranking-function family: dense_rank / percent_rank / cume_dist /
+    * ntile quartiles per nation by balance (deterministic tie-break on
+    * the key).
+    */
+  val q44_rank_funcs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer
+      .select(
+        col("c_custkey"),
+        col("c_nationkey"),
+        col("c_acctbal"),
+        dense_rank().over(w).cast("long").as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+  }
+
+  /** Gaps-and-islands: maximal runs of consecutive active DAYS per
+    * user (day_num − row_number is constant within an island). The
+    * whole computation is partitioned by user — no global sort.
+    */
+  val q45_islands: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val days = t.events
+      .select(col("user_id"), to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+      .distinct()
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+    days
+      .withColumn("grp", col("day_num") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        date_format(min(col("day")), "yyyy-MM-dd").as("island_start"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .select(col("user_id"), col("island_start"), col("island_end"), col("n_days"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
+  /** SCD2-style validity intervals: each event's value holds from its
+    * own timestamp until the user's next event (open-ended for the
+    * latest). One lead() pass per user partition — the reference's
+    * history tables (SURVEY §2.12 M6) as intervals instead of rows.
+    */
+  val wp03_scd2_intervals: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    t.events
+      .withColumn("tus", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("value"), col("tus").as("valid_from"))
+      .withColumn("tus", col("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_id"), col("value"), col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  // ---------- pipeline extensions ----------
+
+  /** Zipf profile of the corpus: frequency-of-frequencies of terms
+    * (how many distinct terms occur k times) — the shape statistic for
+    * vocabulary pruning and stopword-cutoff decisions.
+    */
+  val d14_zipf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.documents
+      .repartition(col("doc_id"))
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("occurrences"))
+      .groupBy(col("occurrences"))
+      .agg(count(lit(1)).as("n_terms"))
+      .orderBy(col("occurrences"))
+  }
+
+  /** Containment near-dup pairs at 0.8 — catches one-document-embeds-
+    * another duplicates that symmetric Jaccard misses.
+    */
+  val d15_containment: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    Dedup.containmentPairs(arrs, "doc_id", 0.8).orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash sketch quality diagnostic: for every LSH-verified pair,
+    * the signature-agreement estimate (matching minhashes / k) next to
+    * exact Jaccard — the operator a pipeline uses to tune k and band
+    * geometry before committing a 100 TB pass.
+    */
+  val d16_minhash_est: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val sh   = Dedup.explodeShingles(arrs, "doc_id")
+    val cand = Dedup.lshCandidates(
+      Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 16), "doc_id", 2),
+      "doc_id")
+    val pairs = Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5)
+    val sigs  = Dedup.minhashSignatureArrays(sh, "doc_id", 16)
+    pairs
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .withColumn(
+        "est_jac",
+        size(filter(zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+          .cast("double") / 16.0)
+      .select(col("id1"), col("id2"), col("jac"), col("est_jac"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** IVF ANN with data-derived coarse centroids (first 8 vectors):
+    * every corpus vector assigned to its nearest centroid once
+    * (broadcast centroids — the assignment is a map-side pass, then
+    * the per-query search is an equi-join on the cell key). nprobe=1.
+    */
+  val e04_ann_ivf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Knn.dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = e
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", Knn.dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val qs = assigned
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    qs.join(
+        assigned.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"), col("cell")),
+        Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  // ---------- approx sketches (no SQL oracle: rows-only check) ----------
+
+  /** HyperLogLog++ distinct users per event type (exact count
+    * alongside for scale-sanity reading; the sketch is mergeable, so
+    * the same plan runs partial→final at any parallelism).
+    */
+  val x01_approx_distinct: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Mergeable approximate quantiles of order value per event type. */
+  val x02_approx_quantiles: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+      .orderBy(col("event_type"), col("q_idx"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q43_pivot"           -> q43_pivot,
+    "q44_rank_funcs"      -> q44_rank_funcs,
+    "q45_islands"         -> q45_islands,
+    "wp03_scd2_intervals" -> wp03_scd2_intervals,
+    "d14_zipf"            -> d14_zipf,
+    "d15_containment"     -> d15_containment,
+    "d16_minhash_est"     -> d16_minhash_est,
+    "e04_ann_ivf"         -> e04_ann_ivf,
+    "x01_approx_distinct" -> x01_approx_distinct,
+    "x02_approx_quantiles" -> x02_approx_quantiles,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q43_pivot" ->
+      """SELECT o_orderpriority,
+        |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q44_rank_funcs" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |       percent_rank() OVER w AS prank,
+        |       cume_dist() OVER w AS cdist,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin,
+    "q45_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |d2 AS (SELECT user_id, day,
+        |              (day - DATE '1970-01-01') - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |       FROM days)
+        |SELECT user_id,
+        |       strftime(MIN(day), '%Y-%m-%d') AS island_start,
+        |       strftime(MAX(day), '%Y-%m-%d') AS island_end,
+        |       COUNT(*) AS n_days
+        |FROM d2 GROUP BY user_id, grp ORDER BY user_id, island_start""".stripMargin,
+    "wp03_scd2_intervals" ->
+      """SELECT user_id, event_id, value,
+        |       epoch_us(ts) AS valid_from,
+        |       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to,
+        |       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+        |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "d14_zipf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT term, COUNT(*) AS occurrences FROM tok GROUP BY term)
+         |SELECT occurrences, COUNT(*) AS n_terms FROM tf GROUP BY 1 ORDER BY occurrences""".stripMargin,
+    "d15_containment" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.id1, i.id2, i.inter / least(s1.n, s2.n) AS cont
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.id1
+         |JOIN sizes s2 ON s2.doc_id = i.id2
+         |WHERE i.inter / least(s1.n, s2.n) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    "d16_minhash_est" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |mh AS (SELECT doc_id, i,
+         |              MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS mh
+         |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) hi
+         |       GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 2 AS band,
+         |                 string_agg(CAST(mh AS VARCHAR), '_' ORDER BY i) AS sig
+         |          FROM mh GROUP BY doc_id, i // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT i.id1, i.id2, i.inter / (s1.n + s2.n - i.inter) AS jac
+         |          FROM inter i
+         |          JOIN sizes s1 ON s1.doc_id = i.id1
+         |          JOIN sizes s2 ON s2.doc_id = i.id2
+         |          WHERE i.inter / (s1.n + s2.n - i.inter) >= 0.5
+         |            AND EXISTS (SELECT 1 FROM cand c WHERE c.id1 = i.id1 AND c.id2 = i.id2)),
+         |agree AS (SELECT p.id1, p.id2,
+         |                 CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jac
+         |          FROM pairs p
+         |          JOIN mh a ON a.doc_id = p.id1
+         |          JOIN mh b ON b.doc_id = p.id2 AND b.i = a.i
+         |          GROUP BY p.id1, p.id2)
+         |SELECT p.id1, p.id2, p.jac, g.est_jac
+         |FROM pairs p JOIN agree g ON g.id1 = p.id1 AND g.id2 = p.id2
+         |ORDER BY p.id1, p.id2""".stripMargin,
+    "e04_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm
+        |      FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+        |          SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |                 row_number() OVER (PARTITION BY n.vec_id
+        |                   ORDER BY list_reduce(list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]), (x, y) -> x + y)
+        |                            / (n.nrm * c.cn) DESC, c.c_id) AS rn
+        |          FROM n CROSS JOIN c)
+        |        WHERE rn = 1),
+        |p AS (SELECT q.vec_id AS q_id, q.cell AS cell, t.vec_id AS n_id,
+        |             list_reduce(list_transform(list_zip(q.v, t.v), s -> s[1] * s[2]), (x, y) -> x + y)
+        |               / (q.nrm * t.nrm) AS cos
+        |      FROM asg q JOIN asg t ON q.cell = t.cell AND t.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 5)
+        |SELECT q_id, cell, n_id,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank,
+        |       cos
+        |FROM p QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+  )
+}

@@ -54,6 +54,51 @@ class DedupKnnSpec extends SparkTestBase {
         graft.functions.Hashing.hash60(lit("0:the quick brown"))).as[Long].head())
   }
 
+  test("containmentPairs finds embedded-document pairs Jaccard misses") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      // doc 2 fully contains doc 1's shingles + much more → containment 1.0,
+      // but Jaccard is only 3/10 (well under 0.5)
+      (2L, "alpha beta gamma delta epsilon one two three four five six seven"),
+      (3L, "unrelated words entirely different content"),
+    ).toDF("doc_id", "text")
+    val arrs = Dedup.shingleArrays(d, "doc_id", "text", 3)
+    val cont = Dedup.containmentPairs(arrs, "doc_id", 0.8)
+      .select("id1", "id2", "cont").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(cont.keySet == Set((1L, 2L)))
+    assert(cont((1L, 2L)) == 1.0)
+    val jac = Dedup.jaccardPairs(arrs, "doc_id", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L))) // the pair only containment catches
+  }
+
+  test("containmentPairs equals brute force on random docs (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd   = new scala.util.Random(seed)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+      val docs = (0 until 25).map(i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      def shingles(text: String): Set[String] = {
+        val t = text.trim.split("\\s+").filter(_.nonEmpty)
+        if (t.length < 3) Set.empty
+        else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+      }
+      val sets = docs.map { case (id, tx) => id -> shingles(tx) }.toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        sa = sets(a); sb = sets(b)
+        if sa.nonEmpty && sb.nonEmpty
+        cont = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+        if cont >= 0.8
+      } yield (a, b)).toSet
+      val got = Dedup
+        .containmentPairs(Dedup.shingleArrays(docs.toDF("doc_id", "text"), "doc_id", "text", 3), "doc_id", 0.8)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed: got ${got.size}, expected ${expected.size}")
+    }
+  }
+
   test("simhash: identical normalized docs get identical hashes") {
     val h = Dedup.simhash60(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
