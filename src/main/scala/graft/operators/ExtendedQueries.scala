@@ -199,6 +199,85 @@ object ExtendedQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Banded range join: for every error event, the count and value sum
+    * of same-user clicks within ±30 minutes. Equi-join on (user,
+    * time-bucket) with a 3-bucket probe — no inequality-join cross
+    * product (see Ops.bandedRangeJoin).
+    */
+  val st05_range_join: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val ev = t.events.withColumn("tus", expr("ts div 1000"))
+    val errs = ev
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("tus"))
+    val clicks = ev
+      .filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("c_tus"), col("value"))
+    Ops
+      .bandedRangeJoin(errs, clicks, Seq("user_id"), "tus", "c_tus", 1800000000L)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_nearby"), Ops.dsum(col("value")).as("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-series resample + forward fill: each user's last event value
+    * per hour, densified onto the user's own hourly grid with gaps
+    * carried forward — partitioned per user end to end.
+    */
+  val st06_resample_ffill: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val ev = t.events.select(
+      col("user_id"),
+      col("ts"),
+      col("event_id"),
+      col("value"),
+      date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"))
+    val wLast = Window.partitionBy(col("user_id"), col("hour")).orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("hour_value"))
+    val grid = hourly
+      .groupBy(col("user_id"))
+      .agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(col("user_id"), explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val wFill = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_value", last(col("hour_value"), ignoreNulls = true).over(wFill))
+      .select(col("user_id"), date_format(col("hour"), "yyyy-MM-dd HH").as("hour"), col("filled_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** Salted two-phase aggregation producing byte-identical results to
+    * the plain GROUP BY oracle — the hot-key shuffle fix proven
+    * semantics-preserving.
+    */
+  val q46_salted_agg: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Ops
+      .saltedCountSum(t.lineitem, Seq("l_returnflag"), col("l_extendedprice"), salts = 16)
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Denylist redaction (the PII-scrub shape): mask a term list with a
+    * placeholder and count replacements per document — regex masking
+    * over the corpus, the pre-training scrub pass.
+    */
+  val d17_redact: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val deny = "\\b(customer|vector|stream)\\b"
+    t.documents
+      .select(
+        col("doc_id"),
+        regexp_replace(col("text"), deny, "[MASK]").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(deny), lit(0))).cast("long").as("n_masked"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- approx sketches (no SQL oracle: rows-only check) ----------
 
   /** HyperLogLog++ distinct users per event type (exact count
@@ -234,6 +313,10 @@ object ExtendedQueries {
     "d15_containment"     -> d15_containment,
     "d16_minhash_est"     -> d16_minhash_est,
     "e04_ann_ivf"         -> e04_ann_ivf,
+    "st05_range_join"     -> st05_range_join,
+    "st06_resample_ffill" -> st06_resample_ffill,
+    "q46_salted_agg"      -> q46_salted_agg,
+    "d17_redact"          -> d17_redact,
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
   )
@@ -320,6 +403,38 @@ object ExtendedQueries {
          |SELECT p.id1, p.id2, p.jac, g.est_jac
          |FROM pairs p JOIN agree g ON g.id1 = p.id1 AND g.id2 = p.id2
          |ORDER BY p.id1, p.id2""".stripMargin,
+    "st05_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events),
+        |err AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, tus AS c_tus, value FROM e WHERE event_type = 'click')
+        |SELECT err.event_id, err.user_id, COUNT(*) AS n_nearby,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+        |FROM err JOIN clk
+        |  ON err.user_id = clk.user_id AND abs(err.tus - clk.c_tus) <= 1800000000
+        |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
+    "st06_resample_ffill" ->
+      """WITH e AS (SELECT user_id, ts, event_id, value, date_trunc('hour', ts) AS hour FROM events),
+        |hourly AS (SELECT user_id, hour, value AS hour_value FROM (
+        |             SELECT user_id, hour, value,
+        |                    row_number() OVER (PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rn
+        |             FROM e) WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+        |j AS (SELECT g.user_id, g.hour, h.hour_value
+        |      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour)
+        |SELECT user_id, strftime(hour, '%Y-%m-%d %H') AS hour,
+        |       last_value(hour_value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+        |         ROWS UNBOUNDED PRECEDING) AS filled_value
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+    "q46_salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "d17_redact" ->
+      """SELECT doc_id,
+        |       regexp_replace(text, '\b(customer|vector|stream)\b', '[MASK]', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(text, '\b(customer|vector|stream)\b', 0)) AS BIGINT) AS n_masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e04_ann_ivf" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -152,6 +152,36 @@ object Ops {
       .select(col("__lrow").as("left"), col(matchedName))
   }
 
+  /** Banded range join — the second range operator Spark lacks
+    * natively: all (left, right) pairs of the same key with
+    * |leftTime − rightTime| <= band.
+    *
+    * A naive inequality join degenerates to a per-key cross product.
+    * Banding makes it an EQUI-join: bucket both sides by
+    * floor(t / band); a qualifying pair's buckets differ by at most 1,
+    * so probing each left row against buckets {b−1, b, b+1} (a 3×
+    * left-side explode, the cheap side to inflate) plus the exact
+    * |Δt| <= band filter is complete and never materializes non-band
+    * pairs beyond the 3-bucket neighborhood. One shuffle per side on
+    * (key, bucket) — the same plan a 1000-executor cluster wants, with
+    * AQE free to pick broadcast when one side is small.
+    */
+  def bandedRangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      band: Long): DataFrame = {
+    val probe = left
+      .withColumn("__bucket", explode(array(Seq(-1, 0, 1).map(d => floor(col(leftTime) / band) + d): _*)))
+    val build = right.withColumn("__bucket", floor(col(rightTime) / band))
+    probe
+      .join(build, keyCols :+ "__bucket")
+      .filter(abs(col(leftTime) - col(rightTime)) <= band)
+      .drop("__bucket")
+  }
+
   /** Skew-resistant two-phase aggregation: salt the key, partially
     * aggregate per (key, salt), then combine. Correct for any
     * commutative-associative aggregate pair (partial, merge) — counts,

@@ -22,8 +22,11 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has an oracle (sketches exempt: no DuckDB-identical result exists)") {
+    // approx sketches (HLL, t-digest-style quantiles) are engine-specific
+    // by construction — the driver records a rows-only check for them
+    val sketchOnly = Set("x01_approx_distinct", "x02_approx_quantiles")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 }

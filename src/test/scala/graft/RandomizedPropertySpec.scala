@@ -71,6 +71,28 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("bandedRangeJoin equals brute-force |dt|<=band join (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd   = new Random(seed)
+      val lefts  = (0 until 80).map(i => (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      val rights = (0 until 80).map(i => (i.toLong + 1000, rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      val band   = 37L
+      val expected = (for {
+        (lid, lk, lt) <- lefts
+        (rid, rk, rt) <- rights
+        if lk == rk && math.abs(lt - rt) <= band
+      } yield (lid, rid)).toSet
+      val got = Ops
+        .bandedRangeJoin(
+          lefts.toDF("lid", "k", "lt"),
+          rights.toDF("rid", "k", "rt"),
+          Seq("k"), "lt", "rt", band)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"seed=$seed produced duplicate pairs")
+      assert(got.toSet == expected, s"seed=$seed: got ${got.length}, expected ${expected.size}")
+    }
+  }
+
   test("upsert: key set is union, incoming wins, no duplicates (5 seeds)") {
     for (seed <- 1 to 5) {
       val rnd      = new Random(seed)
