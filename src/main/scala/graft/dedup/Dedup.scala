@@ -368,6 +368,32 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** SimHash near-dup pairs: documents whose 60-bit simhashes differ in
+    * at most `maxDist` bits. Banded hamming-LSH blocking: split the 60
+    * bits into `maxDist + 1` bands — a pair within distance d ≤ maxDist
+    * has all d differing bits in at most d bands, so by pigeonhole some
+    * band is IDENTICAL; candidates are generated group-locally per
+    * (band index, band value) bucket and verified with the exact
+    * popcount. Complete, and never compares documents that disagree on
+    * every band — the hamming-space analogue of minhash-LSH banding.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val bands     = maxDist + 1
+    val bandWidth = 60 / bands // 60-bit hash; bands must divide evenly for full coverage
+    val h  = simhash60(docs, idCol, textCol)
+    val hb = h.withColumn("b", explode(array((0 until bands).map(lit): _*)))
+      .withColumn("bv", expr(s"shiftright(simhash, b * $bandWidth) % ${1L << bandWidth}"))
+    val cand = pairsWithinGroups(
+      hb.groupBy(col("b"), col("bv"))
+        .agg(array_sort(collect_list(col(idCol))).as("ds")))
+    cand
+      .join(h.select(col(idCol).as("id1"), col("simhash").as("h1")), "id1")
+      .join(h.select(col(idCol).as("id2"), col("simhash").as("h2")), "id2")
+      .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
   /** 60-bit SimHash per document (token-frequency weighted). Bits 0-59
     * only, keeping the value positive in a signed 64-bit long on every
     * engine. Emits one row per document that has at least one token.

@@ -164,6 +164,16 @@ object ExtendedQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** SimHash near-dup pairs within hamming distance 3 via banded
+    * hamming-LSH (4×15-bit bands, pigeonhole-complete) + exact popcount
+    * verification. The oracle brute-forces all pairs — feasible at
+    * oracle SF only; the Spark plan never leaves band-bucket blocks.
+    */
+  val d18_simhash_pairs: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup.simhashPairs(t.documents, "doc_id", "text", maxDist = 3).orderBy(col("id1"), col("id2"))
+  }
+
   /** IVF ANN with data-derived coarse centroids (first 8 vectors):
     * every corpus vector assigned to its nearest centroid once
     * (broadcast centroids — the assignment is a map-side pass, then
@@ -313,6 +323,7 @@ object ExtendedQueries {
     "d15_containment"     -> d15_containment,
     "d16_minhash_est"     -> d16_minhash_est,
     "e04_ann_ivf"         -> e04_ann_ivf,
+    "d18_simhash_pairs"   -> d18_simhash_pairs,
     "st05_range_join"     -> st05_range_join,
     "st06_resample_ffill" -> st06_resample_ffill,
     "q46_salted_agg"      -> q46_salted_agg,
@@ -403,6 +414,22 @@ object ExtendedQueries {
          |SELECT p.id1, p.id2, p.jac, g.est_jac
          |FROM pairs p JOIN agree g ON g.id1 = p.id1 AND g.id2 = p.id2
          |ORDER BY p.id1, p.id2""".stripMargin,
+    "d18_simhash_pairs" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |th AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM tok),
+         |bits AS (SELECT doc_id, j,
+         |                SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         |         FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) bj
+         |         GROUP BY doc_id, j),
+         |sh2 AS (SELECT doc_id,
+         |               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
     "st05_range_join" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS tus FROM events),
         |err AS (SELECT event_id, user_id, tus FROM e WHERE event_type = 'error'),

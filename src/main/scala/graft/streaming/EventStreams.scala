@@ -97,6 +97,33 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Stream-stream interval join: error events matched to same-user
+    * clicks within ±`band`. Both sides carry watermarks and the join
+    * condition is time-bounded in BOTH directions, so Spark can expire
+    * buffered rows once the watermark passes — the only stream-stream
+    * join shape whose state stays bounded on unbounded inputs. The
+    * batch twin is Ops.bandedRangeJoin (oracle-checked by
+    * st05_range_join).
+    */
+  def nearbyClicksStream(events: DataFrame, band: String = "30 minutes"): DataFrame = {
+    val e = withEventTime(events)
+    val errors = e
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("event_time").as("err_time"))
+      .withWatermark("err_time", "1 hour")
+    val clicks = e
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_time").as("click_time"), col("value"))
+      .withWatermark("click_time", "1 hour")
+    errors
+      .join(
+        clicks,
+        expr(
+          s"""user_id = c_user_id AND
+             |click_time BETWEEN err_time - interval $band AND err_time + interval $band""".stripMargin))
+      .select(col("err_id"), col("user_id"), col("click_time"), col("value"))
+  }
+
   /** Gap-based sessionization (30-min inactivity gap) as a batch window
     * plan: flag gap starts with lag, running-sum the flags into session
     * ids, aggregate per (user, session). The streaming twin is a

@@ -99,6 +99,28 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("simhashPairs equals brute-force hamming<=3 over random docs (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd   = new scala.util.Random(seed)
+      val vocab = Vector("k1", "k2", "k3", "k4", "k5", "k6")
+      val base  = (0 until 20).map(i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      // clones guarantee dist-0 pairs
+      val d  = base ++ base.take(2).map { case (id, tx) => (id + 100, tx) }
+      val df = d.toDF("doc_id", "text")
+      val hashes = Dedup.simhash60(df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      val expected = (for {
+        a <- hashes.keys; b <- hashes.keys if a < b
+        if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+      } yield (a, b)).toSet
+      val got = Dedup.simhashPairs(df, "doc_id", "text", 3)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed: got ${got.size}, expected ${expected.size}")
+      (0L until 2L).foreach(i => assert(got.contains((i, i + 100)), s"clone pair $i missing"))
+    }
+  }
+
   test("simhash: identical normalized docs get identical hashes") {
     val h = Dedup.simhash60(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -57,6 +57,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch banded range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val M = 60L * 1000000000L // one minute in nanos
+    val data = Seq(
+      ev(1, 10 * M, "error", 0.0),  // user 1
+      ev(3, 20 * M, "click", 5.0),  // user 0 — other user, must not match
+      ev(4, 25 * M, "click", 7.0),  // user 1, within 30 min of err 1
+      ev(7, 55 * M, "click", 9.0),  // user 1, 45 min after err 1: out of band
+      ev(9, 300 * M, "view", 0.0),  // advances both watermarks
+    )
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val sdf    = stream.toDF().toDF(cols: _*)
+    val q = EventStreams
+      .nearbyClicksStream(sdf, "30 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("nearby_out")
+      .start()
+    try {
+      stream.addData(data)
+      q.processAllAvailable()
+      val got = spark.table("nearby_out")
+        .select(col("err_id"), col("user_id"), col("value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 1L, 7.0)))
+      // batch twin over the same rows
+      val ev2   = data.toDF(cols: _*).withColumn("tus", expr("ts div 1000"))
+      val errs  = ev2.filter(col("event_type") === "error").select(col("event_id").as("err_id"), col("user_id"), col("tus"))
+      val clks  = ev2.filter(col("event_type") === "click").select(col("user_id"), col("tus").as("c_tus"), col("value"))
+      val batch = graft.operators.Ops
+        .bandedRangeJoin(errs.withColumnRenamed("user_id", "k"), clks.withColumnRenamed("user_id", "k"), Seq("k"), "tus", "c_tus", 1800000000L)
+        .select(col("err_id"), col("k").as("user_id"), col("value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val min = 60L * 1000000000L
