@@ -32,6 +32,31 @@ final case class Catalog(spark: SparkSession, tables: Map[String, DataFrame]) {
 
 object Catalog {
 
+  /** Small-files compaction: rewrite a table directory into
+    * `targetFileSizeBytes`-sized files, clustered by `sortCols` within
+    * each file so min/max row-group stats prune point and range scans.
+    * The file count derives from the table's actual bytes (not a fixed
+    * number), so the same call is right at sf0.001 and at 100 TB —
+    * compaction is the maintenance pass every long-lived ingest
+    * (streaming micro-batches, per-upload appends) needs to keep scan
+    * parallelism healthy.
+    */
+  def compact(
+      spark: SparkSession,
+      dir: String,
+      sortCols: Seq[String],
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): String = {
+    val df = spark.read.parquet(dir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / BigInt(targetFileSizeBytes)).toInt +
+      (if (bytes % BigInt(targetFileSizeBytes) > 0) 1 else 0))
+    val out = s"$dir.compacted"
+    df.repartitionByRange(nFiles, sortCols.map(df(_)): _*)
+      .sortWithinPartitions(sortCols.map(df(_)): _*)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
   /** Hot-table partition columns (mirrors the reference's hottest
     * filters: file instances by storage, datasets by type —
     * /root/reference/tantalus/api/filters.py:95,214).

@@ -34,6 +34,8 @@ object ProfileScale {
           Dedup.lshBands(Dedup.minhashSignaturesAgg(sh, "doc_id", 16), "doc_id", 2), "doc_id")
         Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5).count()
       }
+      tm(s"$tag containment")(Dedup.containmentPairs(arrs, "doc_id", 0.8).count())
+      tm(s"$tag simhashPairs")(Dedup.simhashPairs(d, "doc_id", "text", 3).count())
       arrs.unpersist()
     }
     spark.stop()

@@ -2,6 +2,7 @@ package graft
 
 import graft.model.{Catalog, Schemas}
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, expr, max, min}
 
 /** Schema round-trip — the analog of the reference's only CI guarantee
   * (migration-integrity smoke test, /root/reference/test/test_tantalus.sh).
@@ -32,6 +33,30 @@ class CatalogSpec extends SparkTestBase {
 
   test("unknown table access fails loudly") {
     intercept[NoSuchElementException] { Catalog.empty(spark)("nope") }
+  }
+
+  test("compact rewrites a fragmented table into few sorted files, content preserved") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // simulate micro-batch ingest: 40 tiny files
+    (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+      .repartition(40).write.parquet(dir)
+    assert(new java.io.File(dir).list().count(_.endsWith(".parquet")) == 40)
+    val out = Catalog.compact(spark, dir, Seq("id"))
+    val files = new java.io.File(out).list().count(_.endsWith(".parquet"))
+    assert(files < 40, s"expected compaction, got $files files")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    assert(back.select("id").as[Long].collect().toSet == (1L to 1000L).toSet)
+    // range-clustered: each file's ids are an interval disjoint from others
+    val perFile = back
+      .select(col("id"), expr("input_file_name()").as("f"))
+      .groupBy("f").agg(min("id").as("lo"), max("id").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    perFile.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2, "file ranges overlap")
+      case _                              => ()
+    }
   }
 
   test("hot tables save hive-partitioned by their dominant filter column") {
