@@ -112,6 +112,67 @@ object ExtendedQueries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** GROUPING SETS through the SQL front end — arbitrary grouping
+    * combinations in one pass (the generalization of q19/q38's
+    * rollup/cube), exercising `spark.sql` + temp views end to end.
+    */
+  val q47_grouping_sets: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** Correlated EXISTS / NOT EXISTS subqueries through the SQL front
+    * end — Catalyst decorrelates both into one semi + one anti join
+    * (customers with an open order but no finished one).
+    */
+  val q48_exists_subquery: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.createOrReplaceTempView("customer_v")
+    t.orders.createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Funnel analysis: per user, first view → first subsequent click →
+    * first subsequent purchase, with the stage reached. Three
+    * conditional-min aggregations chained by time — each stage one
+    * shuffle on user_id, no window over the whole event stream.
+    */
+  val st07_funnel: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val e  = t.events.select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("tus") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("tus") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .withColumn(
+        "stage",
+        when(col("t_purchase").isNotNull, 3L)
+          .when(col("t_click").isNotNull, 2L)
+          .otherwise(1L))
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"), col("stage"))
+      .orderBy(col("user_id"))
+  }
+
   // ---------- pipeline extensions ----------
 
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
@@ -327,6 +388,9 @@ object ExtendedQueries {
     "st05_range_join"     -> st05_range_join,
     "st06_resample_ffill" -> st06_resample_ffill,
     "q46_salted_agg"      -> q46_salted_agg,
+    "q47_grouping_sets"   -> q47_grouping_sets,
+    "q48_exists_subquery" -> q48_exists_subquery,
+    "st07_funnel"         -> st07_funnel,
     "d17_redact"          -> d17_redact,
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
@@ -457,6 +521,34 @@ object ExtendedQueries {
       """SELECT l_returnflag, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q47_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin,
+    "q48_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "st07_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT user_id, MIN(tus) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.tus) AS t_click
+        |      FROM e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND e.tus > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(e.tus) AS t_purchase
+        |      FROM e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND e.tus > c.t_click GROUP BY 1)
+        |SELECT v.user_id AS user_id, v.t_view, c.t_click, p.t_purchase,
+        |       CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+        |                 WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY user_id""".stripMargin,
     "d17_redact" ->
       """SELECT doc_id,
         |       regexp_replace(text, '\b(customer|vector|stream)\b', '[MASK]', 'g') AS redacted,
