@@ -173,7 +173,47 @@ object ExtendedQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Top-3 orders per customer via the bounded-buffer TopKAgg — same
+    * result as a row_number window (the oracle) but the shuffle carries
+    * at most k rows per (group, partition), not the whole fact table.
+    */
+  val q49_topk_group: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Ops
+      .topKPerGroup(
+        t.orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderkey")),
+        "o_custkey", "o_totalprice", "o_orderkey", 3)
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
   // ---------- pipeline extensions ----------
+
+  /** Out-of-vocabulary ratio per document against the corpus's top-20
+    * vocabulary (df-ranked, deterministic tie-break) — the quality
+    * signal pipelines use to drop gibberish before training. The vocab
+    * table is aggregated-tiny by construction, so its global rank
+    * window and the broadcast join back are both safe at any corpus
+    * size.
+    */
+  val d19_oov_ratio: Q = (s, dir) => {
+    val t   = Tables(s, dir)
+    val tok = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+    val vocab = tok
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("r", row_number().over(Window.orderBy(col("df").desc, col("term"))))
+      .filter(col("r") <= 20)
+      .select(col("term"), lit(1L).as("in_vocab"))
+    tok
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("in_vocab")), lit(0L)).as("n_in_vocab"))
+      .withColumn("oov_ratio", (col("n_tokens") - col("n_in_vocab")).cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
@@ -389,6 +429,8 @@ object ExtendedQueries {
     "st06_resample_ffill" -> st06_resample_ffill,
     "q46_salted_agg"      -> q46_salted_agg,
     "q47_grouping_sets"   -> q47_grouping_sets,
+    "q49_topk_group"      -> q49_topk_group,
+    "d19_oov_ratio"       -> d19_oov_ratio,
     "q48_exists_subquery" -> q48_exists_subquery,
     "st07_funnel"         -> st07_funnel,
     "d17_redact"          -> d17_redact,
@@ -521,6 +563,24 @@ object ExtendedQueries {
       """SELECT l_returnflag, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q49_topk_group" ->
+      """SELECT o_custkey,
+        |       CAST(row_number() OVER (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+        |       o_totalprice, o_orderkey
+        |FROM orders QUALIFY rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "d19_oov_ratio" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |vocab AS (SELECT term FROM (
+         |            SELECT term, row_number() OVER (ORDER BY COUNT(*) DESC, term) AS r
+         |            FROM tok GROUP BY term) WHERE r <= 20),
+         |j AS (SELECT tok.doc_id, CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END AS in_v
+         |      FROM tok LEFT JOIN vocab v ON v.term = tok.term)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(in_v) AS BIGINT) AS n_in_vocab,
+         |       CAST(COUNT(*) - SUM(in_v) AS DOUBLE) / COUNT(*) AS oov_ratio
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid

@@ -182,6 +182,29 @@ object Ops {
       .drop("__bucket")
   }
 
+  /** Top-k rows per group WITHOUT a window sort: typed TopKAgg keeps a
+    * bounded k-best buffer per group, pruned map-side under partial
+    * aggregation — the shuffle carries ≤ k rows per (group, partition)
+    * instead of every group row (see functions.TopKAgg). Output:
+    * (key, rank, ordCol, idCol), rank 1-based by (ordCol desc, idCol).
+    */
+  def topKPerGroup(df: DataFrame, keyCol: String, ordCol: String, idCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(ordCol).cast("double"), col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAgg(k).toColumn.name("top"))
+      .toDF(keyCol, "top")
+      .select(col(keyCol), posexplode(col("top")))
+      .select(
+        col(keyCol),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col._1").as(ordCol),
+        col("col._2").as(idCol))
+  }
+
   /** Skew-resistant two-phase aggregation: salt the key, partially
     * aggregate per (key, salt), then combine. Correct for any
     * commutative-associative aggregate pair (partial, merge) — counts,

@@ -71,6 +71,23 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("topKPerGroup equals window row_number top-k (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd  = new Random(seed)
+      val rows = (0 until 300).map(i => (rnd.nextInt(12).toLong, rnd.nextInt(40).toDouble, i.toLong))
+      val df   = rows.toDF("k", "ord", "id")
+      val expected = rows
+        .groupBy(_._1)
+        .flatMap { case (k, vs) =>
+          vs.sortBy(v => (-v._2, v._3)).take(3).zipWithIndex.map { case ((_, o, id), r) => (k, r + 1L, o, id) }
+        }
+        .toSet
+      val got = Ops.topKPerGroup(df, "k", "ord", "id", 3)
+        .as[(Long, Long, Double, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("bandedRangeJoin equals brute-force |dt|<=band join (3 seeds)") {
     for (seed <- 1 to 3) {
       val rnd   = new Random(seed)
