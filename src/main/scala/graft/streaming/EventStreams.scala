@@ -97,6 +97,18 @@ object EventStreams {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension. Stateless — the dim is (re)resolved per micro-batch and
+    * broadcast, so dim updates between batches are picked up and no
+    * watermark or join state is needed. The 100 TB shape for "attach
+    * catalog metadata to a firehose".
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, eventKey: String, dimKey: String): DataFrame =
+    withEventTime(events).join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey),
+      "left")
+
   /** Stream-stream interval join: error events matched to same-user
     * clicks within ±`band`. Both sides carry watermarks and the join
     * condition is time-bounded in BOTH directions, so Spark can expire

@@ -1,0 +1,78 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.operators.Ops
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: empty tables, single rows, all-identical
+  * corpora, undersized groups. Every operator must return the
+  * mathematically right (often empty) result, never throw — at 100 TB
+  * a partition-level retry will eventually feed something degenerate
+  * to every operator.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docCols = Seq("doc_id", "text")
+
+  test("empty corpus flows through the whole near-dup pipeline") {
+    val empty = Seq.empty[(Long, String)].toDF(docCols: _*)
+    val arrs  = Dedup.shingleArrays(empty, "doc_id", "text", 3)
+    assert(Dedup.jaccardPairs(arrs, "doc_id", 0.5).isEmpty)
+    assert(Dedup.containmentPairs(arrs, "doc_id", 0.8).isEmpty)
+    assert(Dedup.minhashLshPairs(empty, "doc_id", "text").isEmpty)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text", 3).isEmpty)
+    assert(Dedup.exactDedup(empty, "doc_id", "text").isEmpty)
+    assert(Dedup.dedupComponents(Seq.empty[(Long, Long)].toDF("id1", "id2")).isEmpty)
+  }
+
+  test("single document produces no pairs but survives every operator") {
+    val one  = Seq((1L, "alpha beta gamma delta")).toDF(docCols: _*)
+    val arrs = Dedup.shingleArrays(one, "doc_id", "text", 3)
+    assert(Dedup.jaccardPairs(arrs, "doc_id", 0.5).isEmpty)
+    assert(Dedup.simhashPairs(one, "doc_id", "text", 3).isEmpty)
+    assert(Dedup.exactDedup(one, "doc_id", "text").count() == 1)
+  }
+
+  test("all-identical corpus: every pair found, one component, one keeper") {
+    val n    = 6
+    val docs = (1 to n).map(i => (i.toLong, "same exact text for everyone here")).toDF(docCols: _*)
+    val arrs = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    val pairs = Dedup.jaccardPairs(arrs, "doc_id", 0.5)
+    assert(pairs.count() == n * (n - 1) / 2)
+    assert(pairs.agg(min(col("jac"))).as[Double].head() == 1.0)
+    val comp = Dedup.dedupComponents(pairs)
+    assert(comp.filter(col("is_representative")).count() == 1)
+    assert(Dedup.dropNearDuplicates(docs, "doc_id", pairs).count() == 1)
+  }
+
+  test("documents shorter than the shingle width vanish from the index, keep fingerprint row") {
+    val docs = Seq((1L, "two words"), (2L, "a much longer document with many words")).toDF(docCols: _*)
+    val arrs = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    // doc 1 has an empty shingle set: no pairs, no index rows
+    assert(Dedup.explodeShingles(arrs, "doc_id").filter(col("doc_id") === 1).isEmpty)
+    assert(Dedup.jaccardPairs(arrs, "doc_id", 0.5).isEmpty)
+  }
+
+  test("bandedRangeJoin with an empty side returns empty, not error") {
+    val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "lt")
+    val r = Seq.empty[(Long, Long, Long)].toDF("rid", "k", "rt")
+    assert(Ops.bandedRangeJoin(l, r, Seq("k"), "lt", "rt", 10L).isEmpty)
+    assert(Ops.bandedRangeJoin(r.toDF("lid", "k", "lt"), l.toDF("rid", "k", "rt"), Seq("k"), "lt", "rt", 10L).isEmpty)
+  }
+
+  test("topKPerGroup with k larger than any group returns whole groups ranked") {
+    val df  = Seq((1L, 5.0, 10L), (1L, 7.0, 11L), (2L, 1.0, 20L)).toDF("k", "ord", "id")
+    val got = Ops.topKPerGroup(df, "k", "ord", "id", 100)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 7.0, 11L), (1L, 2L, 5.0, 10L), (2L, 1L, 1.0, 20L)))
+  }
+
+  test("asofJoin with no prior right rows keeps null matches") {
+    val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "lt")
+    val r = Seq((9L, 1L, 200L)).toDF("rid", "k", "rt") // only AFTER the left row
+    val got = Ops.asofJoin(l, r, Seq("k"), "lt", "rt")
+    assert(got.count() == 1)
+    assert(got.filter(col("matched").isNull).count() == 1)
+  }
+}

@@ -95,6 +95,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the broadcast dim per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim    = Seq((0L, "bronze"), (1L, "gold")).toDF("cust_id", "tier")
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = EventStreams
+      .enrichStream(stream.toDF().toDF(cols: _*), dim, "user_id", "cust_id")
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out").start()
+    try {
+      stream.addData(Seq(ev(1, 1000L, "click", 1.0), ev(2, 2000L, "view", 2.0), ev(3, 3000L, "view", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").as[(Long, Long, String)].collect().toSet
+      // ev ids 1,2,3 → user_id = id % 3 = 1, 2, 0
+      assert(got == Set((1L, 1L, "gold"), (2L, 2L, null), (3L, 0L, "bronze")))
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes sessions on gap and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
     val min = 60L * 1000000000L
