@@ -173,9 +173,12 @@ object Ops {
       leftTime: String,
       rightTime: String,
       band: Long): DataFrame = {
+    // exact long floor-division (pmod is non-negative): no double
+    // rounding near bucket boundaries at epoch-micro magnitudes
+    def bucket(t: String) = expr(s"($t - pmod($t, ${band}L)) div ${band}L")
     val probe = left
-      .withColumn("__bucket", explode(array(Seq(-1, 0, 1).map(d => floor(col(leftTime) / band) + d): _*)))
-    val build = right.withColumn("__bucket", floor(col(rightTime) / band))
+      .withColumn("__bucket", explode(array(Seq(-1, 0, 1).map(d => bucket(leftTime) + d): _*)))
+    val build = right.withColumn("__bucket", bucket(rightTime))
     probe
       .join(build, keyCols :+ "__bucket")
       .filter(abs(col(leftTime) - col(rightTime)) <= band)

@@ -53,6 +53,8 @@ object SemiJoinRewrite extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SemiJoinRewrite)
+    e.injectOptimizerRule(_ => RangeJoinBanding)
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.SemiJoinRewrite
+import graft.plans.{RangeJoinBanding, SemiJoinRewrite}
 import org.apache.spark.sql.catalyst.plans.LeftSemi
 import org.apache.spark.sql.catalyst.plans.logical.Join
 import org.apache.spark.sql.functions._
@@ -42,6 +42,61 @@ class PlanRulesSpec extends SparkTestBase {
       }
       assert(semiJoins.isEmpty)
       assert(q.as[(Long, String)].collect().toSeq == Seq((1L, "y")))
+    }
+  }
+
+  private def withBanding[A](f: => A): A = {
+    spark.experimental.extraOptimizations = Seq(RangeJoinBanding)
+    try f
+    finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("range join with equi key gets banded: same rows, no cross product") {
+    withBanding {
+      val rnd = new scala.util.Random(7)
+      val l = (0 until 120).map(i => (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong)).toDF("lid", "lk", "lt")
+      val r = (0 until 120).map(i => (i.toLong + 1000, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong)).toDF("rid", "rk", "rt")
+      val q = l.join(r, $"lk" === $"rk" && abs($"lt" - $"rt") <= 37L)
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("__graft_lb"), s"banding did not fire:\n$phys")
+      val got = q.select($"lid", $"rid").as[(Long, Long)].collect()
+      val lr = l.as[(Long, Long, Long)].collect(); val rr = r.as[(Long, Long, Long)].collect()
+      val expected = for {
+        (lid, lk, lt) <- lr; (rid, rk, rt) <- rr
+        if lk == rk && math.abs(lt - rt) <= 37
+      } yield (lid, rid)
+      assert(got.length == got.toSet.size, "duplicate pairs from banding")
+      assert(got.toSet == expected.toSet)
+    }
+  }
+
+  test("pure inequality join (no equi key) escapes the nested loop") {
+    withBanding {
+      val l = (0 until 60).map(i => (i.toLong, i.toLong * 7 % 300)).toDF("lid", "lt")
+      val r = (0 until 60).map(i => (i.toLong + 500, i.toLong * 11 % 300)).toDF("rid", "rt")
+      val q = l.join(r, abs($"lt" - $"rt") <= 5L)
+      val phys = q.queryExecution.executedPlan.toString
+      assert(phys.contains("__graft_lb"), s"banding did not fire:\n$phys")
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"still a nested loop:\n$phys")
+      val got = q.select($"lid", $"rid").as[(Long, Long)].collect()
+      val expected = for {
+        (lid, lt) <- l.as[(Long, Long)].collect(); (rid, rt) <- r.as[(Long, Long)].collect()
+        if math.abs(lt - rt) <= 5
+      } yield (lid, rid)
+      assert(got.toSet == expected.toSet && got.length == expected.length)
+    }
+  }
+
+  test("banding leaves plain equi joins and non-band inequalities alone") {
+    withBanding {
+      val l = Seq((1L, 10L)).toDF("lid", "lt")
+      val r = Seq((2L, 12L)).toDF("rid", "rt")
+      val equi = l.join(r, $"lt" === $"rt")
+      assert(!equi.queryExecution.executedPlan.toString.contains("__graft_lb"))
+      val lessThan = l.join(r, $"lt" < $"rt") // one-sided: not a band
+      assert(!lessThan.queryExecution.executedPlan.toString.contains("__graft_lb"))
+      assert(lessThan.count() == 1)
     }
   }
 
