@@ -389,6 +389,25 @@ object ExtendedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Multimodal frame sampling through the oracle: 4 evenly-spaced
+    * 8-byte frames sliced from each binary payload, hex-encoded for
+    * comparison. Spark slices the real binary column
+    * (Multimodal.frameSample); the oracle slices the source text and
+    * encodes — equal because the corpus payload is its UTF-8 bytes.
+    */
+  val mm02_frame_sample: Q = (s, dir) => {
+    val t     = Tables(s, dir)
+    val media = graft.multimodal.Multimodal.toMediaTable(t.documents, "doc_id", "text")
+    graft.multimodal.Multimodal
+      .frameSample(media, frameBytes = 8, nFrames = 4)
+      .select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      .select(
+        col("media_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   // ---------- approx sketches (no SQL oracle: rows-only check) ----------
 
   /** HyperLogLog++ distinct users per event type (exact count
@@ -434,6 +453,7 @@ object ExtendedQueries {
     "q48_exists_subquery" -> q48_exists_subquery,
     "st07_funnel"         -> st07_funnel,
     "d17_redact"          -> d17_redact,
+    "mm02_frame_sample"   -> mm02_frame_sample,
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
   )
@@ -581,6 +601,16 @@ object ExtendedQueries {
          |       CAST(SUM(in_v) AS BIGINT) AS n_in_vocab,
          |       CAST(COUNT(*) - SUM(in_v) AS DOUBLE) / COUNT(*) AS oov_ratio
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mm02_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, text,
+        |                  octet_length(encode(text)) AS n_bytes FROM documents),
+        |f AS (SELECT media_id, i AS frame_idx,
+        |             substring(text,
+        |                       CAST(floor(i * greatest(n_bytes - 8, 1) / 4 + 1) AS INT),
+        |                       8) AS frame
+        |      FROM m CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) gi)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx, hex(encode(frame)) AS frame_hex
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
     "q47_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
