@@ -16,8 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** 60-bit positive content hash of a string column. */
+  /** 60-bit positive content hash of a string column — the native
+    * codegen'd expression (VectorExpressions.hash60), value-identical
+    * to the composed form below (spec-checked both ways).
+    */
   def hash60(c: Column): Column =
+    VectorExpressions.hash60(c)
+
+  /** The composable-built-ins twin (md5 → hex substring → base-16
+    * parse): kept as the reference semantics the native expression and
+    * every engine's oracle must match.
+    */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Seeded variant: independent hash family member i (MinHash). */

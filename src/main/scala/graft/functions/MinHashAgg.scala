@@ -52,10 +52,14 @@ object MinHashAgg {
   }
 
   /** JVM-native twin of `Hashing.hash60` (top 60 bits of md5). */
-  def hash60(s: String): Long = {
+  def hash60(s: String): Long =
+    hash60Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Same, over raw UTF-8 bytes (codegen entry point: UTF8String.getBytes). */
+  def hash60Bytes(utf8: Array[Byte]): Long = {
     val d = digest.get()
     d.reset()
-    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = d.digest(utf8)
     // first 8 bytes big-endian, dropped low nibble == first 15 hex chars
     var x = 0L
     var i = 0

@@ -55,9 +55,37 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native 60-bit md5 content hash (see Hashing.hash60): identical
+  * value to `conv(substring(md5(c),1,15),16,10)` — proven by spec
+  * against the column form and the DuckDB oracle — but computed as
+  * digest → first-8-bytes fold, skipping the hex-string render,
+  * substring alloc, and base-16 re-parse that the composed form pays
+  * per row. In the dedup pipelines this runs per (shingle × hash-family
+  * member): the hottest scalar in the engine.
+  */
+case class Hash60Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hash60"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashAgg.hash60Bytes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashAgg.hash60Bytes($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
 
   /** Codegen'd sequential dot product of two array<double> columns. */
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProductExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd 60-bit md5 hash of a string column. */
+  def hash60(c: Column): Column =
+    Bridge.column(Hash60Expr(Bridge.expression(c)))
 }

@@ -48,10 +48,26 @@ class DedupKnnSpec extends SparkTestBase {
     val b = Dedup.minhashSignaturesAgg(sh, "doc_id", 16)
       .as[(Long, Int, Long)].collect().toSet
     assert(a == b)
-    // JVM hash60 twin matches the Column md5/conv form
+    // JVM hash60 twin matches the COMPOSED Column md5/conv form
     assert(graft.functions.MinHashAgg.hash60("0:the quick brown") ==
       spark.range(1).select(
-        graft.functions.Hashing.hash60(lit("0:the quick brown"))).as[Long].head())
+        graft.functions.Hashing.hash60Composed(lit("0:the quick brown"))).as[Long].head())
+  }
+
+  test("native Hash60Expr is value-identical to the composed md5 form") {
+    val rnd = new scala.util.Random(11)
+    val samples = Seq("", "a", "0:x", "ünïcødé ✓ 中文", "  spaces  ") ++
+      (0 until 200).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString)
+    val df = samples.toDF("s")
+    val mismatches = df.select(
+      graft.functions.Hashing.hash60(col("s")).as("native"),
+      graft.functions.Hashing.hash60Composed(col("s")).as("composed"))
+      .filter(col("native") =!= col("composed"))
+    assert(mismatches.isEmpty)
+    // null in, null out
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.Hashing.hash60(col("s")).as("h"))
+    assert(nulls.filter(col("h").isNotNull).isEmpty)
   }
 
   test("containmentPairs finds embedded-document pairs Jaccard misses") {
