@@ -323,6 +323,36 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
+  /** Sign-LSH blocked embedding near-dup: candidates are pairs sharing
+    * the sign-bit cell of their first `bits` dimensions (2^bits
+    * blocks), verified with the exact cosine. The scale path for
+    * `embeddingNearDupPairs`: an equi-join on the cell key instead of
+    * the all-pairs cross product, so the corpus can be pre-partitioned
+    * by cell. Recall is bounded to same-cell pairs — high-cosine pairs
+    * agree on leading signs with high probability; raise `bits` for
+    * tighter blocks or probe neighbor cells (Knn.multiProbeTopK) for
+    * recall.
+    */
+  def embeddingNearDupLsh(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 3): DataFrame = {
+    import graft.similarity.Knn
+    val e = emb
+      .select(col(idCol).as("id"), Knn.asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(Knn.dot(col("v"), col("v"))))
+      .withColumn("cell", Knn.signCell(col("v"), bits))
+    val a = e.select(col("cell"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("cell"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", Knn.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Connected components over near-dup pairs: every document labeled
     * with its component's smallest id. Iterative min-label propagation —
     * O(component diameter) rounds of one equi-join each; near-dup

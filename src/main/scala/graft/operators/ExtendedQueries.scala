@@ -389,6 +389,49 @@ object ExtendedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Embedding near-dup via sign-LSH blocking — the scale path of d09:
+    * an equi-join on the sign cell instead of the all-pairs cross
+    * product, exactly verified within blocks.
+    */
+  val e05_embed_neardup_lsh: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    Dedup
+      .embeddingNearDupLsh(t.embeddings, "vec_id", "embedding", 0.45, bits = 3)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** NOT IN subquery — the null-aware anti join (distinct physical
+    * operator from plain LeftAnti: must keep three-valued-logic
+    * semantics if the subquery could produce nulls).
+    */
+  val q50_not_in: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.customer.createOrReplaceTempView("customer_v")
+    t.orders.createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Value-based RANGE window frame: each event's rolling 1-hour sum
+    * and count per user — frame bounds in event-time units, not row
+    * counts (q40's rowsBetween twin).
+    */
+  val q51_range_frame: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("tus"))
+      .rangeBetween(-3600000000L, 0)
+    t.events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(Ops.dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("tus"), col("n_1h"), col("sum_1h"))
+      .orderBy(col("user_id"), col("tus"), col("event_id"))
+  }
+
   /** Multimodal frame sampling through the oracle: 4 evenly-spaced
     * 8-byte frames sliced from each binary payload, hex-encoded for
     * comparison. Spark slices the real binary column
@@ -454,6 +497,9 @@ object ExtendedQueries {
     "st07_funnel"         -> st07_funnel,
     "d17_redact"          -> d17_redact,
     "mm02_frame_sample"   -> mm02_frame_sample,
+    "e05_embed_neardup_lsh" -> e05_embed_neardup_lsh,
+    "q50_not_in"          -> q50_not_in,
+    "q51_range_frame"     -> q51_range_frame,
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
   )
@@ -601,6 +647,32 @@ object ExtendedQueries {
          |       CAST(SUM(in_v) AS BIGINT) AS n_in_vocab,
          |       CAST(COUNT(*) - SUM(in_v) AS DOUBLE) / COUNT(*) AS oov_ratio
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e05_embed_neardup_lsh" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm,
+        |             CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+        |                + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+        |                + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell
+        |      FROM e),
+        |p AS (SELECT a.vec_id AS id1, c.vec_id AS id2,
+        |             list_reduce(list_transform(list_zip(a.v, c.v), s -> s[1] * s[2]), (x, y) -> x + y)
+        |               / (a.nrm * c.nrm) AS cos
+        |      FROM b a JOIN b c ON a.cell = c.cell AND a.vec_id < c.vec_id)
+        |SELECT id1, id2, cos FROM p WHERE cos >= 0.45 ORDER BY id1, id2""".stripMargin,
+    "q50_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q51_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |       COUNT(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, tus, event_id""".stripMargin,
     "mm02_frame_sample" ->
       """WITH m AS (SELECT doc_id AS media_id, text,
         |                  octet_length(encode(text)) AS n_bytes FROM documents),
