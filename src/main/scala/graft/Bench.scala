@@ -54,7 +54,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","queries":$qs}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","queries":$qs}"""
+    println(line)
+    // belt-and-braces: the driver captures a bounded log tail, which
+    // truncated this line in round 1 — persist the same JSON as a file
+    // artifact too
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
