@@ -215,6 +215,22 @@ object ExtendedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment by content hash (90/5/5):
+    * reproducible across runs, partitionings, engines, and retries —
+    * and stable under corpus growth (a document's split never changes
+    * when other documents arrive), which random splitting cannot give.
+    */
+  val d20_split: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val slot = graft.functions.Hashing.hash60(col("text")) % 100
+    val split = when(slot < 90, "train").when(slot < 95, "val").otherwise("test")
+    t.documents
+      .select(col("doc_id"), col("lang"), split.as("split"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
     * vocabulary pruning and stopword-cutoff decisions.
@@ -493,6 +509,7 @@ object ExtendedQueries {
     "q47_grouping_sets"   -> q47_grouping_sets,
     "q49_topk_group"      -> q49_topk_group,
     "d19_oov_ratio"       -> d19_oov_ratio,
+    "d20_split"           -> d20_split,
     "q48_exists_subquery" -> q48_exists_subquery,
     "st07_funnel"         -> st07_funnel,
     "d17_redact"          -> d17_redact,
@@ -635,6 +652,16 @@ object ExtendedQueries {
         |              ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
         |       o_totalprice, o_orderkey
         |FROM orders QUALIFY rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "d20_split" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |                  (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100) AS slot
+        |           FROM documents),
+        |a AS (SELECT doc_id, lang,
+        |             CASE WHEN slot < 90 THEN 'train'
+        |                  WHEN slot < 95 THEN 'val' ELSE 'test' END AS split
+        |      FROM h)
+        |SELECT split, lang, COUNT(*) AS n_docs
+        |FROM a GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "d19_oov_ratio" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Determinism and partitioning-invariance: the engine's correctness
+  * story at cluster scale rests on results NOT depending on physical
+  * execution — partition counts, task interleaving, retries. These
+  * specs pin that: representative queries (decimal money aggregation,
+  * window ranking, near-dup pairs, hash sampling) produce identical
+  * row multisets under different shuffle partitioning and across
+  * repeated runs.
+  */
+class InvarianceSpec extends SparkTestBase {
+
+  /** Canonical fingerprint of a result: sorted rows as strings. */
+  private def fingerprint(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private val names = Seq(
+    "q14_sum_coalesce",   // decimal-exact money sums
+    "q22_latest_per_key", // window ranking
+    "q37_percentiles",    // exact percentiles
+    "d02_ngram_jaccard",  // near-dup pipeline (floats + joins)
+    "d13_hash_sample",    // hash-deterministic sampling
+    "q49_topk_group",     // bounded-buffer aggregator
+  )
+
+  for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
+    val fn    = SparkEntry.queries(name)
+    val base  = fingerprint(fn(spark, sfDir))
+    val again = fingerprint(fn(spark, sfDir))
+    assert(base == again, s"$name not deterministic across runs")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val repartitioned = fingerprint(fn(spark, sfDir))
+      assert(base == repartitioned, s"$name changed under different shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("decimal money sum is partition-count invariant on a skewed frame") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => ("k", i / 100.0)).toDF("k", "v")
+    def total(parts: Int): Double =
+      df.repartition(parts)
+        .groupBy(col("k"))
+        .agg(operators.Ops.dsum(col("v")).as("s"))
+        .select("s").as[Double].head()
+    val t8 = total(8)
+    assert(Seq(1, 3, 32).forall(p => total(p) == t8))
+  }
+}
