@@ -110,19 +110,12 @@ object Dedup {
   private def pairsWithinGroups(grouped: DataFrame): DataFrame =
     grouped
       .filter(size(col("ds")) >= 2)
-      .select(
-        explode(
-          flatten(
-            transform(
-              sequence(lit(0), size(col("ds")) - 2),
-              i =>
-                transform(
-                  sequence(i + 1, size(col("ds")) - 1),
-                  j =>
-                    struct(
-                      element_at(col("ds"), i + 1).as("id1"),
-                      element_at(col("ds"), j + 1).as("id2")))))).as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      // two-level explode: anchor each member, then pair it with the
+      // array tail after it — peak row size stays O(g) where the
+      // single-row nested-transform form materialized the whole g²/2
+      // pair array at once (OOM on hot blocking keys)
+      .select(posexplode(col("ds")).as(Seq("i", "id1")), col("ds"))
+      .select(col("id1"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("id2"))
       .distinct()
 
   /** Prefix-filtered candidate pairs (complete for jaccard >= t), with
@@ -407,28 +400,96 @@ object Dedup {
     * popcount. Complete, and never compares documents that disagree on
     * every band — the hamming-space analogue of minhash-LSH banding.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val h      = simhash60(docs, idCol, textCol)
+    val groups = h
+      .groupBy(col("simhash"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+    val hashPairs = simhashHashPairs(groups.select(col("simhash")), maxDist)
+    // dist-0 doc pairs: all pairs within each identical-hash group
+    val within = pairsWithinGroups(groups.select(col("ids").as("ds")))
+      .withColumn("dist", lit(0L))
+    // cross-hash doc pairs: every doc of h1 × every doc of h2
+    val cross = hashPairs
+      .join(groups.select(col("simhash").as("h1"), col("ids").as("ids1")), "h1")
+      .join(groups.select(col("simhash").as("h2"), col("ids").as("ids2")), "h2")
+      .select(explode(col("ids1")).as("a"), col("ids2"), col("dist"))
+      .select(col("a"), explode(col("ids2")).as("bb"), col("dist"))
+      .select(least(col("a"), col("bb")).as("id1"), greatest(col("a"), col("bb")).as("id2"), col("dist"))
+    within.unionByName(cross)
+  }
+
+  /** Banded hamming-LSH over DISTINCT simhash values: pairs of hashes
+    * (h1 < h2) within `maxDist`. Running the band join on distinct
+    * sketches — not documents — is what survives low-entropy corpora,
+    * where thousands of documents legitimately share one sketch: the
+    * band index scales with |distinct hashes| and identical-hash
+    * groups never enter it at all.
+    */
+  def simhashHashPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
     val bands     = maxDist + 1
-    val bandWidth = 60 / bands // 60-bit hash; bands must divide evenly for full coverage
-    val h  = simhash60(docs, idCol, textCol)
-    val hb = h.withColumn("b", explode(array((0 until bands).map(lit): _*)))
+    val bandWidth = 60 / bands
+    val hb = hashes.withColumn("b", explode(array((0 until bands).map(lit): _*)))
       .withColumn("bv", expr(s"shiftright(simhash, b * $bandWidth) % ${1L << bandWidth}"))
-    val cand = pairsWithinGroups(
+    pairsWithinGroups(
       hb.groupBy(col("b"), col("bv"))
-        .agg(array_sort(collect_list(col(idCol))).as("ds")))
-    cand
-      .join(h.select(col(idCol).as("id1"), col("simhash").as("h1")), "id1")
-      .join(h.select(col(idCol).as("id2"), col("simhash").as("h2")), "id2")
+        .agg(array_sort(collect_list(col("simhash"))).as("ds")))
+      .select(col("id1").as("h1"), col("id2").as("h2"))
       .withColumn("dist", bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
-      .filter(col("dist") <= maxDist)
-      .select(col("id1"), col("id2"), col("dist"))
+      .filter(col("dist") <= maxDist && col("dist") > 0)
+  }
+
+  /** Near-dup clustering by sketch, never enumerating within-group
+    * pairs: connected components over the DISTINCT-hash graph
+    * (edges = hash pairs within maxDist), then every document labeled
+    * through its hash — the 100 TB form of simhash dedup, whose cost
+    * scales with distinct sketches + cross-hash edges, not with the
+    * (quadratic) duplicate-pair count.
+    */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val h     = simhash60(docs, idCol, textCol)
+    val edges = simhashHashPairs(h.select(col("simhash")).distinct(), maxDist)
+      .select(col("h1").as("id1"), col("h2").as("id2"))
+    val comp = dedupComponents(edges)
+      .select(col("id").as("simhash"), col("component").as("hash_component"))
+    h.join(comp, Seq("simhash"), "left")
+      .withColumn("cluster", coalesce(col("hash_component"), col("simhash")))
+      .select(col(idCol), col("simhash"), col("cluster"))
   }
 
   /** 60-bit SimHash per document (token-frequency weighted). Bits 0-59
     * only, keeping the value positive in a signed 64-bit long on every
     * engine. Emits one row per document that has at least one token.
+    *
+    * Sketch-aggregator execution (functions.SimHashAgg): each token
+    * folds once into a 60-counter buffer, so map-side work is linear in
+    * tokens and the shuffle carries one buffer per doc — the composed
+    * 60×-bit-explode form (`simhash60Composed`, identical output) blew
+    * up 60 rows per token before partial aggregation, measured
+    * dominant at the 100 k-doc scale probe.
     */
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .repartition(col(idCol)) // spread single-split corpora before the explode
+      .select(col(idCol).cast("long"), explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.SimHashAgg().toColumn.name("simhash"))
+      .toDF(idCol, "simhash")
+  }
+
+  /** Composable-built-ins twin of `simhash60` (reference semantics):
+    * explode tokens × 60 bit positions, sum ±1 per (doc, bit), fold
+    * bits. Kept as the oracle-shaped form the aggregator must match.
+    */
+  def simhash60Composed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs
       .repartition(col(idCol)) // parallelize the 60x bit explode (see shingleSet)
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("w"))

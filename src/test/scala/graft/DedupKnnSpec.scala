@@ -134,7 +134,26 @@ class DedupKnnSpec extends SparkTestBase {
         .select("id1", "id2").as[(Long, Long)].collect().toSet
       assert(got == expected, s"seed=$seed: got ${got.size}, expected ${expected.size}")
       (0L until 2L).foreach(i => assert(got.contains((i, i + 100)), s"clone pair $i missing"))
+      // the group-level clustering path must agree: two docs share a
+      // cluster iff they are connected through dist<=3 hash edges; in
+      // particular every brute-force pair is same-cluster
+      val clusters = Dedup.simhashClusters(df, "doc_id", "text", 3)
+        .select("doc_id", "cluster").as[(Long, Long)].collect().toMap
+      expected.foreach { case (a, b) =>
+        assert(clusters(a) == clusters(b), s"seed=$seed: pair ($a,$b) split across clusters")
+      }
     }
+  }
+
+  test("SimHashAgg form identical to the composed 60x-explode form") {
+    val rnd   = new scala.util.Random(5)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val d = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val agg = Dedup.simhash60(d, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val cmp = Dedup.simhash60Composed(d, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(agg == cmp)
   }
 
   test("simhash: identical normalized docs get identical hashes") {
