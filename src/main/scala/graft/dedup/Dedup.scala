@@ -57,6 +57,15 @@ object Dedup {
     * row per doc. The exploded inverted index (`shingleSet`) and the
     * verification sets both derive from this without any shuffle, so a
     * pipeline that persists ONE thing persists this.
+    *
+    * Shingles are stored as their 60-bit content hash (`Hashing.hash60`,
+    * md5-portable), not as strings: every downstream shuffle (inverted
+    * index, candidate pairs, verification arrays) carries 8-byte longs
+    * instead of ~60-byte n-gram strings, and set intersection compares
+    * longs — measured ~2-3× on the whole near-dup family, and the only
+    * sane representation at 100 TB. Oracles hash identically, so a
+    * (astronomically unlikely, deterministic) collision affects both
+    * engines the same way.
     */
   def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs
@@ -66,7 +75,8 @@ object Dedup {
       // otherwise run on a single core
       .repartition(col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
-      .select(col(idCol), array_sort(array_distinct(TextAnalysis.shinglesFromTokens(col("t"), n))).as("set"))
+      .select(col(idCol), array_sort(array_distinct(
+        transform(TextAnalysis.shinglesFromTokens(col("t"), n), s => Hashing.hash60(s)))).as("set"))
       .withColumn("n", size(col("set")).cast("long"))
 
   /** Distinct word-n-gram shingle set, exploded to (id, shingle) rows —
@@ -144,22 +154,14 @@ object Dedup {
     val frac = threshold / (1.0 + threshold)
     grouped
       .filter(size(col("ds")) >= 2)
-      .select(
-        explode(
-          flatten(
-            transform(
-              sequence(lit(0), size(col("ds")) - 2),
-              i =>
-                transform(
-                  sequence(i + 1, size(col("ds")) - 1),
-                  j => struct(
-                    element_at(col("ds"), i + 1).as("a"),
-                    element_at(col("ds"), j + 1).as("b")))))).as("p"))
+      // two-level explode (see pairsWithinGroups): peak row size O(g)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("b"))
       .filter(
         lit(1) + least(
-          col("p.a.n") - col("p.a.rnk"),
-          col("p.b.n") - col("p.b.rnk")) >= ceil((col("p.a.n") + col("p.b.n")) * frac))
-      .select(col("p.a.id").as("id1"), col("p.b.id").as("id2"))
+          col("a.n") - col("a.rnk"),
+          col("b.n") - col("b.rnk")) >= ceil((col("a.n") + col("b.n")) * frac))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
   }
 
@@ -236,7 +238,7 @@ object Dedup {
     */
   def minhashSignatures(sh: DataFrame, idCol: String, k: Int): DataFrame =
     sh.withColumn("i", explode(array((0 until k).map(lit): _*)))
-      .withColumn("h", Hashing.hash60(concat(col("i").cast("string"), lit(":"), col("s"))))
+      .withColumn("h", Hashing.hash60(concat(col("i").cast("string"), lit(":"), col("s").cast("string"))))
       .groupBy(col(idCol), col("i"))
       .agg(min(col("h")).as("mh"))
 
@@ -249,7 +251,7 @@ object Dedup {
     val spark = sh.sparkSession
     import spark.implicits._
     sh.select(col(idCol).cast("long"), col("s"))
-      .as[(Long, String)]
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(new graft.functions.MinHashAgg(k).toColumn.name("sig"))

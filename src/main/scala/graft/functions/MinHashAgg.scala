@@ -12,20 +12,23 @@ import org.apache.spark.sql.expressions.Aggregator
   * buffer per group instead: rows shuffled = docs, not docs × k ×
   * shingles; partial aggregation merges buffers map-side.
   *
-  * Hash family member i over shingle s is EXACTLY `Hashing.hash60` of
-  * "i:s" (top 60 bits of md5), computed here natively (MessageDigest +
-  * big-endian first-8-bytes >>> 4 ≡ first 15 hex chars as an unsigned
-  * value), so signatures are interchangeable with the column form and
-  * with the DuckDB oracle.
+  * Hash family member i over a (pre-hashed, `Dedup.shingleArrays`)
+  * shingle value s is EXACTLY `Hashing.hash60` of "i:s" with s printed
+  * in decimal — top 60 bits of md5, computed here natively
+  * (MessageDigest + big-endian first-8-bytes >>> 4 ≡ first 15 hex
+  * chars as an unsigned value) — so signatures are interchangeable
+  * with the column form (`CAST(s AS STRING)`) and the DuckDB oracle
+  * (`CAST(s AS VARCHAR)`).
   */
-class MinHashAgg(k: Int) extends Aggregator[String, Array[Long], Array[Long]] {
+class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
-  override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
-    var i = 0
+  override def reduce(buf: Array[Long], shingle: Long): Array[Long] = {
+    val dec = java.lang.Long.toString(shingle)
+    var i   = 0
     while (i < k) {
-      val h = MinHashAgg.hash60(i + ":" + shingle)
+      val h = MinHashAgg.hash60(i + ":" + dec)
       if (h < buf(i)) buf(i) = h
       i += 1
     }

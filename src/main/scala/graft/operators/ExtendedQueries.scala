@@ -23,13 +23,15 @@ object ExtendedQueries {
       |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  // shingles carried as their 60-bit md5 hash — must match
+  // Dedup.shingleArrays / PipelineQueries.shCte
   private val shCte =
     """sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
+      |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
       |      THEN list_transform(generate_series(1, len(t) - 2),
       |                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-      |      ELSE [] END) AS s
+      |      ELSE [] END) AS s0
       |    FROM toks))""".stripMargin
 
   // ---------- relational analytics ----------
@@ -575,7 +577,7 @@ object ExtendedQueries {
       s"""WITH $toksCte,
          |$shCte,
          |mh AS (SELECT doc_id, i,
-         |              MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS mh
+         |              MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
          |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) hi
          |       GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 2 AS band,

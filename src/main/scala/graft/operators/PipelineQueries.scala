@@ -28,13 +28,15 @@ object PipelineQueries {
       |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
       |  FROM documents)""".stripMargin
 
+  // shingles are carried as their 60-bit md5 hash (= Hashing.hash60 /
+  // Dedup.shingleArrays representation): 8-byte join/intersection keys
   private val shCte =
     """sh AS (
-      |  SELECT DISTINCT doc_id, s FROM (
+      |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
       |      THEN list_transform(generate_series(1, len(t) - 2),
       |                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-      |      ELSE [] END) AS s
+      |      ELSE [] END) AS s0
       |    FROM toks))""".stripMargin
 
   // ---------- dedup ----------
@@ -170,11 +172,11 @@ object PipelineQueries {
     */
   val d08_fingerprint: Q = (s, dir) => {
     val t  = Tables(s, dir)
+    // shingleSet already emits hash60(shingle) — the fingerprint is its min
     val sh = Dedup.shingleSet(t.documents, "doc_id", "text", 3)
     val fp = sh
-      .withColumn("h", graft.functions.Hashing.hash60(col("s")))
       .groupBy(col("doc_id"))
-      .agg(min(col("h")).as("fingerprint"), count(lit(1)).as("n_shingles"))
+      .agg(min(col("s")).as("fingerprint"), count(lit(1)).as("n_shingles"))
     t.documents
       .select(col("doc_id"))
       .join(fp, Seq("doc_id"), "left")
@@ -418,7 +420,7 @@ object PipelineQueries {
       s"""WITH $toksCte,
          |$shCte,
          |mh AS (SELECT doc_id, i,
-         |              MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS mh
+         |              MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
          |       FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) hi
          |       GROUP BY doc_id, i),
          |bands AS (SELECT doc_id, i // 2 AS band,
@@ -497,7 +499,7 @@ object PipelineQueries {
       s"""WITH $toksCte,
          |$shCte,
          |fp AS (SELECT doc_id,
-         |              MIN(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS fingerprint,
+         |              MIN(s) AS fingerprint,
          |              COUNT(*) AS n_shingles
          |       FROM sh GROUP BY doc_id)
          |SELECT d.doc_id, fp.fingerprint, COALESCE(fp.n_shingles, 0) AS n_shingles
