@@ -233,6 +233,59 @@ object ExtendedQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  /** Benchmark-contamination check: for every held-out document (the
+    * deterministic hash split's bottom decile — same hash60 slots as
+    * d20_split), the fraction of its 3-gram shingles that appear
+    * anywhere in the training split. The decontamination gate every
+    * training-data pipeline runs before evaluation. Scale shape: the
+    * train side collapses to DISTINCT shingle hashes (long keys), the
+    * held-out side is tiny by construction, and the overlap is one
+    * semi-join on the hash — no doc×doc comparison anywhere.
+    */
+  val d21_contamination: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val slot = graft.functions.Hashing.hash60(col("text")) % 100
+    val docs  = t.documents.withColumn("slot", slot)
+    val bench = docs.filter(col("slot") < 10).drop("slot")
+    val train = docs.filter(col("slot") >= 10).drop("slot")
+    val bArrs = Dedup.shingleArrays(bench, "doc_id", "text", 3)
+    val trainSh = Dedup.shingleSet(train, "doc_id", "text", 3).select(col("s")).distinct()
+    val hits = Dedup.explodeShingles(bArrs, "doc_id")
+      .join(trainSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    bArrs
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Intra-document repetition / lexical-diversity metrics: token and
+    * type counts, type-token ratio, and the most-frequent token's share
+    * — the Gopher-style repetition signals used to drop degenerate
+    * (looping, keyword-stuffed) documents before training. One
+    * two-level aggregation, partitioned by doc then reduced.
+    */
+  val d22_repetition: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val tf = t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("tf")).as("max_tf"))
+      .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
+      .withColumn("top_ratio", col("max_tf").cast("double") / col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
     * vocabulary pruning and stopword-cutoff decisions.
@@ -521,6 +574,8 @@ object ExtendedQueries {
     "q51_range_frame"     -> q51_range_frame,
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
+    "d21_contamination"   -> d21_contamination,
+    "d22_repetition"      -> d22_repetition,
   )
 
   val oracles: Map[String, String] = Map(
@@ -555,6 +610,32 @@ object ExtendedQueries {
         |       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to,
         |       lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
         |FROM events ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "d21_contamination" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |slots AS (SELECT doc_id,
+         |                 (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100) AS slot
+         |          FROM documents),
+         |bsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN slots USING (doc_id) WHERE slot < 10),
+         |tsh AS (SELECT DISTINCT s FROM sh JOIN slots USING (doc_id) WHERE slot >= 10),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+         |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM bsh
+         |         WHERE s IN (SELECT s FROM tsh) GROUP BY doc_id)
+         |SELECT z.doc_id, z.n, COALESCE(h.n_hit, 0) AS n_hit,
+         |       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / z.n AS contamination
+         |FROM sizes z LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "d22_repetition" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |       COUNT(*) AS n_types,
+         |       MAX(tf) AS max_tf,
+         |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
+         |       CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS top_ratio
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d14_zipf" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
