@@ -286,6 +286,59 @@ object ExtendedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget document chunking: each document split into
+    * fixed-width token windows (width 64, stride 48 — 16-token overlap
+    * so no boundary context is lost), the transform that turns a raw
+    * corpus into training-sequence candidates. Pure explode over a
+    * start-offset sequence — embarrassingly parallel, no shuffle until
+    * the caller's sink.
+    */
+  val d23_chunking: Q = (s, dir) => {
+    val t              = Tables(s, dir)
+    val (width, stride) = (64, 48)
+    t.documents
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .select(
+        col("doc_id"), col("t"), col("n"),
+        posexplode(sequence(lit(0L), col("n") - 1, lit(stride.toLong))).as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long"),
+        col("start"),
+        least(lit(width.toLong), col("n") - col("start")).as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("t"), col("start") + lit(1), lit(width))).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Greedy contiguous sequence packing: documents packed in doc-id
+    * order into fixed token-budget bins (512 BPE tokens), separately
+    * per source shard — how training batches are assembled from a
+    * deduplicated corpus. The running-sum window partitions by source,
+    * so packing parallelizes across shards (a global pack order would
+    * serialize the corpus through one partition at 100 TB).
+    */
+  val d24_packing: Q = (s, dir) => {
+    val t      = Tables(s, dir)
+    val budget = 512L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.documents
+      .select(col("source"), col("doc_id"),
+        graft.functions.TextAnalysis.bpeTokenCount(col("text")).as("tok"))
+      .withColumn("cum_before", coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("cum_before") / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin"))
+  }
+
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
     * vocabulary pruning and stopword-cutoff decisions.
@@ -576,6 +629,8 @@ object ExtendedQueries {
     "x02_approx_quantiles" -> x02_approx_quantiles,
     "d21_contamination"   -> d21_contamination,
     "d22_repetition"      -> d22_repetition,
+    "d23_chunking"        -> d23_chunking,
+    "d24_packing"         -> d24_packing,
   )
 
   val oracles: Map[String, String] = Map(
@@ -636,6 +691,30 @@ object ExtendedQueries {
          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
          |       CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS top_ratio
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d23_chunking" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks WHERE len(t) > 0),
+         |idx AS (SELECT doc_id, t, n, unnest(generate_series(0, n - 1, 48)) AS start FROM c)
+         |SELECT doc_id,
+         |       CAST(start // 48 AS BIGINT) AS chunk_idx,
+         |       CAST(start AS BIGINT) AS start,
+         |       CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens,
+         |       array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "d24_packing" ->
+      """WITH tc AS (SELECT source, doc_id,
+        |                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0)) AS BIGINT) AS tok
+        |            FROM documents),
+        |cb AS (SELECT source, doc_id, tok,
+        |              COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |       FROM tc)
+        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(tok) AS BIGINT) AS bin_tokens,
+        |       MIN(doc_id) AS first_doc,
+        |       MAX(doc_id) AS last_doc
+        |FROM cb GROUP BY source, bin ORDER BY source, bin""".stripMargin,
     "d14_zipf" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),

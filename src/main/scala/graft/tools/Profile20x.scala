@@ -59,6 +59,9 @@ object Profile20x {
     }
     if (on("jaccard")) tm("exact jaccardPairs")(Dedup.jaccardPairs(arrs, "doc_id", 0.5).count())
     if (on("simhash")) tm("simhashPairs")(Dedup.simhashPairs(big, "doc_id", "text", 3).count())
+    // the scale path: cluster labels WITHOUT enumerating within-group
+    // pairs (simhashPairs' output is quadratic on low-entropy corpora)
+    if (on("simhashClusters")) tm("simhashClusters")(Dedup.simhashClusters(big, "doc_id", "text", 3).count())
     if (on("exact")) tm("exactDedup")(Dedup.exactDedup(big, "doc_id", "text").count())
     spark.stop()
   }
