@@ -157,6 +157,11 @@ object Dedup {
       // two-level explode (see pairsWithinGroups): peak row size O(g)
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("b"))
+      // length filter: jac >= t forces min(n1,n2) >= t * max(n1,n2)
+      // (inter <= min and inter >= t * union >= t * max) — lossless
+      .filter(least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * threshold)
+      // positional filter: remaining-suffix upper bound must reach the
+      // required overlap ceil(t/(1+t) * (n1+n2))
       .filter(
         lit(1) + least(
           col("a.n") - col("a.rnk"),
@@ -210,11 +215,19 @@ object Dedup {
 
   /** MinHash signatures as one array per doc (index-ordered) — the
     * sketch-join representation for signature-agreement estimation.
+    * Direct aggregator output: the k minima accumulate in one buffer
+    * per doc (no k× explode, no second re-group shuffle).
     */
-  def minhashSignatureArrays(sh: DataFrame, idCol: String, k: Int): DataFrame =
-    minhashSignatures(sh, idCol, k)
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))), x => x.getField("mh")).as("sig"))
+  def minhashSignatureArrays(sh: DataFrame, idCol: String, k: Int): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    sh.select(col(idCol).cast("long"), col("s"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MinHashAgg(k).toColumn.name("sig"))
+      .toDF(idCol, "sig")
+  }
 
   /** Exact-Jaccard verification of candidate pairs against the per-doc
     * shingle arrays (sorted, distinct): size(array_intersect) / union
@@ -247,17 +260,9 @@ object Dedup {
     * (functions.MinHashAgg), so the shuffle carries docs, not
     * docs × k × shingles. Preferred at scale.
     */
-  def minhashSignaturesAgg(sh: DataFrame, idCol: String, k: Int): DataFrame = {
-    val spark = sh.sparkSession
-    import spark.implicits._
-    sh.select(col(idCol).cast("long"), col("s"))
-      .as[(Long, Long)]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(new graft.functions.MinHashAgg(k).toColumn.name("sig"))
-      .toDF(idCol, "sig")
+  def minhashSignaturesAgg(sh: DataFrame, idCol: String, k: Int): DataFrame =
+    minhashSignatureArrays(sh, idCol, k)
       .select(col(idCol), posexplode(col("sig")).as(Seq("i", "mh")))
-  }
 
   /** LSH banding: group signature rows into bands of `rowsPerBand`,
     * band key = ordered concat of the member min-hashes.

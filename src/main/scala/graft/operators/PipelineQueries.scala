@@ -68,7 +68,7 @@ object PipelineQueries {
     val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
     val sh   = Dedup.explodeShingles(arrs, "doc_id")
     val cand = Dedup.lshCandidates(
-      Dedup.lshBands(Dedup.minhashSignatures(sh, "doc_id", 16), "doc_id", 2),
+      Dedup.lshBands(Dedup.minhashSignaturesAgg(sh, "doc_id", 16), "doc_id", 2),
       "doc_id")
     Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
