@@ -24,6 +24,8 @@ class InvarianceSpec extends SparkTestBase {
     "d02_ngram_jaccard",  // near-dup pipeline (floats + joins)
     "d13_hash_sample",    // hash-deterministic sampling
     "q49_topk_group",     // bounded-buffer aggregator
+    "d24_packing",        // running-sum window binning (order-sensitive)
+    "d21_contamination",  // hash split + semi-join overlap
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
