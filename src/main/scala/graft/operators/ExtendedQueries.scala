@@ -339,6 +339,35 @@ object ExtendedQueries {
       .orderBy(col("source"), col("bin"))
   }
 
+  /** End-to-end corpus-preparation pipeline, composed from the
+    * individual operators exactly as a training-data run would chain
+    * them: exact-dedup keepers → quality gate (token budget + punct
+    * ratio) → near-dup cluster drop (jaccard components, keep the
+    * representative) → per-(source, lang) document and BPE-token
+    * accounting. One composed plan — the intermediate "tables" never
+    * materialize anywhere but the shuffle.
+    */
+  val d25_corpus_pipeline: Q = (s, dir) => {
+    val t  = Tables(s, dir)
+    val ta = graft.functions.TextAnalysis
+    val kept = Dedup
+      .exactDedup(t.documents, "doc_id", "text")
+      .filter(col("is_kept"))
+      .filter(ta.tokenCount(col("text")) >= 10 && ta.punctRatio(col("text")) <= 0.1)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val losers = Dedup
+      .dedupComponents(Dedup.jaccardPairs(arrs, "doc_id", 0.5))
+      .filter(!col("is_representative"))
+      .select(col("id"))
+    kept
+      .join(losers, kept("doc_id") === losers("id"), "left_anti")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(ta.bpeTokenCount(col("text"))).as("total_bpe"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
     * vocabulary pruning and stopword-cutoff decisions.
@@ -631,6 +660,7 @@ object ExtendedQueries {
     "d22_repetition"      -> d22_repetition,
     "d23_chunking"        -> d23_chunking,
     "d24_packing"         -> d24_packing,
+    "d25_corpus_pipeline" -> d25_corpus_pipeline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,6 +721,39 @@ object ExtendedQueries {
          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
          |       CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS top_ratio
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d25_corpus_pipeline" ->
+      s"""WITH RECURSIVE $toksCte,
+         |$shCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT i.id1, i.id2 FROM inter i
+         |          JOIN sizes s1 ON s1.doc_id = i.id1
+         |          JOIN sizes s2 ON s2.doc_id = i.id2
+         |          WHERE i.inter / (s1.n + s2.n - i.inter) >= 0.5),
+         |edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+         |          UNION SELECT id2, id1 FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+         |hsh AS (SELECT doc_id, source, lang, text,
+         |               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ch
+         |        FROM documents),
+         |keep AS (SELECT k.doc_id, k.source, k.lang, k.text FROM (
+         |           SELECT *, doc_id = MIN(doc_id) OVER (PARTITION BY ch) AS is_kept FROM hsh) k
+         |         JOIN toks ON toks.doc_id = k.doc_id
+         |         WHERE k.is_kept
+         |           AND len(toks.t) >= 10
+         |           AND (CASE WHEN length(k.text) = 0 THEN 0.0
+         |                ELSE CAST(length(regexp_replace(lower(k.text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |                     / length(k.text) END) <= 0.1
+         |           AND k.doc_id NOT IN (SELECT id FROM comp WHERE id <> component))
+         |SELECT source, lang, COUNT(*) AS n_docs,
+         |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0))) AS BIGINT) AS total_bpe
+         |FROM keep GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "d23_chunking" ->
       s"""WITH $toksCte,
          |c AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks WHERE len(t) > 0),
