@@ -53,6 +53,63 @@ object Dedup {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Incremental exact dedup: the incoming batch deduplicated against
+    * an already-ingested corpus — content-hash anti-join against the
+    * corpus's distinct hashes, then first-wins (min id) within the
+    * batch. The daily-ingest shape at 100 TB: the corpus side reduces
+    * to its distinct hash set (one narrow column, prunable to just the
+    * hash index), and nothing ever re-reads corpus text.
+    */
+  def incrementalExactDedup(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val hashed = (df: DataFrame) => df.withColumn("content_hash", md5(normalized(col(textCol))))
+    val seen   = hashed(corpus).select(col("content_hash")).distinct()
+    val w      = Window.partitionBy(col("content_hash"))
+    hashed(incoming)
+      .join(seen, Seq("content_hash"), "left_anti")
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("keeper"))
+      .drop("keeper")
+  }
+
+  /** Cross-batch near-dup pairs: MinHash-LSH candidates restricted to
+    * (incoming × corpus) — band signatures equi-join ACROSS the two
+    * sides only, never within either, then exact-Jaccard verification.
+    * How an incremental pipeline near-dedups an arriving batch against
+    * an existing corpus without ever re-pairing the corpus with
+    * itself; the corpus band index is computed once and reusable
+    * (pre-partitioned by band signature) across batches.
+    */
+  def crossNearDupPairs(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    def bands(arrs: DataFrame) =
+      lshBands(minhashSignaturesAgg(explodeShingles(arrs, idCol), idCol, k), idCol, rowsPerBand)
+    val cArrs = shingleArrays(corpus, idCol, textCol, shingleN)
+    val iArrs = shingleArrays(incoming, idCol, textCol, shingleN)
+    val cand = bands(iArrs)
+      .select(col("band"), col("sig"), col(idCol).as("incoming_id"))
+      .join(bands(cArrs).select(col("band"), col("sig"), col(idCol).as("corpus_id")), Seq("band", "sig"))
+      .select(col("incoming_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(iArrs.select(col(idCol).as("incoming_id"), col("set").as("set1"), col("n").as("n1")), "incoming_id")
+      .join(cArrs.select(col(idCol).as("corpus_id"), col("set").as("set2"), col("n").as("n2")), "corpus_id")
+      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), col("jac"))
+  }
+
   /** Per-document distinct shingle ARRAY (sorted) + size — one narrow
     * row per doc. The exploded inverted index (`shingleSet`) and the
     * verification sets both derive from this without any shuffle, so a

@@ -368,6 +368,24 @@ object ExtendedQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Incremental ingest dedup: the corpus split by content-hash slot
+    * into an "already ingested" half and an "arriving batch"; the
+    * batch survives only where its normalized content hash is unseen,
+    * first-wins within the batch. The corpus side reduces to its
+    * distinct hash set — nothing re-reads ingested text.
+    */
+  val d26_incremental_dedup: Q = (s, dir) => {
+    val t        = Tables(s, dir)
+    val slot     = graft.functions.Hashing.hash60(col("text")) % 100
+    val docs     = t.documents.withColumn("slot", slot)
+    val corpus   = docs.filter(col("slot") < 50).drop("slot")
+    val incoming = docs.filter(col("slot") >= 50).drop("slot")
+    Dedup
+      .incrementalExactDedup(corpus, incoming, "doc_id", "text")
+      .select(col("doc_id"), col("content_hash"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
     * vocabulary pruning and stopword-cutoff decisions.
@@ -661,6 +679,7 @@ object ExtendedQueries {
     "d23_chunking"        -> d23_chunking,
     "d24_packing"         -> d24_packing,
     "d25_corpus_pipeline" -> d25_corpus_pipeline,
+    "d26_incremental_dedup" -> d26_incremental_dedup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -721,6 +740,19 @@ object ExtendedQueries {
          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
          |       CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS top_ratio
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d26_incremental_dedup" ->
+      """WITH s AS (SELECT doc_id, text, lang, source,
+        |                  (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100) AS slot,
+        |                  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash
+        |           FROM documents),
+        |ex AS (SELECT DISTINCT content_hash FROM s WHERE slot < 50),
+        |inc AS (SELECT doc_id, content_hash, lang, source,
+        |               MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper
+        |        FROM s WHERE slot >= 50)
+        |SELECT doc_id, content_hash, lang, source FROM inc
+        |WHERE doc_id = keeper
+        |  AND content_hash NOT IN (SELECT content_hash FROM ex)
+        |ORDER BY doc_id""".stripMargin,
     "d25_corpus_pipeline" ->
       s"""WITH RECURSIVE $toksCte,
          |$shCte,

@@ -145,6 +145,37 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("incrementalExactDedup: unseen-first-wins against the corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "existing corpus content here")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the  quick brown fox  jumps over the lazy dog"), // dup of corpus 1 modulo ws
+      (11L, "a genuinely new document arrives"),
+      (12L, "a genuinely  new document arrives"), // dup of 11 within batch
+      (13L, "another new one")).toDF("doc_id", "text")
+    val got = Dedup.incrementalExactDedup(corpus, incoming, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(11L, 13L)) // 10 seen in corpus; 12 loses to 11
+  }
+
+  test("crossNearDupPairs finds cross near-dups only, never within-side pairs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different corpus content entirely here now")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat"), // near-dup of corpus 1
+      (11L, "the quick brown fox jumps over the lazy dog"), // exact dup of corpus 1
+      (12L, "the quick brown fox jumps over the lazy rat"), // near-dup of 10/11 AND corpus 1
+      (13L, "unrelated incoming text with many fresh words")).toDF("doc_id", "text")
+    val got = Dedup.crossNearDupPairs(corpus, incoming, "doc_id", "text")
+      .select("incoming_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((11L, 1L))) // identical docs collide on every band
+    assert(got.forall { case (i, c) => i >= 10L && c < 10L }) // cross pairs only
+    // within-incoming near-dups (10, 11, 12 cluster) must NOT appear
+    assert(!got.exists { case (i, c) => c >= 10L })
+  }
+
   test("SimHashAgg form identical to the composed 60x-explode form") {
     val rnd   = new scala.util.Random(5)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
