@@ -53,6 +53,31 @@ object Dedup {
     else hashed.dropDuplicates("content_hash")
   }
 
+  /** Streaming form of `incrementalExactDedup`: a document stream
+    * deduplicated against a STATIC already-ingested corpus (stream-
+    * static left-anti join on the content hash — stateless, the corpus
+    * hash set is broadcast or shuffled once per micro-batch) and then
+    * within the stream itself (watermark-bounded first-seen state).
+    * The corpus frame should be the pre-distinct hash projection at
+    * scale; this derives it defensively.
+    */
+  def streamingIncrementalDedup(
+      stream: DataFrame,
+      corpus: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val seen = corpus
+      .withColumn("content_hash", md5(normalized(col(textCol))))
+      .select(col("content_hash"))
+      .distinct()
+    stream
+      .withColumn("content_hash", md5(normalized(col(textCol))))
+      .withWatermark(eventTimeCol, watermark)
+      .join(seen, Seq("content_hash"), "left_anti")
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Incremental exact dedup: the incoming batch deduplicated against
     * an already-ingested corpus — content-hash anti-join against the
     * corpus's distinct hashes, then first-wins (min id) within the

@@ -166,6 +166,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingIncrementalDedup drops corpus dups and in-stream dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "already ingested doc")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Long) = new java.sql.Timestamp(3600_000L + m * 60_000L)
+    val q = graft.dedup.Dedup
+      .streamingIncrementalDedup(
+        stream.toDF().toDF("doc_id", "text", "event_time"), corpus, "text", "event_time")
+      .select(col("doc_id"))
+      .writeStream.outputMode("append").format("memory").queryName("incdedup_out").start()
+    try {
+      stream.addData(Seq(
+        (1L, "ALREADY ingested  doc", ts(0)), // corpus dup modulo normalization
+        (2L, "new stream doc", ts(1))))
+      q.processAllAvailable()
+      stream.addData(Seq(
+        (3L, "new  STREAM doc", ts(2)), // in-stream cross-batch dup of 2
+        (4L, "genuinely fresh", ts(3))))
+      q.processAllAvailable()
+      val kept = spark.table("incdedup_out").as[Long].collect().toSet
+      assert(kept == Set(2L, 4L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps and aggregates per session") {
     val min = 60L * 1000000000L
     val data = Seq(
