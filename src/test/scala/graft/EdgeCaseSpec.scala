@@ -26,6 +26,20 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Dedup.dedupComponents(Seq.empty[(Long, Long)].toDF("id1", "id2")).isEmpty)
   }
 
+  test("incremental dedup ops handle empty corpus and empty batch") {
+    val empty = Seq.empty[(Long, String)].toDF(docCols: _*)
+    val one   = Seq((1L, "alpha beta gamma delta epsilon")).toDF(docCols: _*)
+    // empty corpus: everything in the batch is unseen
+    assert(Dedup.incrementalExactDedup(empty, one, "doc_id", "text").count() == 1)
+    // empty batch: nothing survives, nothing throws
+    assert(Dedup.incrementalExactDedup(one, empty, "doc_id", "text").isEmpty)
+    assert(Dedup.crossNearDupPairs(empty, one, "doc_id", "text").isEmpty)
+    assert(Dedup.crossNearDupPairs(one, empty, "doc_id", "text").isEmpty)
+    // batch identical to corpus: fully suppressed
+    assert(Dedup.incrementalExactDedup(one, one.select(col("doc_id") + 10, col("text")).toDF(docCols: _*),
+      "doc_id", "text").isEmpty)
+  }
+
   test("single document produces no pairs but survives every operator") {
     val one  = Seq((1L, "alpha beta gamma delta")).toDF(docCols: _*)
     val arrs = Dedup.shingleArrays(one, "doc_id", "text", 3)
