@@ -386,6 +386,24 @@ object ExtendedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic fixed-SIZE stratified sample: exactly k=25 docs per
+    * language, selected by content-hash rank — the reproducible
+    * counterpart of `ORDER BY random() LIMIT k` that survives retries,
+    * partitioning, engine swaps, and corpus growth reshuffling only
+    * the hash-marginal docs. Rank is a per-stratum window; strata
+    * partition the corpus so the sort never goes global.
+    */
+  val d27_fixed_sample: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(graft.functions.Hashing.hash60(col("text")), col("doc_id"))
+    t.documents
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 25)
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf profile of the corpus: frequency-of-frequencies of terms
     * (how many distinct terms occur k times) — the shape statistic for
     * vocabulary pruning and stopword-cutoff decisions.
@@ -680,6 +698,7 @@ object ExtendedQueries {
     "d24_packing"         -> d24_packing,
     "d25_corpus_pipeline" -> d25_corpus_pipeline,
     "d26_incremental_dedup" -> d26_incremental_dedup,
+    "d27_fixed_sample"    -> d27_fixed_sample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -740,6 +759,13 @@ object ExtendedQueries {
          |       CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS ttr,
          |       CAST(MAX(tf) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE) AS top_ratio
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d27_fixed_sample" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |              ORDER BY CAST('0x' || substr(md5(text), 1, 15) AS BIGINT), doc_id) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin,
     "d26_incremental_dedup" ->
       """WITH s AS (SELECT doc_id, text, lang, source,
         |                  (CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100) AS slot,
