@@ -60,10 +60,14 @@ object Bench {
     println(line)
     // belt-and-braces: the driver captures a bounded log tail, which
     // truncated this line in round 1 — persist the same JSON as a file
-    // artifact too
+    // artifact too. Path is overridable, defaulting to the working
+    // directory so any checkout writes next to itself.
     try {
+      val out = sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_OUT",
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json").toString)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(out),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()

@@ -90,7 +90,13 @@ object Dedup {
       incoming: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    val hashed = (df: DataFrame) => df.withColumn("content_hash", md5(normalized(col(textCol))))
+    // Null text is dropped on BOTH sides up front: a SQL `NOT IN`
+    // oracle returns zero rows when any null hash exists on either
+    // side, while left_anti would keep null-hash rows (null never
+    // matches) — filtering makes the engine and a NOT-IN oracle agree
+    // on degenerate input.
+    val hashed = (df: DataFrame) =>
+      df.filter(col(textCol).isNotNull).withColumn("content_hash", md5(normalized(col(textCol))))
     val seen   = hashed(corpus).select(col("content_hash")).distinct()
     val w      = Window.partitionBy(col("content_hash"))
     hashed(incoming)

@@ -21,8 +21,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * embedding contract); extra elements on either side are ignored.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.ArrayType(DoubleType), org.apache.spark.sql.types.ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
 
@@ -64,8 +67,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   * member): the hottest scalar in the engine.
   */
 case class Hash60Expr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(org.apache.spark.sql.types.StringType)
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "hash60"
 

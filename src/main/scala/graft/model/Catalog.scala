@@ -47,7 +47,12 @@ object Catalog {
       sortCols: Seq[String],
       targetFileSizeBytes: Long = 128L * 1024 * 1024): String = {
     val df = spark.read.parquet(dir)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // size from the REAL on-disk bytes, not optimizedPlan.stats
+    // (an in-memory estimate inflated by the parquet compression
+    // factor, which would emit many undersized files)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = BigInt(fs.getContentSummary(path).getLength)
     val nFiles = math.max(1, (bytes / BigInt(targetFileSizeBytes)).toInt +
       (if (bytes % BigInt(targetFileSizeBytes) > 0) 1 else 0))
     val out = s"$dir.compacted"

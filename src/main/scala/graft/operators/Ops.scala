@@ -176,13 +176,17 @@ object Ops {
     // exact long floor-division (pmod is non-negative): no double
     // rounding near bucket boundaries at epoch-micro magnitudes
     def bucket(t: String) = expr(s"($t - pmod($t, ${band}L)) div ${band}L")
+    // the bucket column deliberately carries plans.RangeJoinBanding's
+    // marker name: the optimizer rule skips joins whose condition
+    // already references it, so a hand-banded join is never re-banded
+    // after predicate pushdown folds the |Δt| filter into the join
     val probe = left
-      .withColumn("__bucket", explode(array(Seq(-1, 0, 1).map(d => bucket(leftTime) + d): _*)))
-    val build = right.withColumn("__bucket", bucket(rightTime))
+      .withColumn("__graft_lb", explode(array(Seq(-1, 0, 1).map(d => bucket(leftTime) + d): _*)))
+    val build = right.withColumn("__graft_lb", bucket(rightTime))
     probe
-      .join(build, keyCols :+ "__bucket")
+      .join(build, keyCols :+ "__graft_lb")
       .filter(abs(col(leftTime) - col(rightTime)) <= band)
-      .drop("__bucket")
+      .drop("__graft_lb")
   }
 
   /** Top-k rows per group WITHOUT a window sort: typed TopKAgg keeps a

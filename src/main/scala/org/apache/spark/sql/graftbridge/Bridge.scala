@@ -13,4 +13,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column     = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` in Spark 4; custom
+    * expressions outside the sql package need it to declare
+    * `ExpectsInputTypes.inputTypes` for clean analysis-time errors.
+    */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

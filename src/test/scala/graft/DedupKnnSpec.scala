@@ -68,6 +68,11 @@ class DedupKnnSpec extends SparkTestBase {
     val nulls = Seq[Option[String]](None).toDF("s")
       .select(graft.functions.Hashing.hash60(col("s")).as("h"))
     assert(nulls.filter(col("h").isNotNull).isEmpty)
+    // wrong input type fails at ANALYSIS, not at runtime
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("n").select(graft.functions.Hashing.hash60(col("n"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("hash60") || err.getMessage.contains("STRING"))
   }
 
   test("containmentPairs finds embedded-document pairs Jaccard misses") {

@@ -40,6 +40,15 @@ class EdgeCaseSpec extends SparkTestBase {
       "doc_id", "text").isEmpty)
   }
 
+  test("incremental dedup drops null text on both sides (NOT-IN oracle agreement)") {
+    val corpus = Seq((1L, Some("alpha beta")), (2L, None)).toDF(docCols: _*)
+    val batch  = Seq((10L, Some("alpha beta")), (11L, Some("fresh text")), (12L, None)).toDF(docCols: _*)
+    val got = Dedup.incrementalExactDedup(corpus, batch, "doc_id", "text")
+    // null-text rows vanish (not kept-as-unseen); the one genuinely
+    // fresh document survives — matching SQL NOT IN over non-null hashes
+    assert(got.select("doc_id").as[Long].collect().toSeq == Seq(11L))
+  }
+
   test("single document produces no pairs but survives every operator") {
     val one  = Seq((1L, "alpha beta gamma delta")).toDF(docCols: _*)
     val arrs = Dedup.shingleArrays(one, "doc_id", "text", 3)

@@ -100,6 +100,28 @@ class PlanRulesSpec extends SparkTestBase {
     }
   }
 
+  test("hand-banded Ops.bandedRangeJoin is not re-banded by the rule") {
+    withBanding {
+      val rnd = new scala.util.Random(3)
+      val l = (0 until 80).map(i => (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(400).toLong)).toDF("lid", "k", "lt")
+      val r = (0 until 80).map(i => (i.toLong + 900, rnd.nextInt(3).toLong, rnd.nextInt(400).toLong)).toDF("rid", "k", "rt")
+      val q = graft.operators.Ops.bandedRangeJoin(l, r, Seq("k"), "lt", "rt", 29L)
+      // exactly ONE explode (the hand-banding's): a second Generate
+      // would mean the optimizer rule re-banded the already-banded join
+      val generates = q.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(generates.size == 1, s"double banding:\n${q.queryExecution.optimizedPlan}")
+      val expected = for {
+        (lid, lk, lt) <- l.as[(Long, Long, Long)].collect()
+        (rid, rk, rt) <- r.as[(Long, Long, Long)].collect()
+        if lk == rk && math.abs(lt - rt) <= 29
+      } yield (lid, rid)
+      val got = q.select($"lid", $"rid").as[(Long, Long)].collect()
+      assert(got.toSet == expected.toSet && got.length == expected.length)
+    }
+  }
+
   test("rule leaves real aggregates alone") {
     withRule {
       val a = Seq((1L, "x"), (2L, "x")).toDF("id", "v")
