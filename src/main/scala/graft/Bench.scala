@@ -20,9 +20,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Debug toggles (default = production behavior): SPARK_GRAFT_NO_EXT=1
+    // disables the optimizer extensions; SPARK_GRAFT_ONLY=<regex> times a
+    // subset of queries. Both exist for local A/B plan experiments.
+    val noExt = sys.env.get("SPARK_GRAFT_NO_EXT").contains("1")
+    val only  = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -33,9 +37,13 @@ object Bench {
       .config("spark.ui.retainedTasks", "1000")
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    val spark =
+      (if (noExt) builder
+       else builder.config("spark.sql.extensions", "graft.plans.GraftExtensions"))
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     // Two timed passes, report per-query MIN. Same total work as a
     // warm-up + one timed pass, but strictly better noise rejection:
     // pass 1 absorbs JIT/codegen/footer reads AND still counts if it

@@ -46,7 +46,11 @@ object Dedup {
       eventTimeCol: String,
       watermark: String = "1 hour",
       boundedState: Boolean = true): DataFrame = {
+    // Same degenerate-input contract as the batch forms: null text is
+    // dropped up front, so a null hash can neither occupy dedup state
+    // nor pass as "first seen" on every micro-batch.
     val hashed = docs
+      .filter(col(textCol).isNotNull)
       .withColumn("content_hash", md5(normalized(col(textCol))))
       .withWatermark(eventTimeCol, watermark)
     if (boundedState) hashed.dropDuplicatesWithinWatermark("content_hash")
@@ -67,11 +71,17 @@ object Dedup {
       textCol: String,
       eventTimeCol: String,
       watermark: String = "1 hour"): DataFrame = {
+    // Null-text rows are filtered on BOTH sides, matching the batch
+    // twin `incrementalExactDedup` below: left_anti would otherwise
+    // keep stream rows with a null hash (null never matches), so the
+    // two APIs would disagree on degenerate input.
     val seen = corpus
+      .filter(col(textCol).isNotNull)
       .withColumn("content_hash", md5(normalized(col(textCol))))
       .select(col("content_hash"))
       .distinct()
     stream
+      .filter(col(textCol).isNotNull)
       .withColumn("content_hash", md5(normalized(col(textCol))))
       .withWatermark(eventTimeCol, watermark)
       .join(seen, Seq("content_hash"), "left_anti")

@@ -19,10 +19,13 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   *
   * Assumes equal-length, non-null-element double arrays (the engine's
   * embedding contract); extra elements on either side are ignored.
+  * `ImplicitCastInputTypes` (same mixin upstream arithmetic uses) lets
+  * the analyzer insert casts for castable inputs — array<float>
+  * embeddings arrive as array<double> rather than failing analysis.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def inputTypes: Seq[Bridge.AbstractType] =
     Seq(org.apache.spark.sql.types.ArrayType(DoubleType), org.apache.spark.sql.types.ArrayType(DoubleType))
@@ -68,7 +71,7 @@ case class DotProductExpr(left: Expression, right: Expression)
   */
 case class Hash60Expr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   override def inputTypes: Seq[Bridge.AbstractType] =
     Seq(org.apache.spark.sql.types.StringType)

@@ -49,10 +49,18 @@ object Catalog {
     val df = spark.read.parquet(dir)
     // size from the REAL on-disk bytes, not optimizedPlan.stats
     // (an in-memory estimate inflated by the parquet compression
-    // factor, which would emit many undersized files)
+    // factor, which would emit many undersized files). Sum only
+    // *.parquet data files — _SUCCESS / .crc / _metadata would skew
+    // the target file count — and expand `dir` through globStatus
+    // first, since spark.read.parquet above accepts glob patterns.
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs   = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = BigInt(fs.getContentSummary(path).getLength)
+    def dataBytes(st: org.apache.hadoop.fs.FileStatus): Long =
+      if (st.isDirectory) fs.listStatus(st.getPath).map(dataBytes).sum
+      else if (st.getPath.getName.endsWith(".parquet")) st.getLen
+      else 0L
+    val roots = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Seq.empty)
+    val bytes = BigInt(roots.map(dataBytes).sum)
     val nFiles = math.max(1, (bytes / BigInt(targetFileSizeBytes)).toInt +
       (if (bytes % BigInt(targetFileSizeBytes) > 0) 1 else 0))
     val out = s"$dir.compacted"

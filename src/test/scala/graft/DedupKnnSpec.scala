@@ -68,9 +68,17 @@ class DedupKnnSpec extends SparkTestBase {
     val nulls = Seq[Option[String]](None).toDF("s")
       .select(graft.functions.Hashing.hash60(col("s")).as("h"))
     assert(nulls.filter(col("h").isNotNull).isEmpty)
-    // wrong input type fails at ANALYSIS, not at runtime
+    // castable input (bigint) is implicitly cast — same value as hashing
+    // the string render, matching upstream ImplicitCastInputTypes style
+    val castRow = Seq(42L).toDF("n")
+      .select(
+        graft.functions.Hashing.hash60(col("n")).as("h"),
+        graft.functions.Hashing.hash60(col("n").cast("string")).as("hs"))
+      .head()
+    assert(castRow.getLong(0) === castRow.getLong(1))
+    // non-castable input (array) still fails at ANALYSIS, not at runtime
     val err = intercept[org.apache.spark.sql.AnalysisException] {
-      Seq(1L).toDF("n").select(graft.functions.Hashing.hash60(col("n"))).collect()
+      Seq(Seq(1, 2)).toDF("a").select(graft.functions.Hashing.hash60(col("a"))).collect()
     }
     assert(err.getMessage.toLowerCase.contains("hash60") || err.getMessage.contains("STRING"))
   }
