@@ -28,7 +28,8 @@ object SparkEntry {
       SetScalarQueries.queries ++
       SearchQueries.queries ++
       PipelineQueries.queries ++
-      ExtendedQueries.queries
+      ExtendedQueries.queries ++
+      CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       SetScalarQueries.oracles ++
       SearchQueries.oracles ++
       PipelineQueries.oracles ++
-      ExtendedQueries.oracles
+      ExtendedQueries.oracles ++
+      CorpusQueries.oracles
 }

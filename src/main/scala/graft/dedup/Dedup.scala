@@ -196,13 +196,15 @@ object Dedup {
     * Scale path (PPJoin-style prefix filtering): a pair can reach
     * jaccard >= t only if the two sets share an element among each set's
     * first `n - ceil(t*n) + 1` shingles in a global canonical order.
-    * Ordering shingles rarest-first means hot shingles never sit in
-    * prefixes, so the inverted-index self-join fans out on rare tokens
-    * only — candidate count collapses from the naive
-    * sum(df_s choose 2) while remaining provably complete for the
-    * threshold. Verification is per-pair `array_intersect` against the
-    * already-materialized per-doc arrays: two narrow joins, no extra
-    * shuffle over the inverted index.
+    * Default order = the hash order the arrays are ALREADY sorted in,
+    * so prefix extraction is a narrow slice/posexplode over the
+    * persisted arrays — candidates cost one shuffle (the prefix-posting
+    * groupBy) instead of the rarity variant's four. Hash order scatters
+    * hot shingles uniformly through prefixes; on Zipf-skewed corpora
+    * where a stop-shingle would blow up posting groups, use
+    * `prefixCandidatesRarity`, which spends 3 extra shuffles (global
+    * document frequencies + per-doc rarity window) to keep hot
+    * shingles out of every prefix.
     */
   def jaccardPairs(arrs: DataFrame, idCol: String, threshold: Double): DataFrame =
     verifyJaccard(prefixCandidates(arrs, idCol, threshold), arrs, idCol, threshold)
@@ -226,14 +228,53 @@ object Dedup {
       .select(col("id1"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("id2"))
       .distinct()
 
-  /** Prefix-filtered candidate pairs (complete for jaccard >= t), with
-    * the PPJoin positional refinement: a shared prefix shingle at ranks
-    * (r1, r2) can witness a qualifying pair only if the remaining-suffix
-    * upper bound `1 + min(n1-r1, n2-r2)` reaches the required overlap
+  /** Prefix-filtered candidate pairs (complete for jaccard >= t) in the
+    * arrays' own sorted-hash canonical order, with the PPJoin positional
+    * refinement: a shared prefix shingle at ranks (r1, r2) can witness a
+    * qualifying pair only if the remaining-suffix upper bound
+    * `1 + min(n1-r1, n2-r2)` reaches the required overlap
     * `ceil(t/(1+t) * (n1+n2))`; a qualifying pair always survives via
-    * its first shared prefix shingle, so the filter is lossless.
+    * its first shared prefix shingle in the common order, so the filter
+    * is lossless for ANY fixed total order. Using the order the arrays
+    * are already sorted in makes prefix extraction shuffle-free:
+    * slice + posexplode off the persisted `shingleArrays` frame, then
+    * ONE shuffle (the posting-list groupBy) produces candidates.
     */
   def prefixCandidates(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
+    val frac = threshold / (1.0 + threshold)
+    val prefix = arrs
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      .select(col(idCol), col("n"), posexplode(slice(col("set"), lit(1), col("plen"))).as(Seq("p", "s")))
+      .select(col(idCol), col("s"), (col("p") + 1).as("rnk"), col("n"))
+    val grouped = prefix
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("rnk"), col("n")))).as("ds"))
+    grouped
+      .filter(size(col("ds")) >= 2)
+      // two-level explode (see pairsWithinGroups): peak row size O(g)
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("b"))
+      // length filter: jac >= t forces min(n1,n2) >= t * max(n1,n2)
+      .filter(least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * threshold)
+      // positional filter: remaining-suffix upper bound must reach the
+      // required overlap ceil(t/(1+t) * (n1+n2))
+      .filter(
+        lit(1) + least(
+          col("a.n") - col("a.rnk"),
+          col("b.n") - col("b.rnk")) >= ceil((col("a.n") + col("b.n")) * frac))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** Rarity-ordered PPJoin candidates: identical contract to
+    * `prefixCandidates`, but the canonical order is (document frequency
+    * asc, shingle) so hot shingles never sit in any prefix. Costs a
+    * global df aggregation, a df join, and a per-doc ranking window on
+    * the full inverted index — worth it exactly when the corpus has
+    * stop-shingles hot enough to make a posting group's pair fan-out
+    * (g·(g-1)/2) the bottleneck.
+    */
+  def prefixCandidatesRarity(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
     // doc size n rides along the explode, so the single window computes
     // only the streaming-friendly row_number (no whole-partition frame)
     val sh    = arrs.select(col(idCol), col("n"), explode(col("set")).as("s"))
@@ -274,22 +315,20 @@ object Dedup {
     *
     * Prefix filtering adapted to containment: if overlap >= t·min(n_a,
     * n_b), the SMALLER set has at most ceil(t·n)-1 < overlap elements
-    * outside its first `n - ceil(t·n) + 1` rarest shingles, so some
-    * shared shingle sits in the smaller set's prefix. Candidates are
-    * therefore prefix-postings ⋈ FULL postings (the larger side may
-    * witness anywhere); fan-out stays bounded because rarest-first
-    * ordering keeps hot shingles out of every prefix — the small side
-    * of each posting-list product.
+    * outside its first `n - ceil(t·n) + 1` shingles in a fixed total
+    * order, so some shared shingle sits in the smaller set's prefix.
+    * Candidates are therefore prefix-postings ⋈ FULL postings (the
+    * larger side may witness anywhere). The canonical order is the hash
+    * order the arrays are already sorted in — ranks fall out of one
+    * narrow posexplode (no global df pass, no ranking window); on
+    * corpora with stop-shingles hot enough to dominate posting lists,
+    * a rarity order (cf. prefixCandidatesRarity) bounds the prefix
+    * side's fan-out at the price of those 3 extra shuffles.
     */
   def containmentPairs(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val sh   = arrs.select(col(idCol), col("n"), explode(col("set")).as("s"))
-    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val byDocRarity =
-      Window.partitionBy(col(idCol)).orderBy(col("df"), col("s"))
-    val ranked = sh
-      .join(freq, "s")
-      .withColumn("rnk", row_number().over(byDocRarity))
-      .select(col(idCol), col("s"), col("rnk"), col("n"))
+    val ranked = arrs
+      .select(col(idCol), col("n"), posexplode(col("set")).as(Seq("p", "s")))
+      .select(col(idCol), col("s"), (col("p") + 1).as("rnk"), col("n"))
     val prefix = ranked
       .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col(idCol).as("pid"), col("s"), col("n").as("pn"))
@@ -452,14 +491,55 @@ object Dedup {
   }
 
   /** Connected components over near-dup pairs: every document labeled
-    * with its component's smallest id. Iterative min-label propagation —
-    * O(component diameter) rounds of one equi-join each; near-dup
-    * components are clique-ish, so 2-3 rounds typical. Lineage is cut
-    * per round with localCheckpoint so the plan stays bounded.
-    * Documents that appear in no pair are absent (they are their own
-    * representative by definition).
+    * with its component's smallest id. Documents that appear in no pair
+    * are absent (they are their own representative by definition).
+    *
+    * Hybrid execution, sized by the EDGE set — which after LSH/prefix
+    * blocking is orders of magnitude smaller than the corpus (it holds
+    * only verified near-dup pairs, and the sketch-level variants shrink
+    * it further to distinct-hash pairs):
+    *   - up to `driverEdgeLimit` edges (default 4M ≈ 64 MB of longs):
+    *     collect to the driver and union-find in O(E α(E)) — one job,
+    *     no iteration. The same cutoff a 1000-executor run wants: a
+    *     driver round-trip beats 3-6 shuffle rounds whenever the graph
+    *     fits, and a graph that small is the common case even at
+    *     100 TB corpus scale.
+    *   - above the limit: iterative min-label propagation, O(component
+    *     diameter) rounds of one equi-join each (near-dup components
+    *     are clique-ish, so 2-3 rounds typical), lineage cut per round
+    *     with localCheckpoint so the plan stays bounded.
     */
-  def dedupComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dedupComponents(
+      pairs: DataFrame,
+      maxIter: Int = 10,
+      driverEdgeLimit: Long = 4L * 1000 * 1000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgePairs = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+    // one probing job decides the path AND delivers the edges when
+    // small: collect limit+1 rows — overflow means "go distributed"
+    val es = edgePairs.limit((driverEdgeLimit + 1).toInt).as[(Long, Long)].collect()
+    if (es.length <= driverEdgeLimit) {
+      // union-find, union-by-min-root with path compression: the root
+      // of every set is its minimum member, so find() IS the label
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keysIterator.map(id => (id, find(id))).toSeq
+      return spark
+        .createDataFrame(rows)
+        .toDF("id", "component")
+        .withColumn("is_representative", col("id") === col("component"))
+    }
     val edges = pairs
       .select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
