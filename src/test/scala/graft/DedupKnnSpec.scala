@@ -223,6 +223,21 @@ class DedupKnnSpec extends SparkTestBase {
     assert(got(20L) == ((20L, true)) && got(21L) == ((20L, false)))
   }
 
+  test("dedupComponents distributed path matches the driver union-find") {
+    // driverEdgeLimit = 0 forces the iterative min-label path; results
+    // must be identical to the (default) driver union-find
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+    ).toDF("id1", "id2")
+    val a = Dedup.dedupComponents(pairs)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val b = Dedup.dedupComponents(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("dropNearDuplicates keeps representatives and untouched docs") {
     val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id1", "id2")
     val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
