@@ -61,16 +61,23 @@ object Ops {
       .select(col(keyCol))
 
   /** Deterministic pagination (W1): `orderCols` must be a total order.
-    * Implemented as a row_number window so any page is addressable; for
-    * page 0 Catalyst would use a TakeOrderedAndProject instead. At
-    * cluster scale deep OFFSET pagination is inherently a full sort —
-    * the engine exposes it for parity but callers should keyset-paginate
-    * (filter on last-seen key) for hot paths.
+    * Two stages: a distributed top-((page+1)*pageSize) — Catalyst's
+    * TakeOrderedAndProject, per-partition heaps then a merge, never a
+    * global sort — then a row_number window over ONLY those rows to
+    * address the requested page. The global window's input is bounded
+    * by the page end, not the table, so the plan survives 100 TB for
+    * any sane page depth. Deep OFFSET pagination is still inherently
+    * O(page end) — callers should keyset-paginate (filter on last-seen
+    * key) for hot paths, as the reference's cursor pagination does.
     */
   def paginate(df: DataFrame, orderCols: Seq[Column], page: Int, pageSize: Int): DataFrame = {
+    val need = (page.toLong + 1) * pageSize
+    require(need <= Int.MaxValue, s"page end $need overflows limit()")
     val w = Window.orderBy(orderCols: _*)
-    df.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") > page.toLong * pageSize && col("rn") <= (page.toLong + 1) * pageSize)
+    df.orderBy(orderCols: _*)
+      .limit(need.toInt)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") > page.toLong * pageSize)
   }
 
   /** Latest row per key (W2): the reference's `history.last()`. */

@@ -2,13 +2,64 @@ package graft.tools
 
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 
-/** Dev tool: dump formatted physical plans for the given query names
-  * (or every query) and flag scale anti-patterns — cartesian products
-  * and nested-loop joins that aren't the intentional broadcast-few-
-  * queries ANN scans.
+/** Dev tool: walk each query's physical plan tree and flag scale
+  * anti-patterns structurally (string matching against explain output
+  * misses formatted-mode operators):
+  *
+  *   - CartesianProduct / BroadcastNestedLoopJoin — quadratic unless
+  *     one side is intentionally tiny (the broadcast-few-queries ANN
+  *     scans and broadcast-centroid assigns are the allowed cases);
+  *   - GlobalWindow — a window with an empty partitionSpec funnels
+  *     every row through one task. Flagged as `GlobalWindow(small)`
+  *     when it sits above an aggregation (bounded input: acceptable,
+  *     e.g. d28's share-of-total over the grouped frame) and
+  *     `GlobalWindow(RAW)` when it consumes unaggregated input (a real
+  *     100 TB bottleneck);
+  *   - SinglePartitionExchange — an explicit all-to-one shuffle that
+  *     is not the bounded window/agg case above.
+  *
+  * Usage: runMain graft.tools.PlanCheck [queryName...] — with names,
+  * also dumps the formatted plan.
   */
 object PlanCheck {
+
+  /** True if any node in `p`'s subtree is an aggregation or a limit —
+    * a global window above one reads a bounded (grouped / truncated)
+    * frame, not the corpus.
+    */
+  private def boundedBelow(p: SparkPlan): Boolean =
+    p.exists(n => n.nodeName.contains("HashAggregate") || n.nodeName.contains("SortAggregate") ||
+      n.nodeName.contains("ObjectHashAggregate") || n.nodeName.contains("Limit") ||
+      n.nodeName.contains("TakeOrderedAndProject"))
+
+  def flagsOf(plan: SparkPlan): Seq[String] = {
+    val nodes = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case n => n
+    }.flatMap(_.collect { case n => n }).distinct
+    val flags = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (nodes.exists(_.isInstanceOf[CartesianProductExec])) flags += "CartesianProduct"
+    if (nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec])) flags += "BroadcastNestedLoopJoin"
+    nodes.foreach {
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        flags += (if (boundedBelow(w.child)) "GlobalWindow(small)" else "GlobalWindow(RAW)")
+      case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+        flags += (if (boundedBelow(w.child)) "GlobalWindowLimit(small)" else "GlobalWindowLimit(RAW)")
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+        flags += (if (boundedBelow(e.child)) "SinglePartitionExchange(small)"
+                  else "SinglePartitionExchange(RAW)")
+      case _ => ()
+    }
+    flags.toSeq.distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -22,15 +73,11 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     for (n <- names) {
-      val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
-      val flags = Seq(
-        "CartesianProduct" -> plan.contains("CartesianProduct"),
-        "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-        "SinglePartitionWindow" -> (plan.contains("Window [") && plan.contains("SinglePartition")),
-      ).collect { case (f, true) => f }
+      val qe    = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      val flags = flagsOf(qe.executedPlan)
       println(s"== $n${if (flags.nonEmpty) "  FLAGS: " + flags.mkString(",") else ""}")
-      if (args.nonEmpty) println(plan)
+      if (args.nonEmpty)
+        println(qe.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
   }
