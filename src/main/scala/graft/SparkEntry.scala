@@ -29,7 +29,8 @@ object SparkEntry {
       SearchQueries.queries ++
       PipelineQueries.queries ++
       ExtendedQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       SearchQueries.oracles ++
       PipelineQueries.oracles ++
       ExtendedQueries.oracles ++
-      CorpusQueries.oracles
+      CorpusQueries.oracles ++
+      CurationQueries.oracles
 }

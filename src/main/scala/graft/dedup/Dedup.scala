@@ -133,10 +133,28 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
+    // each side's shingle-array frame feeds both its band index and the
+    // verification join — persist them once (Spark-ML style caching of
+    // the one narrow per-doc frame) or the whole sketch subtree
+    // recomputes per consumer
+    val cArrs = shingleArrays(corpus, idCol, textCol, shingleN).persist()
+    val iArrs = shingleArrays(incoming, idCol, textCol, shingleN).persist()
+    crossNearDupPairsFromArrays(cArrs, iArrs, idCol, k, rowsPerBand, threshold)
+  }
+
+  /** `crossNearDupPairs` over precomputed (ideally persisted)
+    * `shingleArrays` frames — the reusable-index form: a long-lived
+    * corpus band index amortizes across daily batches.
+    */
+  def crossNearDupPairsFromArrays(
+      cArrs: DataFrame,
+      iArrs: DataFrame,
+      idCol: String,
+      k: Int = 16,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
     def bands(arrs: DataFrame) =
       lshBands(minhashSignaturesAgg(explodeShingles(arrs, idCol), idCol, k), idCol, rowsPerBand)
-    val cArrs = shingleArrays(corpus, idCol, textCol, shingleN)
-    val iArrs = shingleArrays(incoming, idCol, textCol, shingleN)
     val cand = bands(iArrs)
       .select(col("band"), col("sig"), col(idCol).as("incoming_id"))
       .join(bands(cArrs).select(col("band"), col("sig"), col(idCol).as("corpus_id")), Seq("band", "sig"))

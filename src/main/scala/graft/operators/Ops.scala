@@ -110,19 +110,25 @@ object Ops {
   }
 
   /** As-of join — an operator Spark lacks natively: for every left row,
-    * the latest right row of the same key with rightTime <= leftTime.
+    * the latest right row of the same key with rightTime <= leftTime
+    * (`direction = "backward"`, the default), or the earliest right row
+    * with rightTime >= leftTime (`direction = "forward"`).
     *
     * Composed scalably (preference (a) of the extension ladder) rather
     * than as a custom SparkPlan: tag both inputs, union, and take a
     * running `last_value(right, ignoreNulls)` over (key, time) — ONE
     * shuffle on the key, no inequality-join row explosion, works on any
-    * Spark without extensions. Right rows sort before left rows at
-    * equal timestamps, so an exactly-simultaneous right row matches
-    * (ASOF `>=` semantics, same as DuckDB's ASOF JOIN oracle).
+    * Spark without extensions. Backward sorts right rows before left
+    * rows at equal timestamps and scans the preceding frame; forward is
+    * the mirror — left before right at equal timestamps, `first_value`
+    * over the following frame — so an exactly-simultaneous right row
+    * matches in both directions (ASOF `>=` / `<=` semantics, same as
+    * DuckDB's ASOF JOIN oracle).
     *
-    * Left rows with no prior right row keep a null match (left-outer
-    * as-of). `tieCols` break ordering ties among right rows sharing
-    * (key, time) — the LAST by tie order wins deterministically.
+    * Left rows with no matchable right row keep a null match
+    * (left-outer as-of). `tieCols` break ordering ties among right rows
+    * sharing (key, time): backward keeps the LAST by tie order, forward
+    * the FIRST — deterministic either way.
     */
   def asofJoin(
       left: DataFrame,
@@ -131,7 +137,10 @@ object Ops {
       leftTime: String,
       rightTime: String,
       tieCols: Seq[String] = Seq.empty,
-      matchedName: String = "matched"): DataFrame = {
+      matchedName: String = "matched",
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward", s"bad direction: $direction")
+    val fwd   = direction == "forward"
     val lType = org.apache.spark.sql.types.StructType(left.schema.fields)
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
     val lTagged = left.select(
@@ -148,13 +157,23 @@ object Ops {
         lit(null).cast(lType).as("__lrow"),
         struct(right.columns.map(right(_)): _*).as("__rrow")) ++
         tieCols.map(c => right(c).as(s"__tie_$c")): _*)
-    val w = Window
+    // backward: rights sort before the left at equal (t, key) and the
+    // running last over the preceding frame picks the latest; forward
+    // mirrors every ordering choice and scans the following frame.
+    val sideOrd = if (fwd) col("__side").desc else col("__side").asc
+    val tieOrds = tieCols.map(c =>
+      if (fwd) col(s"__tie_$c").asc_nulls_first else col(s"__tie_$c").asc_nulls_first)
+    val w0 = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy((Seq(col("__t"), col("__side")) ++ tieCols.map(c => col(s"__tie_$c").asc_nulls_first)): _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
+      .orderBy((Seq(col("__t"), sideOrd) ++ tieOrds): _*)
+    val matched =
+      if (fwd) first(col("__rrow"), ignoreNulls = true)
+        .over(w0.rowsBetween(0, Window.unboundedFollowing))
+      else last(col("__rrow"), ignoreNulls = true)
+        .over(w0.rowsBetween(Window.unboundedPreceding, 0))
     lTagged
       .unionByName(rTagged)
-      .withColumn(matchedName, last(col("__rrow"), ignoreNulls = true).over(w))
+      .withColumn(matchedName, matched)
       .filter(col("__side") === 1)
       .select(col("__lrow").as("left"), col(matchedName))
   }

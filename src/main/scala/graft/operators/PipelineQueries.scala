@@ -22,7 +22,7 @@ object PipelineQueries {
 
   // ---------- shared DuckDB CTE fragments ----------
 
-  private val toksCte =
+  private[operators] val toksCte =
     """toks AS (
       |  SELECT doc_id, lang, source, text,
       |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
@@ -30,7 +30,7 @@ object PipelineQueries {
 
   // shingles are carried as their 60-bit md5 hash (= Hashing.hash60 /
   // Dedup.shingleArrays representation): 8-byte join/intersection keys
-  private val shCte =
+  private[operators] val shCte =
     """sh AS (
       |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(s0), 1, 15) AS BIGINT) AS s FROM (
       |    SELECT doc_id, unnest(CASE WHEN len(t) >= 3
