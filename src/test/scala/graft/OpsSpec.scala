@@ -84,6 +84,24 @@ class OpsSpec extends SparkTestBase {
     assert(got(3L) == ((None, None)))           // no quote for key 8 → left outer
   }
 
+  test("asofJoin forward: earliest following match, <= ties, left-outer nulls, tie-break") {
+    val trades = Seq((1L, 7L, 100L), (2L, 7L, 195L), (3L, 8L, 50L)).toDF("tid", "k", "t")
+    val quotes = Seq(
+      (10L, 7L, 90L, 1.0),                        // before → never matches forward
+      (11L, 7L, 100L, 2.0),                       // simultaneous quote must match (<=)
+      (12L, 7L, 200L, 3.0), (13L, 7L, 200L, 4.0), // tie at t=200 → min qid wins
+      (14L, 9L, 10L, 9.9),                        // other key, never matches
+    ).toDF("qid", "k", "t", "px")
+    val got = Ops
+      .asofJoin(trades, quotes, Seq("k"), "t", "t", tieCols = Seq("qid"), direction = "forward")
+      .select($"left.tid", $"matched.qid", $"matched.px")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(11L), Some(2.0)))) // equal-ts quote visible
+    assert(got(2L) == ((Some(12L), Some(3.0)))) // deterministic tie-break: FIRST by qid
+    assert(got(3L) == ((None, None)))           // no later quote for key 8 → left outer
+  }
+
   test("saltedCountSum equals direct groupBy on skewed keys") {
     val rows = (1 to 2000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i * 1.5)) // 90% one key
     val df   = rows.toDF("k", "v")
