@@ -30,7 +30,8 @@ object SparkEntry {
       PipelineQueries.queries ++
       ExtendedQueries.queries ++
       CorpusQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      TrainingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       PipelineQueries.oracles ++
       ExtendedQueries.oracles ++
       CorpusQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      TrainingQueries.oracles
 }

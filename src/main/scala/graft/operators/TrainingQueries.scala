@@ -1,0 +1,244 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Hashing, TextAnalysis}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-4 batch 3 — training-data curation operators:
+  *
+  *   - d34: Gopher-style duplicate-n-gram quality rules (the repetition
+  *     filters of Rae et al. 2021 §A1.1: fraction of n-gram occurrences
+  *     belonging to within-doc repeated n-grams, n = 2 and 3),
+  *   - d35: deterministic global corpus shuffle + fixed-shard export
+  *     layout (hash-ordered permutation, the pre-training data-order
+  *     step — no RNG, stable under reruns),
+  *   - d37: temperature-based source mixing (alpha = 0.5 upsampling of
+  *     rare strata, integer-exact rate arithmetic),
+  *   - mm03: typed header-field extraction from binary media columns
+  *     (big-endian uint32 at fixed byte offsets — the IHDR-shaped
+  *     parse an image ingester runs before decode),
+  *   - q53: keyset (cursor) pagination — the scale-correct alternative
+  *     to OFFSET paging: page depth never changes the plan's cost
+  *     (filter on last-seen key + TakeOrderedAndProject), unlike
+  *     Ops.paginate whose cost is O(page end).
+  */
+object TrainingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------- d34: duplicate-n-gram repetition rules ----------
+
+  /** Per doc: total n-gram occurrences (n2/n3), occurrences belonging
+    * to n-grams repeated within the doc (d2/d3), their fractions, and
+    * the Gopher-style flag. One narrow explode + two map-side-combined
+    * aggregations keyed by doc — no windows, no joins; the shuffle
+    * carries one row per distinct (doc, n, gram).
+    */
+  val d34_dup_ngrams: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val toks = t.documents.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val grams = toks
+      .select(
+        col("doc_id"),
+        explode(
+          concat(
+            transform(
+              TextAnalysis.shinglesFromTokens(col("t"), 2),
+              g => struct(lit(2).as("n"), g.as("gram"))),
+            transform(
+              TextAnalysis.shinglesFromTokens(col("t"), 3),
+              g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val frac2 = col("d2").cast("double") / col("n2")
+    val frac3 = col("d3").cast("double") / col("n3")
+    grams
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("n") === 2, col("c"))).as("n2"),
+        sum(when(col("n") === 2 && col("c") >= 2, col("c")).otherwise(lit(0L))).as("d2"),
+        sum(when(col("n") === 3, col("c"))).as("n3"),
+        sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(lit(0L))).as("d3"))
+      .filter(col("n2") > 0 && col("n3") > 0)
+      .select(
+        col("doc_id"),
+        col("n2"),
+        col("d2"),
+        col("n3"),
+        col("d3"),
+        frac2.as("frac2"),
+        frac3.as("frac3"),
+        (frac2 > 0.05 || frac3 > 0.02).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------- d35: deterministic global shuffle + sharding ----------
+
+  /** Hash-ordered corpus permutation assigned to 16 fixed output
+    * shards: shard = hash60(doc_id) mod 16, position = rank within the
+    * shard by (hash, doc_id). Reruns and corpus re-partitions give the
+    * identical layout (no RNG); at cluster scale the per-shard
+    * row_number is a partitioned window — each shard sorts
+    * independently, there is no global sort. Writing with
+    * `partitionBy(shard)` then makes each shard one output directory.
+    */
+  val d35_global_shuffle: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), Hashing.hash60(col("doc_id").cast("string")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(16L)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  // ---------- d37: temperature-based source mixing ----------
+
+  /** Temperature-weighted mixture sampling over language strata
+    * (alpha = 0.5): stratum weight w = floor(sqrt(n) * 1e6), sampling
+    * rate ∝ w / n scaled so the expected sample is half the corpus,
+    * capped at 1. Rare strata are upsampled relative to their share —
+    * the standard multilingual-pretraining mix (e.g. mT5's alpha-scaled
+    * sampling). All rate arithmetic after the (exactly-rounded, hence
+    * deterministic) sqrt is 64-bit integer — rates are ppm-of-2^20
+    * numerators, membership is an integer hash compare, so engine and
+    * oracle agree bit-for-bit with no float-sum order sensitivity.
+    * Products stay under 2^63 up to ~10^9-doc strata; beyond that,
+    * widen to decimal(38,0).
+    */
+  val d37_temperature_mix: Q = (s, dir) => {
+    val t     = Tables(s, dir)
+    val stats = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val w     = stats.withColumn("w", floor(sqrt(col("n_docs").cast("double")) * 1000000).cast("long"))
+    val tot   = w.agg(sum(col("n_docs")).as("n_total"), sum(col("w")).as("sumw"))
+    val rates = w
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "rate_ppm",
+        least(lit(1048576L), expr("(1048576 * w * (n_total div 2)) div (sumw * n_docs)")))
+      .select(col("lang"), col("n_docs"), col("rate_ppm"))
+    val sampled = t.documents
+      .join(broadcast(rates), "lang")
+      .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(1048576L)) < col("rate_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+    rates
+      .join(sampled, Seq("lang"), "left")
+      .select(
+        col("lang"),
+        col("n_docs"),
+        col("rate_ppm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------- mm03: binary header-field extraction ----------
+
+  /** Typed field extraction from an opaque binary payload: magic bytes
+    * and two big-endian uint32 fields at fixed offsets (the PNG-IHDR
+    * shape: width/height at bytes 17-24). Pure Column expressions over
+    * the binary column — substring + hex + base-16 parse, no UDF — so
+    * the parse runs inside whole-stage codegen and the payload is never
+    * shuffled.
+    */
+  val mm03_binary_header: Q = (s, dir) => {
+    val t     = Tables(s, dir)
+    val media = Multimodal.toMediaTable(t.documents, "doc_id", "text")
+    def be32(off: Int) =
+      conv(hex(substring(col("payload"), off, 4)), 16, 10).cast("long")
+    media
+      .filter(col("n_bytes") >= 24)
+      .select(
+        col("media_id"),
+        hex(substring(col("payload"), 1, 4)).as("magic_hex"),
+        be32(17).as("field_a"),
+        be32(21).as("field_b"))
+      .orderBy(col("media_id"))
+  }
+
+  // ---------- q53: keyset pagination ----------
+
+  /** Cursor pagination after last-seen key 500: a pushed-down range
+    * filter + distributed top-100 (TakeOrderedAndProject). Unlike
+    * OFFSET paging (q21 / Ops.paginate), cost is independent of how
+    * deep the caller has paged — this is the pagination the reference's
+    * API should expose at 100 TB.
+    */
+  val q53_keyset_pagination: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders
+      .filter(col("o_orderkey") > 500L)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(100)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d34_dup_ngrams"       -> d34_dup_ngrams,
+    "d35_global_shuffle"   -> d35_global_shuffle,
+    "d37_temperature_mix"  -> d37_temperature_mix,
+    "mm03_binary_header"   -> mm03_binary_header,
+    "q53_keyset_pagination" -> q53_keyset_pagination,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d34_dup_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, n, unnest(CASE WHEN len(t) >= n
+        |           THEN list_transform(generate_series(1, len(t) - n + 1),
+        |                i -> concat_ws(' ', t[i], t[i+1], CASE WHEN n = 3 THEN t[i+2] ELSE NULL END))
+        |           ELSE [] END) AS gram
+        |  FROM toks CROSS JOIN (SELECT unnest([2,3]) AS n) nn),
+        |cnt AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1,2,3),
+        |agg AS (SELECT doc_id,
+        |               SUM(CASE WHEN n=2 THEN c END) AS n2,
+        |               SUM(CASE WHEN n=2 AND c>=2 THEN c ELSE 0 END) AS d2,
+        |               SUM(CASE WHEN n=3 THEN c END) AS n3,
+        |               SUM(CASE WHEN n=3 AND c>=2 THEN c ELSE 0 END) AS d3
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT doc_id, CAST(n2 AS BIGINT) AS n2, CAST(d2 AS BIGINT) AS d2,
+        |       CAST(n3 AS BIGINT) AS n3, CAST(d3 AS BIGINT) AS d3,
+        |       CAST(d2 AS DOUBLE)/n2 AS frac2, CAST(d3 AS DOUBLE)/n3 AS frac3,
+        |       (CAST(d2 AS DOUBLE)/n2 > 0.05 OR CAST(d3 AS DOUBLE)/n3 > 0.02) AS flagged
+        |FROM agg WHERE n2 > 0 AND n3 > 0 ORDER BY doc_id""".stripMargin,
+    "d35_global_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |                  CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) AS h
+        |           FROM documents)
+        |SELECT doc_id, h, h % 16 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
+    "d37_temperature_mix" ->
+      """WITH s AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_docs,
+        |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM s),
+        |tot AS (SELECT SUM(n_docs) AS n_total, SUM(w) AS sumw FROM w),
+        |r AS (SELECT lang, n_docs,
+        |             least(1048576, (1048576 * w * (n_total // 2)) // (sumw * n_docs)) AS rate_ppm
+        |      FROM w CROSS JOIN tot),
+        |k AS (SELECT d.lang AS klang, COUNT(*) AS n_sampled
+        |      FROM documents d JOIN r ON d.lang = r.lang
+        |      WHERE CAST('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15) AS BIGINT) % 1048576
+        |              < r.rate_ppm
+        |      GROUP BY d.lang)
+        |SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+        |       CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+        |FROM r LEFT JOIN k ON r.lang = k.klang ORDER BY lang""".stripMargin,
+    "mm03_binary_header" ->
+      """SELECT doc_id AS media_id,
+        |       hex(encode(substr(text, 1, 4))) AS magic_hex,
+        |       CAST('0x'||hex(encode(substr(text, 17, 4))) AS BIGINT) AS field_a,
+        |       CAST('0x'||hex(encode(substr(text, 21, 4))) AS BIGINT) AS field_b
+        |FROM documents WHERE octet_length(encode(text)) >= 24 ORDER BY media_id""".stripMargin,
+    "q53_keyset_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100""".stripMargin,
+  )
+}
