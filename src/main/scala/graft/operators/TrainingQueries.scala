@@ -177,7 +177,70 @@ object TrainingQueries {
       .limit(100)
   }
 
+  // ---------- e08: SemDeDup embedding dedup ----------
+
+  /** SemDeDup (cluster-then-dedup) over the embeddings table:
+    * sign-bit cells, within-cell cosine >= 0.4 drops the larger id.
+    * Keep/drop decisions per vector — the embedding-space twin of
+    * d12's text near-dup clustering (Knn.semDedup).
+    */
+  val e08_semdedup: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.similarity.Knn
+      .semDedup(t.embeddings, "vec_id", "embedding", threshold = 0.4, bits = 3)
+      .orderBy(col("vec_id"))
+  }
+
+  // ---------- d38: BPE merge step ----------
+
+  /** One BPE-training iteration over the corpus: global counts of
+    * adjacent character pairs within words, top-20 by (count desc,
+    * pair). Two narrow explodes (word, then in-word position) feed ONE
+    * map-side-combined aggregation; the top-k is a distributed
+    * TakeOrderedAndProject over the (tiny) pair-count frame, never a
+    * global sort of occurrences. Iterating = re-running with the won
+    * pair merged into the token stream.
+    */
+  val d38_bpe_merge: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val words = t.documents.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+    val pairs = words
+      .filter(length(col("w")) >= 2)
+      .select(
+        explode(
+          transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => concat(col("w").substr(i, lit(1)), col("w").substr(i + 1, lit(1))))).as("pair"))
+    val wTop = Window.orderBy(col("n").desc, col("pair"))
+    pairs
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 20)
+      .orderBy(col("rank"))
+  }
+
+  // ---------- q54: correlated scalar subquery ----------
+
+  /** Correlated scalar subquery through the SQL front end — Catalyst
+    * decorrelates the per-row MAX into ONE aggregate + left outer join
+    * (where the reference's ORM would issue an N+1 query per row).
+    */
+  val q54_correlated_scalar: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.orders.createOrReplaceTempView("orders_v")
+    t.lineitem.createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |       (SELECT MAX(l.l_shipdate) FROM lineitem_v l
+        |        WHERE l.l_orderkey = o.o_orderkey) AS last_ship
+        |FROM orders_v o WHERE o.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "e08_semdedup"          -> e08_semdedup,
+    "d38_bpe_merge"         -> d38_bpe_merge,
+    "q54_correlated_scalar" -> q54_correlated_scalar,
     "d34_dup_ngrams"       -> d34_dup_ngrams,
     "d35_global_shuffle"   -> d35_global_shuffle,
     "d37_temperature_mix"  -> d37_temperature_mix,
@@ -186,6 +249,42 @@ object TrainingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e08_semdedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |b AS (SELECT vec_id, v,
+        |             CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
+        |                + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
+        |                + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell
+        |      FROM e),
+        |p AS (SELECT bb.vec_id AS drop_id
+        |      FROM b a JOIN b bb ON a.cell = bb.cell AND a.vec_id < bb.vec_id
+        |      WHERE list_reduce(list_transform(list_zip(a.v, bb.v), s -> s[1] * s[2]), (x, y) -> x + y)
+        |            / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), (x, y) -> x + y))
+        |             * sqrt(list_reduce(list_transform(list_zip(bb.v, bb.v), s -> s[1] * s[2]), (x, y) -> x + y)))
+        |            >= 0.4)
+        |SELECT b.vec_id, b.cell, (d.drop_id IS NULL) AS is_kept
+        |FROM b LEFT JOIN (SELECT DISTINCT drop_id FROM p) d ON b.vec_id = d.drop_id
+        |ORDER BY vec_id""".stripMargin,
+    "d38_bpe_merge" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |                THEN list_transform(generate_series(1, len(w) - 1),
+        |                     i -> substr(w, CAST(i AS INT), 1) || substr(w, CAST(i AS INT) + 1, 1))
+        |                ELSE [] END) AS pair
+        |  FROM toks),
+        |cnt AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        |       CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank
+        |FROM cnt QUALIFY rank <= 20 ORDER BY rank""".stripMargin,
+    "q54_correlated_scalar" ->
+      """SELECT o.o_orderkey, o.o_totalprice,
+        |       (SELECT MAX(l.l_shipdate) FROM lineitem l
+        |        WHERE l.l_orderkey = o.o_orderkey) AS last_ship
+        |FROM orders o WHERE o.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
     "d34_dup_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

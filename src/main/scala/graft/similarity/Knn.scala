@@ -99,6 +99,41 @@ object Knn {
       .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** SemDeDup-style embedding dedup (Abbas et al. 2023): cluster the
+    * corpus coarsely, then within each cluster drop every vector that
+    * has a higher-priority (smaller-id) neighbor with cosine >=
+    * threshold. Output: one row per vector with its cell and the
+    * keep/drop decision.
+    *
+    * The within-cell self-join is the SemDeDup trick: pair cost falls
+    * from O(N²) to O(Σ |cell|²), and the join is an equi-join on the
+    * cell key, so a pre-partitioned corpus never reshuffles. With
+    * sign-bit cells the cell count is 2^bits — fine for a demo corpus;
+    * at 100 TB the cell key comes from a trained IVF coarse quantizer
+    * (e07's k-means step) with ~√N centroids, which bounds both cell
+    * width and join skew.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 3): DataFrame = {
+    val b = corpus
+      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cell", signCell(col("v"), bits))
+    val lhs = b.select(col("vec_id").as("a_id"), col("v").as("av"), col("cell"))
+    val rhs = b.select(col("vec_id").as("b_id"), col("v").as("bv"), col("cell"))
+    val dropped = lhs
+      .join(rhs, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine(col("av"), col("bv")) >= threshold)
+      .select(col("b_id").as("drop_id"))
+      .distinct()
+    b.join(dropped, b("vec_id") === dropped("drop_id"), "left")
+      .select(col("vec_id"), col("cell"), col("drop_id").isNull.as("is_kept"))
+  }
+
   /** ANN: search only the query's sign-bit cell (IVF nprobe=1).
     * Recall trades against `bits`; candidates drop to ~N/2^bits.
     */

@@ -268,4 +268,19 @@ class DedupKnnSpec extends SparkTestBase {
       .select("n_id").as[Long].collect().toSet
     assert(got == Set(1L)) // vec 2 is in another cell, never scored
   }
+
+  test("semDedup drops exactly the vectors dominated by a smaller-id neighbor") {
+    val emb = Seq(
+      (0L, Array(1f, 1f, 1f)),       // kept (nothing smaller)
+      (1L, Array(0.9f, 1.1f, 1f)),   // ~parallel to 0, same cell -> dropped
+      (2L, Array(1f, -1f, 1f)),      // different cell -> kept
+      (3L, Array(0.95f, 1f, 1.05f)), // ~parallel to 0 and 1 -> dropped
+      (4L, Array(1f, 1f, -20f)),     // same cell as 2, near-orthogonal to it -> kept
+    ).toDF("vec_id", "embedding")
+    val got = Knn.semDedup(emb, "vec_id", "embedding", threshold = 0.95, bits = 3)
+      .select("vec_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(got == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    // the drop rule is dominated-by-ANY-smaller-id (one join-parallel
+    // pass), so 3 is dropped via 0 or 1 even though 1 itself dropped
+  }
 }
