@@ -195,6 +195,45 @@ object Dedup {
         transform(TextAnalysis.shinglesFromTokens(col("t"), n), s => Hashing.hash60(s)))).as("set"))
       .withColumn("n", size(col("set")).cast("long"))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    * algorithm): hash every k-gram in POSITION order, take the min hash
+    * of each sliding window of w consecutive k-gram hashes, emit each
+    * doc's distinct window-mins as (id, fp) rows. Guarantee: two docs
+    * sharing a run of >= k + w - 1 tokens share a fingerprint, at ~1/w
+    * the index density of full shingling. Entirely per-row array
+    * expressions (transform / slice / array_min) — narrow, no shuffle;
+    * downstream joins/groups see an inverted index w× smaller than the
+    * full shingle index.
+    */
+  def winnowFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    val empt = array().cast("array<bigint>")
+    val hs = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(
+        col(idCol),
+        when(
+          size(col("t")) >= k,
+          transform(
+            sequence(lit(1), size(col("t")) - (k - 1)),
+            i =>
+              Hashing.hash60(
+                concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + j)): _*))))
+          .otherwise(empt).as("h"))
+    hs.select(
+      col(idCol),
+      explode(
+        when(
+          size(col("h")) >= w,
+          array_distinct(
+            transform(sequence(lit(1), size(col("h")) - (w - 1)), i => array_min(slice(col("h"), i, lit(w))))))
+          .otherwise(empt)).as("fp"))
+  }
+
   /** Distinct word-n-gram shingle set, exploded to (id, shingle) rows —
     * the inverted-index representation all near-dup ops build on.
     * Documents with fewer than n tokens vanish (empty shingle set).

@@ -237,10 +237,112 @@ object TrainingQueries {
         |FROM orders_v o WHERE o.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin)
   }
 
+  // ---------- d39: truncation / prefix duplicates ----------
+
+  /** Documents that are exact PREFIXES of other documents — the
+    * truncation-duplicate class that Jaccard misses at low containment
+    * and exact dedup misses entirely. Candidates block on the first
+    * 3 tokens (equi-join key — a true prefix pair always shares them),
+    * then verify with a startsWith compare; equal-text pairs order by
+    * id so each pair appears once. Candidate fan-out is bounded by
+    * first-3-token collisions, never O(N²).
+    */
+  val d39_prefix_dups: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val k = t.documents
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(
+        col("doc_id"),
+        col("text"),
+        concat_ws(
+          " ",
+          element_at(col("toks"), 1),
+          element_at(col("toks"), 2),
+          element_at(col("toks"), 3)).as("key3"))
+    val a = k.select(col("doc_id").as("short_id"), col("text").as("a_text"), col("key3"))
+    val b = k.select(col("doc_id").as("long_id"), col("text").as("b_text"), col("key3"))
+    a.join(b, "key3")
+      .filter(col("short_id") =!= col("long_id"))
+      .filter(length(col("a_text")) <= length(col("b_text")))
+      .filter(col("b_text").startsWith(col("a_text")))
+      .filter(length(col("a_text")) < length(col("b_text")) || col("short_id") < col("long_id"))
+      .select(
+        col("short_id"),
+        col("long_id"),
+        length(col("a_text")).cast("long").as("short_len"),
+        length(col("b_text")).cast("long").as("long_len"))
+      .orderBy(col("short_id"), col("long_id"))
+  }
+
+  // ---------- d40: winnowing fingerprints ----------
+
+  /** Winnowing document fingerprints (`Dedup.winnowFingerprints`,
+    * k=3, w=4): any shared run of >= 6 tokens between two docs shares
+    * a fingerprint, at ~1/4 the density of full shingling.
+    */
+  val d40_winnowing: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    graft.dedup.Dedup
+      .winnowFingerprints(t.documents, "doc_id", "text", k = 3, w = 4)
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
+  // ---------- d41: cross-source overlap matrix ----------
+
+  /** Corpus data-card diagnostic: pairwise shingle overlap between
+    * sources — distinct 3-gram hash sets per source, one equi-join on
+    * the shingle hash (a.source < b.source), exact Jaccard per source
+    * pair. The join shuffles each distinct (source, shingle) once;
+    * output is |sources|² tiny. The corpus-level twin of d02's per-doc
+    * near-dup search.
+    */
+  val d41_source_overlap: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val empt = array().cast("array<bigint>")
+    val sh = t.documents
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(
+        col("source"),
+        explode(
+          when(
+            size(col("t")) >= 3,
+            transform(
+              sequence(lit(1), size(col("t")) - 2),
+              i =>
+                Hashing.hash60(
+                  concat_ws(
+                    " ",
+                    element_at(col("t"), i),
+                    element_at(col("t"), i + 1),
+                    element_at(col("t"), i + 2))))).otherwise(empt)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a     = sh.select(col("source").as("src_a"), col("s"))
+    val b     = sh.select(col("source").as("src_b"), col("s"))
+    val inter = a
+      .join(b, Seq("s"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_shared"),
+        (col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared"))).as("jac"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e08_semdedup"          -> e08_semdedup,
     "d38_bpe_merge"         -> d38_bpe_merge,
     "q54_correlated_scalar" -> q54_correlated_scalar,
+    "d39_prefix_dups"       -> d39_prefix_dups,
+    "d40_winnowing"         -> d40_winnowing,
+    "d41_source_overlap"    -> d41_source_overlap,
     "d34_dup_ngrams"       -> d34_dup_ngrams,
     "d35_global_shuffle"   -> d35_global_shuffle,
     "d37_temperature_mix"  -> d37_temperature_mix,
@@ -285,6 +387,51 @@ object TrainingQueries {
         |       (SELECT MAX(l.l_shipdate) FROM lineitem l
         |        WHERE l.l_orderkey = o.o_orderkey) AS last_ship
         |FROM orders o WHERE o.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "d39_prefix_dups" ->
+      """WITH t AS (SELECT doc_id, text,
+        |                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+        |           FROM documents),
+        |k AS (SELECT doc_id, text, concat_ws(' ', toks[1], toks[2], toks[3]) AS key3
+        |      FROM t WHERE len(toks) >= 3)
+        |SELECT a.doc_id AS short_id, b.doc_id AS long_id,
+        |       CAST(len(a.text) AS BIGINT) AS short_len, CAST(len(b.text) AS BIGINT) AS long_len
+        |FROM k a JOIN k b ON a.key3 = b.key3 AND a.doc_id <> b.doc_id
+        |WHERE len(a.text) <= len(b.text) AND strpos(b.text, a.text) = 1
+        |  AND (len(a.text) < len(b.text) OR a.doc_id < b.doc_id)
+        |ORDER BY short_id, long_id""".stripMargin,
+    "d40_winnowing" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |hs AS (SELECT doc_id,
+        |              CASE WHEN len(t) >= 3
+        |                THEN list_transform(generate_series(1, len(t) - 2),
+        |                     i -> CAST('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15) AS BIGINT))
+        |                ELSE [] END AS h
+        |       FROM toks)
+        |SELECT doc_id, unnest(CASE WHEN len(h) >= 4
+        |         THEN list_distinct(list_transform(generate_series(1, len(h) - 3),
+        |              i -> list_min(h[i:i+3])))
+        |         ELSE [] END) AS fp
+        |FROM hs ORDER BY doc_id, fp""".stripMargin,
+    "d41_source_overlap" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 3
+        |         THEN list_transform(generate_series(1, len(t) - 2),
+        |              i -> CAST('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2])), 1, 15) AS BIGINT))
+        |         ELSE [] END) AS s
+        |       FROM toks),
+        |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+        |inter AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |          GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+        |       CAST(i.n_shared AS DOUBLE) / (sa.n + sb.n - i.n_shared) AS jac
+        |FROM inter i JOIN sizes sa ON sa.source = i.src_a
+        |             JOIN sizes sb ON sb.source = i.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "d34_dup_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t

@@ -283,4 +283,20 @@ class DedupKnnSpec extends SparkTestBase {
     // the drop rule is dominated-by-ANY-smaller-id (one join-parallel
     // pass), so 3 is dropped via 0 or 1 even though 1 itself dropped
   }
+
+  test("winnowing guarantee: docs sharing a >=6-token run share a fingerprint") {
+    // k=3 shingles + window 4 => any common substring of k+w-1 = 6
+    // tokens spans a full hash window, whose min is a fingerprint of
+    // both docs (Schleimer et al. 2003, thm 1)
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $shared x y z"),
+      (2L, s"$shared p q r s t u v w"),
+      (3L, "totally different words everywhere here now okay then"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((got(1L) intersect got(2L)).nonEmpty)
+    assert((got(1L) intersect got(3L)).isEmpty)
+  }
 }
