@@ -224,6 +224,33 @@ object TrainingQueries {
       .orderBy(col("rank"))
   }
 
+  // ---------- d42: adaptive (distribution-relative) quality cutoff ----------
+
+  /** Relative quality filtering: instead of a fixed token-count
+    * threshold, each language keeps documents at or above its own 25th
+    * percentile of BPE token count — the cutoff adapts to the
+    * per-stratum distribution (short-text languages aren't mass-dropped
+    * by a global constant). Exact interpolated percentile per lang
+    * (tiny frame) broadcast back against the corpus; output is the
+    * per-lang threshold and kept/total accounting. Spark `percentile`
+    * and DuckDB `quantile_cont` share the interpolation definition, so
+    * the thresholds compare exactly (cf. q37).
+    */
+  val d42_adaptive_cutoff: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val tc = t.documents.select(
+      col("lang"),
+      TextAnalysis.bpeTokenCount(col("text")).as("n_tok"))
+    val th = tc.groupBy(col("lang")).agg(expr("percentile(n_tok, 0.25)").as("p25"))
+    tc.join(broadcast(th), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        first(col("p25")).as("p25"),
+        count(lit(1)).as("n_total"),
+        count(when(col("n_tok") >= col("p25"), 1)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   // ---------- q54: correlated scalar subquery ----------
 
   /** Correlated scalar subquery through the SQL front end — Catalyst
@@ -347,6 +374,7 @@ object TrainingQueries {
     "d39_prefix_dups"       -> d39_prefix_dups,
     "d40_winnowing"         -> d40_winnowing,
     "d41_source_overlap"    -> d41_source_overlap,
+    "d42_adaptive_cutoff"   -> d42_adaptive_cutoff,
     "d34_dup_ngrams"       -> d34_dup_ngrams,
     "d35_global_shuffle"   -> d35_global_shuffle,
     "d37_temperature_mix"  -> d37_temperature_mix,
@@ -391,6 +419,15 @@ object TrainingQueries {
         |       (SELECT MAX(l.l_shipdate) FROM lineitem l
         |        WHERE l.l_orderkey = o.o_orderkey) AS last_ship
         |FROM orders o WHERE o.o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+    "d42_adaptive_cutoff" ->
+      """WITH tc AS (SELECT lang,
+        |                   CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0)) AS BIGINT) AS n_tok
+        |            FROM documents),
+        |th AS (SELECT lang, quantile_cont(n_tok, 0.25) AS p25 FROM tc GROUP BY lang)
+        |SELECT tc.lang AS lang, ANY_VALUE(th.p25) AS p25, COUNT(*) AS n_total,
+        |       CAST(COUNT(CASE WHEN tc.n_tok >= th.p25 THEN 1 END) AS BIGINT) AS n_kept
+        |FROM tc JOIN th ON tc.lang = th.lang
+        |GROUP BY tc.lang ORDER BY tc.lang""".stripMargin,
     "d39_prefix_dups" ->
       """WITH t AS (SELECT doc_id, text,
         |                  list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

@@ -31,6 +31,12 @@ case class SessionOut(
 /** Open-session state carried between micro-batches. */
 case class SessionState(startUs: Long, endUs: Long, n: Long, total: Double)
 
+/** Typed event row for windowed top-n state (hour bucket precomputed). */
+case class HourTypeEvent(hour_us: Long, event_type: String, event_time: java.sql.Timestamp)
+
+/** Finalized heavy-hitter row emitted when a window closes. */
+case class TopNOut(hour_us: Long, event_type: String, n: Long, rank: Long)
+
 /** Event-stream processing over the `events` table (§2.10 extension —
   * the reference is batch-only, so this is the engine's Structured
   * Streaming surface).
@@ -214,6 +220,58 @@ object EventStreams {
 
     typed
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Streaming windowed top-n heavy hitters — the streaming twin of the
+    * batch st09 query: per 1-hour tumbling window, the top `n` event
+    * types by count, emitted ONCE when the event-time watermark passes
+    * the window end (so every emission is final — append mode, no
+    * retractions).
+    *
+    * State per open window is the per-type count map; with a bounded
+    * type vocabulary that is exact. For unbounded key domains swap the
+    * map for a SpaceSaving/Misra-Gries summary of fixed width — the
+    * emission logic is unchanged. Keyed by window start, so state
+    * count = open windows × distinct types, independent of stream
+    * length — the property that lets this run indefinitely.
+    */
+  def windowedTopNStream(events: DataFrame, n: Int = 3, watermark: String = "2 hours"): Dataset[TopNOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hourUs = 3600L * 1000000L
+    val typed = withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .withColumn("hour_us", expr(s"(ts div 1000) - pmod(ts div 1000, ${hourUs}L)"))
+      .select(col("hour_us"), col("event_type"), col("event_time"))
+      .as[HourTypeEvent]
+
+    def update(
+        hourUsKey: Long,
+        it: Iterator[HourTypeEvent],
+        state: GroupState[Map[String, Long]]): Iterator[TopNOut] = {
+      if (state.hasTimedOut) {
+        val counts = state.get
+        state.remove()
+        counts.toSeq
+          .sortBy { case (t, c) => (-c, t) }
+          .take(n)
+          .zipWithIndex
+          .map { case ((t, c), i) => TopNOut(hourUsKey, t, c, i + 1L) }
+          .iterator
+      } else {
+        val merged = it.foldLeft(state.getOption.getOrElse(Map.empty[String, Long])) { (m, e) =>
+          m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+        }
+        state.update(merged)
+        // finalize when the watermark passes the window end
+        state.setTimeoutTimestamp((hourUsKey + hourUs) / 1000)
+        Iterator.empty
+      }
+    }
+
+    typed
+      .groupByKey(_.hour_us)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
 }

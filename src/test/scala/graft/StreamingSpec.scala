@@ -190,6 +190,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedTopNStream emits final top-3 per hour once the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = EventStreams
+      .windowedTopNStream(stream.toDF().toDF(cols: _*), n = 3)
+      .writeStream.outputMode("append").format("memory").queryName("topn_out").start()
+    try {
+      // NB: event times must sit past the initial zero watermark or the
+      // rows drop as late (cf. sessionizeStream test). Target hour 100.
+      val base   = 100 * H
+      val hourUs = 100L * 3600L * 1000000L
+      // hour 100: click x3, view x2, error x1, scroll x1 -> top3 click,view + tie(error,scroll)->error
+      stream.addData(Seq(
+        ev(1, base + 1L, "click", 0), ev(2, base + 2L, "click", 0), ev(3, base + 3L, "click", 0),
+        ev(4, base + 4L, "view", 0), ev(5, base + 5L, "view", 0),
+        ev(6, base + 6L, "error", 0), ev(7, base + 7L, "scroll", 0)))
+      q.processAllAvailable()
+      assert(spark.table("topn_out").isEmpty) // hour 100 still open
+      stream.addData(Seq(ev(8, base + 4 * H, "view", 0))) // watermark -> 102H: hour 100 closes
+      q.processAllAvailable()
+      stream.addData(Seq(ev(9, base + 5 * H, "view", 0))) // extra batch fires pending timeouts
+      q.processAllAvailable()
+      val got = spark.table("topn_out")
+        .filter(col("hour_us") === hourUs)
+        .select("event_type", "n", "rank").as[(String, Long, Long)].collect().toSet
+      assert(got == Set(("click", 3L, 1L), ("view", 2L, 2L), ("error", 1L, 3L)))
+      // late event for hour 100 after close: no retraction, no new emission
+      stream.addData(Seq(ev(10, base + 10L, "click", 0)))
+      q.processAllAvailable()
+      assert(spark.table("topn_out").filter(col("hour_us") === hourUs).count() == 3)
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps and aggregates per session") {
     val min = 60L * 1000000000L
     val data = Seq(
