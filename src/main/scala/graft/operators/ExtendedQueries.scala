@@ -656,6 +656,29 @@ object ExtendedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Sketch COLUMNS as first-class data (Apache DataSketches HLL via
+    * Spark's hll_sketch_agg): one distinct-content sketch per source,
+    * stored as binary, then merged with hll_union_agg into the
+    * corpus-level estimate WITHOUT re-scanning documents. The pattern
+    * that replaces nightly full-corpus COUNT(DISTINCT) at 100 TB:
+    * per-partition sketches persist with the data and union in
+    * milliseconds. Rows-only check (sketch estimates have no
+    * DuckDB-identical oracle, cf. x01/x02).
+    */
+  val x03_sketch_union: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val perSource = t.documents
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(graft.functions.Hashing.hash60(col("text"))).as("sketch"))
+    val per = perSource.select(
+      col("source"),
+      hll_sketch_estimate(col("sketch")).as("est_distinct"))
+    val total = perSource
+      .agg(hll_union_agg(col("sketch")).as("sk"))
+      .select(lit("__all__").as("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+    per.unionByName(total).orderBy(col("source"))
+  }
+
   /** Mergeable approximate quantiles of order value per event type. */
   val x02_approx_quantiles: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -692,6 +715,7 @@ object ExtendedQueries {
     "q51_range_frame"     -> q51_range_frame,
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
+    "x03_sketch_union"    -> x03_sketch_union,
     "d21_contamination"   -> d21_contamination,
     "d22_repetition"      -> d22_repetition,
     "d23_chunking"        -> d23_chunking,

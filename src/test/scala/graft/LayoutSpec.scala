@@ -35,4 +35,26 @@ class LayoutSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_items")
     }
   }
+
+  test("hive-partitioned writes prune partitions at scan time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val docs = (1L to 300L)
+      .map(i => (i, s"doc $i", Seq("en", "de", "fr")((i % 3).toInt)))
+      .toDF("doc_id", "text", "lang")
+    docs.write.partitionBy("lang").parquet(s"$dir/documents")
+    val filtered = spark.read.parquet(s"$dir/documents").filter($"lang" === "de")
+    assert(filtered.count() == 100)
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    // the lang predicate must become a PARTITION filter (directory
+    // pruning — 1/3 of the files ever opened), not a data filter
+    assert(
+      scans.head.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang not pruned as a partition filter: ${scans.head.partitionFilters}")
+    val numFiles = scans.head.metrics("numFiles").value
+    val allFiles = spark.read.parquet(s"$dir/documents").inputFiles.length
+    assert(numFiles < allFiles, s"scan read $numFiles of $allFiles files — no pruning")
+  }
 }
