@@ -471,6 +471,92 @@ object Dedup {
             x => x.getField("mh").cast("string")),
           "_").as("sig"))
 
+  /** Stateless per-row MinHash signature + LSH bands straight off a
+    * `shingleArrays` frame — value-identical to `minhashSignaturesAgg`
+    * + `lshBands` (spec-checked), but computed with per-row array
+    * expressions and NO aggregation. That makes it legal on unbounded
+    * STREAMS (no output-mode/watermark constraints) and cheaper
+    * whenever per-row array math beats a shuffle (the signature is a
+    * pure function of the doc's own shingle set). Empty-set docs drop,
+    * matching the aggregated form where they never produce sketch rows.
+    */
+  def rowMinhashBands(
+      arrs: DataFrame,
+      idCol: String,
+      k: Int,
+      rowsPerBand: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val nBands = k / rowsPerBand
+    val sig = transform(
+      sequence(lit(0), lit(k - 1)),
+      i =>
+        array_min(
+          transform(col("set"), s => Hashing.hash60(concat(i.cast("string"), lit(":"), s.cast("string"))))))
+    arrs
+      .filter(size(col("set")) > 0)
+      .withColumn("__sig_arr", sig)
+      .select(
+        (col(idCol) +: carryCols.map(col)) :+
+          explode(
+            transform(
+              sequence(lit(0), lit(nBands - 1)),
+              b =>
+                struct(
+                  b.cast("long").as("band"),
+                  array_join(
+                    transform(
+                      slice(col("__sig_arr"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                      x => x.cast("string")),
+                    "_").as("sig")))).as("bs"): _*)
+      .select(
+        (col(idCol) +: carryCols.map(col)) :+ col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
+  }
+
+  /** Streaming near-dup matcher: arriving docs whose MinHash band
+    * signature collides with a STATIC corpus band index, verified by
+    * exact Jaccard against the corpus shingle arrays. Entirely
+    * STATELESS per micro-batch — per-row sketching (`rowMinhashBands`)
+    * + stream-static equi-joins — so it runs indefinitely with zero
+    * state store; the corpus band index and array frame are computed
+    * once (persist/pre-partition them) and reused every batch. A pair
+    * colliding in multiple bands emits once per colliding band;
+    * callers needing exactly-once pairs dedupe in `foreachBatch`
+    * (keeping the streaming plan itself aggregation-free).
+    */
+  def streamingNearDupMatches(
+      stream: DataFrame,
+      corpusArrs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      k: Int = 16,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val sArrs = stream
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
+      .select(
+        col(idCol),
+        array_sort(
+          array_distinct(transform(TextAnalysis.shinglesFromTokens(col("t"), shingleN), s => Hashing.hash60(s))))
+          .as("set"))
+      .withColumn("n", size(col("set")).cast("long"))
+    val cBands = rowMinhashBands(corpusArrs, idCol, k, rowsPerBand)
+      .select(col("band"), col("sig"), col(idCol).as("corpus_id"))
+    // the stream's shingle set rides THROUGH the band explode (carry
+    // cols) — re-joining the stream against itself for verification
+    // would turn this into a stream-stream join needing watermark state
+    rowMinhashBands(sArrs, idCol, k, rowsPerBand, carryCols = Seq("set", "n"))
+      .select(col(idCol).as("incoming_id"), col("set").as("set1"), col("n").as("n1"), col("band"), col("sig"))
+      .join(cBands, Seq("band", "sig"))
+      .join(
+        corpusArrs.select(col(idCol).as("corpus_id"), col("set").as("set2"), col("n").as("n2")),
+        "corpus_id")
+      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("incoming_id"), col("corpus_id"), col("jac"))
+  }
+
   /** Candidate pairs = documents agreeing on at least one full band
     * (group-local pair generation per (band, sig) bucket).
     */

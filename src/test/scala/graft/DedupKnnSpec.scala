@@ -284,6 +284,48 @@ class DedupKnnSpec extends SparkTestBase {
     // pass), so 3 is dropped via 0 or 1 even though 1 itself dropped
   }
 
+  test("rowMinhashBands is value-identical to the aggregated lshBands path") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val arrs = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    val viaAgg = Dedup
+      .lshBands(Dedup.minhashSignaturesAgg(Dedup.explodeShingles(arrs, "doc_id"), "doc_id", 8), "doc_id", 2)
+      .select("doc_id", "band", "sig").as[(Long, Long, String)].collect().toSet
+    val viaRow = Dedup.rowMinhashBands(arrs, "doc_id", 8, 2)
+      .select("doc_id", "band", "sig").as[(Long, Long, String)].collect().toSet
+    assert(viaRow == viaAgg)
+    assert(viaRow.nonEmpty)
+  }
+
+  test("streamingNearDupMatches equals the batch cross near-dup pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs     = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus   = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val cArrs    = Dedup.shingleArrays(corpus, "doc_id", "text", 3).persist()
+
+    val expected = Dedup
+      .crossNearDupPairs(corpus, incoming, "doc_id", "text", 3, 16, 2, 0.5)
+      .select("incoming_id", "corpus_id").as[(Long, Long)].collect().toSet
+
+    val stream = MemoryStream[(Long, String)]
+    val q = Dedup
+      .streamingNearDupMatches(
+        stream.toDF().toDF("doc_id", "text"), cArrs, "doc_id", "text", 3, 16, 2, 0.5)
+      .writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    try {
+      val batch = incoming.select("doc_id", "text").as[(Long, String)].collect().toSeq
+      stream.addData(batch.take(batch.size / 2))
+      q.processAllAvailable()
+      stream.addData(batch.drop(batch.size / 2))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select("incoming_id", "corpus_id").as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally { q.stop(); cArrs.unpersist() }
+  }
+
   test("winnowing guarantee: docs sharing a >=6-token run share a fingerprint") {
     // k=3 shingles + window 4 => any common substring of k+w-1 = 6
     // tokens spans a full hash window, whose min is a fingerprint of
