@@ -86,7 +86,14 @@ object CorpusQueries {
     *
     * Per-row doubles are cast to DECIMAL(28,12) before the sum so
     * accumulation is exact and order-independent (same trick as
-    * Ops.dsum), then divided by the exact count.
+    * Ops.dsum), then divided by the exact count. Output means round to
+    * 9 dp: float coordinates are dyadic rationals (2^-k terminates in
+    * "...5"), so the 12-dp decimal CAST can land exactly on a rounding
+    * half-boundary where Spark (HALF_UP) and an oracle engine
+    * (half-even) disagree by 1e-12 — observed once at sf0.1. The
+    * quotient mean essentially never terminates at 9 dp, so rounding
+    * the output (identically on both sides) removes the boundary
+    * without giving up order-independent accumulation.
     */
   val e07_kmeans_step: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -120,10 +127,10 @@ object CorpusQueries {
       .select(
         col("cell"),
         col("n"),
-        (col("s_cos") / col("n").cast("double")).as("mean_cos"),
-        (col("s1") / col("n").cast("double")).as("m1"),
-        (col("s2") / col("n").cast("double")).as("m2"),
-        (col("s3") / col("n").cast("double")).as("m3"))
+        round(col("s_cos") / col("n").cast("double"), 9).as("mean_cos"),
+        round(col("s1") / col("n").cast("double"), 9).as("m1"),
+        round(col("s2") / col("n").cast("double"), 9).as("m2"),
+        round(col("s3") / col("n").cast("double"), 9).as("m3"))
       .orderBy(col("cell"))
   }
 
@@ -319,10 +326,10 @@ object CorpusQueries {
         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn FROM p),
         |sel AS (SELECT c_id AS cell, ccos, v[1] AS x1, v[2] AS x2, v[3] AS x3 FROM a WHERE rn = 1)
         |SELECT cell, COUNT(*) AS n,
-        |       CAST(SUM(CAST(ccos AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cos,
-        |       CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m1,
-        |       CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m2,
-        |       CAST(SUM(CAST(x3 AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS m3
+        |       round(CAST(SUM(CAST(ccos AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS mean_cos,
+        |       round(CAST(SUM(CAST(x1 AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS m1,
+        |       round(CAST(SUM(CAST(x2 AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS m2,
+        |       round(CAST(SUM(CAST(x3 AS DECIMAL(28,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9) AS m3
         |FROM sel GROUP BY cell ORDER BY cell""".stripMargin,
     "d28_mixture_report" ->
       s"""SELECT source, lang, n_docs, total_bpe,

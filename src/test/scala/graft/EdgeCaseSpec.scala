@@ -26,6 +26,22 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Dedup.dedupComponents(Seq.empty[(Long, Long)].toDF("id1", "id2")).isEmpty)
   }
 
+  test("round-4 operators survive empty and sub-width inputs") {
+    val empty = Seq.empty[(Long, String)].toDF(docCols: _*)
+    val short = Seq((1L, "two tokens"), (2L, "a b c d")).toDF(docCols: _*) // < k+w-1 run
+    assert(Dedup.winnowFingerprints(empty, "doc_id", "text").isEmpty)
+    // doc 1 has <3 tokens (no shingles); doc 2 has 2 hashes < window 4
+    assert(Dedup.winnowFingerprints(short, "doc_id", "text", 3, 4).isEmpty)
+    val arrsE = Dedup.shingleArrays(empty, "doc_id", "text", 3)
+    assert(Dedup.rowMinhashBands(arrsE, "doc_id", 8, 2).isEmpty)
+    val embE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.similarity.Knn.semDedup(embE, "vec_id", "embedding", 0.9).isEmpty)
+    val one = Seq((5L, Array(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val kept = graft.similarity.Knn.semDedup(one, "vec_id", "embedding", 0.9)
+      .select("is_kept").as[Boolean].collect()
+    assert(kept.sameElements(Array(true))) // a lone vector is never dropped
+  }
+
   test("incremental dedup ops handle empty corpus and empty batch") {
     val empty = Seq.empty[(Long, String)].toDF(docCols: _*)
     val one   = Seq((1L, "alpha beta gamma delta epsilon")).toDF(docCols: _*)

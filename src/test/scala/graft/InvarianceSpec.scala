@@ -26,6 +26,10 @@ class InvarianceSpec extends SparkTestBase {
     "q49_topk_group",     // bounded-buffer aggregator
     "d24_packing",        // running-sum window binning (order-sensitive)
     "d21_contamination",  // hash split + semi-join overlap
+    "d37_temperature_mix", // integer-exact rates: no float-sum order sensitivity
+    "d33_weighted_sample", // integer-exact E-S keys + distributed top-k
+    "d40_winnowing",      // per-row array pipeline
+    "d42_adaptive_cutoff", // exact percentile thresholds
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
