@@ -160,6 +160,30 @@ object TrainingQueries {
       .orderBy(col("media_id"))
   }
 
+  // ---------- wp04: time-travel snapshot ----------
+
+  /** Time-travel read over an event-sourced log
+    * (`WritePath.snapshotAsOf`): orders as per-customer state history,
+    * reconstructed as of 1996-07-01 — latest order per customer at or
+    * before the date, customers whose latest row is a cancellation
+    * ('F' here, standing in for a delete marker) drop out of the
+    * snapshot. The shape every history/versioned catalog read reduces
+    * to (reference: django-simple-history shadow tables).
+    */
+  val wp04_snapshot_asof: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    WritePath
+      .snapshotAsOf(
+        t.orders,
+        keyCols = Seq("o_custkey"),
+        timeCol = "o_orderdate",
+        tieCols = Seq("o_orderkey"),
+        asOf = lit("1996-07-01").cast("timestamp"),
+        deleteMarker = col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .orderBy(col("o_custkey"))
+  }
+
   // ---------- q53: keyset pagination ----------
 
   /** Cursor pagination after last-seen key 500: a pushed-down range
@@ -375,6 +399,7 @@ object TrainingQueries {
     "d40_winnowing"         -> d40_winnowing,
     "d41_source_overlap"    -> d41_source_overlap,
     "d42_adaptive_cutoff"   -> d42_adaptive_cutoff,
+    "wp04_snapshot_asof"    -> wp04_snapshot_asof,
     "d34_dup_ngrams"       -> d34_dup_ngrams,
     "d35_global_shuffle"   -> d35_global_shuffle,
     "d37_temperature_mix"  -> d37_temperature_mix,
@@ -527,5 +552,13 @@ object TrainingQueries {
     "q53_keyset_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "wp04_snapshot_asof" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders WHERE o_orderdate <= TIMESTAMP '1996-07-01')
+        |WHERE rn = 1 AND o_orderstatus <> 'F'
+        |ORDER BY o_custkey""".stripMargin,
   )
 }

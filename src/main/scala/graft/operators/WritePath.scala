@@ -65,4 +65,29 @@ object WritePath {
         .withColumn("history_type", lit(htype))
         .withColumn("history_date", lit(historyDate)),
       allowMissingColumns = true) // history_id / history_user_id are sink-assigned
+
+  /** M6 read side — time travel: reconstruct the table state as of
+    * `asOf` from an append-only history frame. The snapshot is the
+    * latest history row per key at or before the timestamp, minus keys
+    * whose latest row is a delete marker. One key-partitioned window
+    * over the time-filtered history — the filter prunes history
+    * partitions (partition the history table by date at scale) before
+    * anything shuffles.
+    */
+  def snapshotAsOf(
+      history: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      tieCols: Seq[String],
+      asOf: org.apache.spark.sql.Column,
+      deleteMarker: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((col(timeCol).desc +: tieCols.map(col(_).desc)): _*)
+    history
+      .filter(col(timeCol) <= asOf)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !deleteMarker)
+      .drop("__rn")
+  }
 }
