@@ -28,7 +28,7 @@ class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
     val dec = java.lang.Long.toString(shingle)
     var i   = 0
     while (i < k) {
-      val h = MinHashAgg.hash60(i + ":" + dec)
+      val h = MinHashAgg.hash60(s"$i:$dec")
       if (h < buf(i)) buf(i) = h
       i += 1
     }

@@ -147,7 +147,7 @@ object Ops {
       keyCols.map(left(_)) ++ Seq(
         left(leftTime).as("__t"),
         lit(1).as("__side"),
-        struct(left.columns.map(left(_)): _*).as("__lrow"),
+        struct(left.columns.toIndexedSeq.map(left(_)): _*).as("__lrow"),
         lit(null).cast(rType).as("__rrow")) ++
         tieCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__tie_$c")): _*)
     val rTagged = right.select(
@@ -155,7 +155,7 @@ object Ops {
         right(rightTime).as("__t"),
         lit(0).as("__side"),
         lit(null).cast(lType).as("__lrow"),
-        struct(right.columns.map(right(_)): _*).as("__rrow")) ++
+        struct(right.columns.toIndexedSeq.map(right(_)): _*).as("__rrow")) ++
         tieCols.map(c => right(c).as(s"__tie_$c")): _*)
     // backward: rights sort before the left at equal (t, key) and the
     // running last over the preceding frame picks the latest; forward

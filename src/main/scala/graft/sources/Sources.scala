@@ -27,7 +27,7 @@ object Sources {
       .option("header", "true")
       .option("sep", sep)
       .csv(path)
-    raw.toDF(raw.columns.map(_.trim.toLowerCase): _*)
+    raw.toDF(raw.columns.toIndexedSeq.map(_.trim.toLowerCase): _*)
   }
 
   /** S5 — keep only sheets (files) that contain the given key column
