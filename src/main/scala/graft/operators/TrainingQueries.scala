@@ -160,6 +160,33 @@ object TrainingQueries {
       .orderBy(col("media_id"))
   }
 
+  // ---------- d43: inline stutter collapse ----------
+
+  /** Within-doc repetition SCRUBBING (a transform, not just a metric —
+    * the C4-style cleanup step): collapse runs of consecutive
+    * identical tokens, report per-doc original/kept counts and the
+    * rebuilt head. Entirely per-row array expressions — narrow,
+    * shuffle-free; only docs that actually shrank are emitted.
+    */
+  val d43_collapse_repeats: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val kept = filter(
+      transform(
+        sequence(lit(1), size(col("t"))),
+        i => when(i === 1 || element_at(col("t"), i) =!= element_at(col("t"), i - 1), element_at(col("t"), i))),
+      x => x.isNotNull)
+    t.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("kept", kept)
+      .filter(size(col("t")) > size(col("kept")))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_orig"),
+        size(col("kept")).cast("long").as("n_kept"),
+        substring(array_join(col("kept"), " "), 1, 40).as("head40"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------- wp04: time-travel snapshot ----------
 
   /** Time-travel read over an event-sourced log
@@ -400,6 +427,7 @@ object TrainingQueries {
     "d41_source_overlap"    -> d41_source_overlap,
     "d42_adaptive_cutoff"   -> d42_adaptive_cutoff,
     "wp04_snapshot_asof"    -> wp04_snapshot_asof,
+    "d43_collapse_repeats"  -> d43_collapse_repeats,
     "d34_dup_ngrams"       -> d34_dup_ngrams,
     "d35_global_shuffle"   -> d35_global_shuffle,
     "d37_temperature_mix"  -> d37_temperature_mix,
@@ -552,6 +580,18 @@ object TrainingQueries {
     "q53_keyset_pagination" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey > 500 ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "d43_collapse_repeats" ->
+      """WITH toks AS (SELECT doc_id,
+        |                     list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t
+        |              FROM documents),
+        |c AS (SELECT doc_id, t,
+        |             list_filter(list_transform(generate_series(1, len(t)),
+        |                         i -> CASE WHEN i = 1 OR t[i] <> t[i-1] THEN t[i] END),
+        |                         x -> x IS NOT NULL) AS kept
+        |      FROM toks)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_orig, CAST(len(kept) AS BIGINT) AS n_kept,
+        |       substr(array_to_string(kept, ' '), 1, 40) AS head40
+        |FROM c WHERE len(t) > len(kept) ORDER BY doc_id""".stripMargin,
     "wp04_snapshot_asof" ->
       """SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
