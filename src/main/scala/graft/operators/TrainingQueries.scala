@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.{Hashing, TextAnalysis}
 import graft.multimodal.Multimodal
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -107,8 +107,11 @@ object TrainingQueries {
     * deterministic) sqrt is 64-bit integer — rates are ppm-of-2^20
     * numerators, membership is an integer hash compare, so engine and
     * oracle agree bit-for-bit with no float-sum order sensitivity.
-    * Products stay under 2^63 up to ~10^9-doc strata; beyond that,
-    * widen to decimal(38,0).
+    * The rate numerator grows as ~5e11 * n^1.5 (w ≈ sqrt(n)·1e6), which
+    * would pass 2^63 near n ≈ 7e4 docs per stratum — so the product is
+    * computed in exact wide integers on both sides (decimal(38,0) here,
+    * HUGEINT in the oracle), good to ~10^38: no overflow at any
+    * realistic corpus size, and `div` still returns an exact long ppm.
     */
   val d37_temperature_mix: Q = (s, dir) => {
     val t     = Tables(s, dir)
@@ -119,7 +122,9 @@ object TrainingQueries {
       .crossJoin(broadcast(tot))
       .withColumn(
         "rate_ppm",
-        least(lit(1048576L), expr("(1048576 * w * (n_total div 2)) div (sumw * n_docs)")))
+        least(
+          lit(1048576L),
+          expr("(cast(1048576 as decimal(38,0)) * w * (n_total div 2)) div (cast(sumw as decimal(38,0)) * n_docs)")))
       .select(col("lang"), col("n_docs"), col("rate_ppm"))
     val sampled = t.documents
       .join(broadcast(rates), "lang")
@@ -167,14 +172,21 @@ object TrainingQueries {
     * identical tokens, report per-doc original/kept counts and the
     * rebuilt head. Entirely per-row array expressions — narrow,
     * shuffle-free; only docs that actually shrank are emitted.
+    *
+    * Single pass via the index-aware `filter` lambda: element i is kept
+    * iff i == 0 or it differs from its predecessor (`element_at(t, i)`
+    * is 1-based, so with a 0-based index it IS the previous token). One
+    * probe per element — half the expression work of the earlier
+    * transform(sequence(...)) form — and trivially total: an empty
+    * token array filters to an empty array instead of building a
+    * descending sequence(1, 0) that crashed element_at.
     */
+  def collapseRuns(arr: Column): Column =
+    filter(arr, (x, i) => i === 0 || x =!= element_at(arr, i))
+
   val d43_collapse_repeats: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    val kept = filter(
-      transform(
-        sequence(lit(1), size(col("t"))),
-        i => when(i === 1 || element_at(col("t"), i) =!= element_at(col("t"), i - 1), element_at(col("t"), i))),
-      x => x.isNotNull)
+    val t    = Tables(s, dir)
+    val kept = collapseRuns(col("t"))
     t.documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("kept", kept)
@@ -561,7 +573,7 @@ object TrainingQueries {
         |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w FROM s),
         |tot AS (SELECT SUM(n_docs) AS n_total, SUM(w) AS sumw FROM w),
         |r AS (SELECT lang, n_docs,
-        |             least(1048576, (1048576 * w * (n_total // 2)) // (sumw * n_docs)) AS rate_ppm
+        |             least(1048576, (CAST(1048576 AS HUGEINT) * w * (n_total // 2)) // (CAST(sumw AS HUGEINT) * n_docs)) AS rate_ppm
         |      FROM w CROSS JOIN tot),
         |k AS (SELECT d.lang AS klang, COUNT(*) AS n_sampled
         |      FROM documents d JOIN r ON d.lang = r.lang

@@ -65,6 +65,21 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got.select("doc_id").as[Long].collect().toSeq == Seq(11L))
   }
 
+  test("collapseRuns (d43) is total on empty and whitespace-only docs") {
+    import graft.functions.TextAnalysis
+    import graft.operators.TrainingQueries
+    // ADVICE r4: the previous sequence(1, size) form built a descending
+    // [1, 0] on zero-token docs and crashed element_at; the index-filter
+    // form must return an empty keep-set instead.
+    val docs = Seq((1L, ""), (2L, "   \t  "), (3L, "a a b b b c"), (4L, "x")).toDF(docCols: _*)
+    val got = docs
+      .select(col("doc_id"), TrainingQueries.collapseRuns(TextAnalysis.tokens(col("text"))).as("kept"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty && got(2L).isEmpty)
+    assert(got(3L) == Seq("a", "b", "c"))
+    assert(got(4L) == Seq("x"))
+  }
+
   test("single document produces no pairs but survives every operator") {
     val one  = Seq((1L, "alpha beta gamma delta")).toDF(docCols: _*)
     val arrs = Dedup.shingleArrays(one, "doc_id", "text", 3)

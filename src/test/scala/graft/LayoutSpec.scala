@@ -43,8 +43,12 @@ class LayoutSpec extends SparkTestBase {
       .toDF("doc_id", "text", "lang")
     docs.write.partitionBy("lang").parquet(s"$dir/documents")
     val filtered = spark.read.parquet(s"$dir/documents").filter($"lang" === "de")
-    assert(filtered.count() == 100)
-    val scans = filtered.queryExecution.executedPlan.collect {
+    // materialize the INSPECTED plan (a separate .count() would build its
+    // own QueryExecution and leave this plan's metrics at zero, making
+    // the numFiles assert below pass vacuously — ADVICE r4)
+    val qe = filtered.queryExecution
+    assert(qe.executedPlan.execute().count() == 100)
+    val scans = qe.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty)
