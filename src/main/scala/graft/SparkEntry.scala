@@ -31,7 +31,8 @@ object SparkEntry {
       ExtendedQueries.queries ++
       CorpusQueries.queries ++
       CurationQueries.queries ++
-      TrainingQueries.queries
+      TrainingQueries.queries ++
+      SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       ExtendedQueries.oracles ++
       CorpusQueries.oracles ++
       CurationQueries.oracles ++
-      TrainingQueries.oracles
+      TrainingQueries.oracles ++
+      SourceQueries.oracles
 }

@@ -68,7 +68,20 @@ object Sources {
     colIdxs.map(cells(_))
   }
 
-  /** S7/S8 — CSV export with header (single file, reference-shaped). */
+  /** S7/S8 — CSV export, the scale path: one file per partition, no
+    * driver funnel. This is the default export; `exportCsv` below is
+    * the explicit SMALL-export variant for the reference's
+    * one-downloadable-file flows.
+    */
+  def exportCsvPartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S7/S8 — single-file CSV export (reference-shaped: one downloadable
+    * attachment, /root/reference/tantalus/views.py:1670-1686). The
+    * `coalesce(1)` funnels every row through one task, so this is ONLY
+    * for human-facing exports of human-sized selections; any pipeline
+    * export goes through `exportCsvPartitioned`.
+    */
   def exportCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 

@@ -59,6 +59,73 @@ class SourcesSpec extends SparkTestBase {
     assert(tpl.columns.toSeq == Seq("x", "y") && tpl.count() == 0)
   }
 
+  test("Xlsx writes and reads a real multi-sheet workbook (S3/S5)") {
+    val d = tmp()
+    val wb = s"$d/upload.xlsx"
+    graft.sources.Xlsx.write(wb, Seq(
+      "patients" -> Seq(
+        Seq(" Sample_ID ", "Case ID", "Reference ID"),
+        Seq("SA1", "c1", "r1"),
+        Seq("SA2", null, "r2"), // sparse cell — skipped by the writer
+        Seq("SA3", "c3", "r3")),
+      "notes" -> Seq(
+        Seq("Comment"),
+        Seq("no key column here"))))
+    // raw rows preserve sparsity as nulls
+    val sheets = graft.sources.Xlsx.readSheets(wb)
+    assert(sheets.map(_._1) == Seq("patients", "notes"))
+    assert(sheets.head._2(2) == Seq("SA2", null, "r2"))
+    // DF view folds headers like readSheetCsv; sheet filter mirrors utils.py:6-24
+    val dfs = graft.sources.Xlsx.readSheetDfs(spark, wb).toMap
+    assert(dfs("patients").columns.toSeq == Seq("sample_id", "case id", "reference id"))
+    assert(dfs("patients").count() == 3)
+    val kept = graft.sources.Xlsx.sheetsWith(spark, wb, "sample_id")
+    assert(kept.map(_._1) == Seq("patients"))
+    // validation runs the same S3 path as CSV uploads
+    val e = intercept[IllegalArgumentException] {
+      Sources.validateOrThrow(dfs("patients"), col("case id").isNotNull, "patient upload")
+    }
+    assert(e.getMessage.contains("patient upload"))
+  }
+
+  test("Xlsx reads shared-string cells and A1-gap addressing") {
+    // hand-built workbook exercising the shared-string type and a cell
+    // that skips columns via its A1 ref (C1 with no B1)
+    val d  = tmp()
+    val wb = s"$d/shared.xlsx"
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(wb))
+    def entry(n: String, c: String): Unit = {
+      zos.putNextEntry(new ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""")
+    entry("_rels/.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+    entry("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+    entry("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2"><si><t>hello</t></si><si><t>world</t></si></sst>""")
+    entry("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="s"><v>0</v></c><c r="C1" t="s"><v>1</v></c></row><row r="2"><c r="A2"><v>42</v></c></row></sheetData></worksheet>""")
+    zos.close()
+    val rows = graft.sources.Xlsx.readSheets(wb).head._2
+    assert(rows(0) == Seq("hello", null, "world")) // B1 gap materialized as null
+    assert(rows(1) == Seq("42", null, null))       // numeric cell, padded to width
+  }
+
+  test("exportCsvPartitioned writes one file per partition (scale path)") {
+    val d  = tmp()
+    val df = (1L to 100L).toDF("id").repartition(4)
+    Sources.exportCsvPartitioned(df, s"$d/out")
+    val parts = new java.io.File(s"$d/out").listFiles.count(_.getName.endsWith(".csv"))
+    assert(parts == 4, s"expected 4 part files, got $parts")
+    val back = spark.read.option("header", "true").csv(s"$d/out")
+    assert(back.count() == 100)
+  }
+
   test("nestedJson emits dim attributes as a struct + json (S10)") {
     val fact = Seq((1L, 10L), (2L, 99L)).toDF("fid", "fk")
     val dim  = Seq((10L, "ten")).toDF("pk", "label")
