@@ -603,31 +603,50 @@ object Dedup {
       .select(col("id1"), col("id2"), col("cos"))
   }
 
-  /** Sign-LSH blocked embedding near-dup: candidates are pairs sharing
-    * the sign-bit cell of their first `bits` dimensions (2^bits
-    * blocks), verified with the exact cosine. The scale path for
-    * `embeddingNearDupPairs`: an equi-join on the cell key instead of
-    * the all-pairs cross product, so the corpus can be pre-partitioned
-    * by cell. Recall is bounded to same-cell pairs — high-cosine pairs
-    * agree on leading signs with high probability; raise `bits` for
-    * tighter blocks or probe neighbor cells (Knn.multiProbeTopK) for
-    * recall.
+  /** Cell-blocked embedding near-dup: candidates are pairs sharing a
+    * coarse-quantizer cell, verified with the exact cosine. The scale
+    * path for `embeddingNearDupPairs`: an equi-join on the cell key
+    * instead of the all-pairs cross product, so the corpus can be
+    * pre-partitioned by cell.
+    *
+    * The cell key is the TRAINED IVF assignment when `centroids` is
+    * given (`Knn.assignCells` — ~√N centroids from iterating the
+    * k-means step, so cell count, join parallelism and per-cell pair
+    * cost all scale with the corpus); without a model it falls back to
+    * the sign-bit cell of the first `bits` dimensions — 2^bits FIXED
+    * blocks, demo-only (at 100 TB that caps shuffle parallelism at
+    * 2^bits and bounds recall to same-cell pairs). Recall knobs:
+    * more/fewer centroids, or probe neighbor cells
+    * (Knn.multiProbeTopK) near cell boundaries.
     */
   def embeddingNearDupLsh(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 3): DataFrame = {
+      bits: Int = 3,
+      centroids: Option[DataFrame] = None,
+      probes: Int = 1): DataFrame = {
     import graft.similarity.Knn
-    val e = emb
+    val raw = emb
       .select(col(idCol).as("id"), Knn.asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", sqrt(Knn.dot(col("v"), col("v"))))
-      .withColumn("cell", Knn.signCell(col("v"), bits))
+    val e = centroids match {
+      case Some(c) if probes <= 1 => Knn.assignCells(raw, c, "id")
+      case Some(c) =>
+        raw.join(Knn.assignCellsMulti(raw, c, "id", probes).select(col("id"), col("cell")), Seq("id"))
+      case None => raw.withColumn("cell", Knn.signCell(col("v"), bits))
+    }
     val a = e.select(col("cell"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("cell"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("cell"))
+    val cand = a
+      .join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
+    // multi-assignment can surface the same pair from up to probes²
+    // shared cells — dedup BEFORE the cosine verify so each candidate
+    // pair is scored exactly once
+    val uniq = if (probes > 1) cand.dropDuplicates("id1", "id2") else cand
+    uniq
       .withColumn("cos", Knn.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))

@@ -242,15 +242,30 @@ object TrainingQueries {
 
   // ---------- e08: SemDeDup embedding dedup ----------
 
-  /** SemDeDup (cluster-then-dedup) over the embeddings table:
-    * sign-bit cells, within-cell cosine >= 0.4 drops the larger id.
-    * Keep/drop decisions per vector — the embedding-space twin of
-    * d12's text near-dup clustering (Knn.semDedup).
+  /** SemDeDup (cluster-then-dedup) over the embeddings table, blocked
+    * by the TRAINED coarse quantizer: ⌈√N⌉ seed centroids (first-k
+    * convention, the e04/e07 seeding), every vector assigned to its
+    * max-cosine centroid, within-cell cosine >= 0.4 drops the larger
+    * id. Keep/drop decisions per vector — the embedding-space twin of
+    * d12's text near-dup clustering (Knn.semDedup). Cell count scales
+    * as √N with the corpus — at sf0.01 that is 23 cells, at 100 TB
+    * ~√N — so join parallelism and per-cell pair cost grow with the
+    * data instead of being capped at the sign-cell 8; probes=4
+    * multi-assignment catches dominated vectors whose dominator sits
+    * across a cell boundary.
     */
   val e08_semdedup: Q = (s, dir) => {
+    import graft.similarity.Knn
     val t = Tables(s, dir)
-    graft.similarity.Knn
-      .semDedup(t.embeddings, "vec_id", "embedding", threshold = 0.4, bits = 3)
+    val k = math.ceil(math.sqrt(t.embeddings.count().toDouble)).toLong
+    val e = t.embeddings
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    Knn
+      .semDedup(t.embeddings, "vec_id", "embedding", threshold = 0.4, centroids = Some(cents), probes = 4)
       .orderBy(col("vec_id"))
   }
 
@@ -451,13 +466,21 @@ object TrainingQueries {
     "e08_semdedup" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
-        |b AS (SELECT vec_id, v,
-        |             CAST(CASE WHEN v[1] > 0 THEN 4 ELSE 0 END
-        |                + CASE WHEN v[2] > 0 THEN 2 ELSE 0 END
-        |                + CASE WHEN v[3] > 0 THEN 1 ELSE 0 END AS BIGINT) AS cell
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm
         |      FROM e),
+        |kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n, kk WHERE vec_id < k),
+        |asg AS (SELECT vec_id, v, c_id AS cell, rn FROM (
+        |        SELECT n.vec_id, n.v, c.c_id,
+        |               row_number() OVER (PARTITION BY n.vec_id
+        |                 ORDER BY list_reduce(list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]), (x, y) -> x + y)
+        |                          / (n.nrm * c.cn) DESC, c.c_id) AS rn
+        |        FROM n CROSS JOIN c)
+        |      WHERE rn <= 4),
+        |b AS (SELECT vec_id, v, cell FROM asg WHERE rn = 1),
         |p AS (SELECT bb.vec_id AS drop_id
-        |      FROM b a JOIN b bb ON a.cell = bb.cell AND a.vec_id < bb.vec_id
+        |      FROM asg a JOIN asg bb ON a.cell = bb.cell AND a.vec_id < bb.vec_id
         |      WHERE list_reduce(list_transform(list_zip(a.v, bb.v), s -> s[1] * s[2]), (x, y) -> x + y)
         |            / (sqrt(list_reduce(list_transform(list_zip(a.v, a.v), s -> s[1] * s[2]), (x, y) -> x + y))
         |             * sqrt(list_reduce(list_transform(list_zip(bb.v, bb.v), s -> s[1] * s[2]), (x, y) -> x + y)))

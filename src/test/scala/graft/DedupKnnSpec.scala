@@ -284,6 +284,72 @@ class DedupKnnSpec extends SparkTestBase {
     // pass), so 3 is dropped via 0 or 1 even though 1 itself dropped
   }
 
+  test("centroid-blocked near-dup: full-probe equals exact, probes=4 holds measured recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val exact = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // probes = k indexes every vector into every cell → candidate set
+    // degenerates to all-pairs, so the blocked result must EQUAL exact
+    val full = Dedup
+      .embeddingNearDupLsh(emb, "vec_id", "embedding", 0.45, centroids = Some(cents), probes = k)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(full == exact)
+    // production probes=4: verified candidates only (precision 1), and
+    // the recall floor measured for this corpus (5/7 at sf0.001 —
+    // deterministic, no seed)
+    val p4 = Dedup
+      .embeddingNearDupLsh(emb, "vec_id", "embedding", 0.45, centroids = Some(cents), probes = 4)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(p4.subsetOf(exact))
+    assert(p4.size.toDouble / exact.size >= 0.7, s"recall ${p4.size}/${exact.size}")
+  }
+
+  test("centroid cell cardinality scales with corpus size (no fixed 8-cell cap)") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def occupiedCells(corpus: org.apache.spark.sql.DataFrame): Long = {
+      val k = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+      val e = corpus
+        .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", Knn.norm(col("v")))
+      val cents = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      Knn.assignCells(e, cents, "vec_id")
+        .agg(countDistinct(col("cell"))).as[Long].head()
+    }
+    val small = occupiedCells(emb.filter(col("vec_id") % 4 === 0))
+    val all   = occupiedCells(emb)
+    assert(small > 8, s"small-slice cells $small should already beat the sign-cell 8")
+    assert(all > small, s"cells must grow with the corpus: $all vs $small")
+  }
+
+  test("semDedup centroid path with full probes equals the sign-free exact dominance") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(120)
+    val k = math.ceil(math.sqrt(emb.count().toDouble)).toInt
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // exact dominance: dropped iff ANY smaller id has cos >= t
+    val exactDropped = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.6)
+      .select("id2").as[Long].collect().toSet
+    val got = Knn
+      .semDedup(emb, "vec_id", "embedding", threshold = 0.6, centroids = Some(cents), probes = k)
+      .select("vec_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(got.size == 120)
+    got.foreach { case (id, kept) =>
+      assert(kept == !exactDropped.contains(id), s"vec $id kept=$kept")
+    }
+  }
+
   test("rowMinhashBands is value-identical to the aggregated lshBands path") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
     val arrs = Dedup.shingleArrays(docs, "doc_id", "text", 3)

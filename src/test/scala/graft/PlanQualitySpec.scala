@@ -17,8 +17,10 @@ class PlanQualitySpec extends SparkTestBase {
     // cross joins by design (the scale paths are e02/e03/e05/e08)
     "e01_knn_brute"      -> Set("BroadcastNestedLoopJoin"),
     "e04_ann_ivf"        -> Set("BroadcastNestedLoopJoin"),
+    "e05_embed_neardup_lsh" -> Set("BroadcastNestedLoopJoin"),
     "e06_ann_recall"     -> Set("BroadcastNestedLoopJoin"),
     "e07_kmeans_step"    -> Set("BroadcastNestedLoopJoin"),
+    "e08_semdedup"       -> Set("BroadcastNestedLoopJoin"),
     "d09_embed_neardup"  -> Set("BroadcastNestedLoopJoin"),
     // one-row totals frames cross-joined back (broadcast)
     "d37_temperature_mix" -> Set("BroadcastNestedLoopJoin"),
