@@ -7,26 +7,36 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with a typed metadata struct alongside.
   *
   * The Spark-side machinery — schema, batch shape, partition-parallel
-  * decode, frame sampling — is real and tested; the *codec* itself is a
-  * STUB (this environment ships no image/audio libraries): decode
-  * produces a deterministic fake feature vector derived from the bytes.
-  * Swapping in a real codec is a one-function change in
-  * `decodeStub`, everything else (distribution, batching, schema)
-  * stays.
+  * decode, frame sampling — is real and tested. The codec is REAL for
+  * images: `javax.imageio` ships with the JDK (PNG/JPEG/BMP/GIF), so
+  * image payloads decode to their true width/height and a 4×4
+  * grid-sampled grayscale feature vector. Audio/video decode remains a
+  * documented STUB (no ffmpeg-equivalent in the JDK): a deterministic
+  * fake feature vector folded from the payload bytes, same batch shape,
+  * so swapping in a real codec is a one-function change.
   *
   * Scale notes: payload columns are large — keep them OUT of shuffles.
   * `decodeFeatures` repartitions by a hash of the id only (narrow
   * columns shuffle, payload stays columnar in the scan), then decodes
   * partition-locally via mapPartitions, the Scala analog of a
-  * `mapInPandas` batch UDF.
+  * `mapInPandas` batch UDF; codec init cost is per-partition, rows
+  * stream through.
   */
 object Multimodal {
 
   /** A media row: payload + typed metadata. */
   case class Media(media_id: Long, payload: Array[Byte], format: String, n_bytes: Long)
 
-  /** Decoded feature row. */
-  case class MediaFeatures(media_id: Long, format: String, features: Array[Float])
+  /** Decoded feature row; width/height are the REAL pixel dimensions
+    * when the payload decoded as an image, None for non-image formats
+    * (or undecodable payloads, which fall back to the byte-fold stub).
+    */
+  case class MediaFeatures(
+      media_id: Long,
+      format: String,
+      features: Array[Float],
+      width: Option[Int],
+      height: Option[Int])
 
   /** Wrap a text corpus as a media table (payload = utf8 bytes) —
     * stand-in for real image/audio ingestion.
@@ -51,11 +61,37 @@ object Multimodal {
       ).as("meta"))
   }
 
-  /** STUB codec: a real implementation would decode the image/audio
-    * payload (libjpeg / ffmpeg / PIL-equivalent). Deterministic fake:
-    * 8 floats folded from the payload bytes. Batch shape (Iterator →
-    * Iterator) matches a vectorized UDF: per-partition init cost is
-    * paid once, rows stream through.
+  /** Formats `javax.imageio` decodes out of the box. */
+  private val ImageFormats = Set("png", "jpeg", "jpg", "bmp", "gif")
+
+  /** REAL image decode via the JDK's ImageIO: true pixel dimensions
+    * plus a 4×4 grid of cell-center grayscale samples (Rec.601 luma,
+    * integer arithmetic — deterministic across platforms). Returns None
+    * when the payload is not a decodable image, so callers can fall
+    * back rather than fail the batch.
+    */
+  private[multimodal] def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w     = img.getWidth
+        val h     = img.getHeight
+        val feats = new Array[Float](16)
+        var i     = 0
+        while (i < 16) {
+          val gx  = math.min((i % 4) * w / 4 + w / 8, w - 1)
+          val gy  = math.min((i / 4) * h / 4 + h / 8, h - 1)
+          val rgb = img.getRGB(gx, gy)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          feats(i) = lum / 255f
+          i += 1
+        }
+        (w, h, feats)
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB codec for the formats the JDK cannot decode (audio/video —
+    * a real implementation would call an ffmpeg-equivalent here).
+    * Deterministic fake: 8 floats folded from the payload bytes.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val acc = new Array[Float](8)
@@ -69,7 +105,9 @@ object Multimodal {
 
   /** Partition-parallel decode: repartition on the narrow id (payload
     * rides along column-pruned), then stream each partition through the
-    * codec once.
+    * codec once. Image formats go through the real ImageIO decode
+    * (true dims + pixel features); undecodable image payloads and
+    * audio/video fall back to the byte-fold stub with no dims.
     */
   def decodeFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -79,7 +117,13 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here (once, not per row)
-        it.map { case (id, fmt, bytes) => MediaFeatures(id, fmt, decodeStub(bytes)) }
+        it.map { case (id, fmt, bytes) =>
+          val img = if (ImageFormats.contains(fmt.toLowerCase)) decodeImage(bytes) else None
+          img match {
+            case Some((w, h, feats)) => MediaFeatures(id, fmt, feats, Some(w), Some(h))
+            case None                => MediaFeatures(id, fmt, decodeStub(bytes), None, None)
+          }
+        }
       }
   }
 

@@ -27,6 +27,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.last.features.forall(_ == 0f)) // empty payload → zero vector
   }
 
+  test("decodeFeatures really decodes PNG and JPEG payloads (JDK ImageIO)") {
+    import java.awt.image.BufferedImage
+    def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = x * 255 / math.max(1, w - 1) // horizontal gray gradient
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (10L, imageBytes("png", 8, 6), "png"),
+      (11L, imageBytes("jpeg", 16, 16), "jpeg"),
+      (12L, "not an image".getBytes("UTF-8"), "png") // undecodable → stub fallback
+    ).toDF("media_id", "payload", "format")
+    val got = Multimodal.decodeFeatures(rows).collect().map(f => f.media_id -> f).toMap
+    // true dims from the actual payload, 4×4 grid features
+    assert(got(10L).width.contains(8) && got(10L).height.contains(6))
+    assert(got(10L).features.length == 16)
+    // the gradient must survive decode: left cells darker than right
+    assert(got(10L).features(0) < got(10L).features(3))
+    // gray pixels: Rec.601 luma of (v,v,v) is v exactly
+    assert(math.abs(got(10L).features(3) - 255f / 255f) < 1e-6)
+    assert(got(11L).width.contains(16) && got(11L).height.contains(16))
+    // graceful fallback: bad image bytes degrade to the 8-float stub
+    assert(got(12L).width.isEmpty && got(12L).features.length == 8)
+  }
+
   test("resizeStub decimates payloads deterministically") {
     val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
     assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0
