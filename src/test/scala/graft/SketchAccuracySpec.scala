@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Accuracy guards for the approximate-sketch queries (x01–x03).
+  *
+  * These can never hash-match a DuckDB oracle — the estimates are
+  * sketch-algorithm-specific — so the driver records them rows-only.
+  * This spec is their correctness story instead: every estimate must
+  * sit within its algorithm's documented error envelope of the EXACT
+  * answer computed on the same data, and repeated runs must be
+  * bit-identical (the sketches are deterministic aggregations; HLL
+  * register-max and KLL merges do not depend on task interleaving for
+  * a fixed partitioning).
+  */
+class SketchAccuracySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("x01: HLL++ distinct counts within the configured rsd envelope") {
+    val approx = SparkEntry.queries("x01_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // rsd 0.02 ⇒ 5σ = 10% is a generous deterministic ceiling; typical
+    // error at these cardinalities is well under 2%
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.10, s"x01 $k: approx=${approx(k)} exact=$n err=$err")
+    }
+  }
+
+  test("x02: approximate quantiles land at the right empirical rank") {
+    val qs = Map(0 -> 0.5, 1 -> 0.9, 2 -> 0.99)
+    val approx = SparkEntry.queries("x02_approx_quantiles")(spark, sfDir)
+      .select("event_type", "q_idx", "q_value").as[(String, Int, Double)].collect()
+    val vals = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (et, qi, qv) =>
+      val sorted = vals(et)
+      val n      = sorted.length
+      // percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
+      // allow a ±1% rank band (≫ the guarantee) as the deterministic gate
+      val below = sorted.count(_ <= qv).toDouble / n
+      val above = sorted.count(_ < qv).toDouble / n
+      val q     = qs(qi)
+      assert(above - 0.01 <= q && q <= below + 0.01,
+        s"x02 $et q=$q: value $qv sits at empirical rank [$above,$below] of $n")
+      // and the reported value must be an actual data point, not an
+      // interpolation artifact
+      assert(sorted.contains(qv), s"x02 $et q=$q: $qv not a data value")
+    }
+  }
+
+  test("x03: per-source and unioned HLL sketch estimates track exact distincts") {
+    val est = SparkEntry.queries("x03_sketch_union")(spark, sfDir)
+      .select("source", "est_distinct").as[(String, Double)].collect().toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("source"), graft.functions.Hashing.hash60(col("text")).as("h"))
+    val exactPer = docs.groupBy(col("source")).agg(countDistinct(col("h")).as("n"))
+      .as[(String, Long)].collect().toMap
+    val exactAll = docs.agg(countDistinct(col("h"))).as[Long].head()
+    exactPer.foreach { case (src, n) =>
+      val err = math.abs(est(src) - n) / n
+      assert(err <= 0.10, s"x03 $src: est=${est(src)} exact=$n err=$err")
+    }
+    val errAll = math.abs(est("__all__") - exactAll) / exactAll
+    assert(errAll <= 0.10, s"x03 union: est=${est("__all__")} exact=$exactAll err=$errAll")
+    // the union estimate must cover at least the largest single source
+    // (mergeability sanity: union can never lose elements)
+    assert(est("__all__") >= exactPer.values.max * 0.9)
+  }
+
+  test("x01–x03 are bit-identical across repeated runs") {
+    for (name <- Seq("x01_approx_distinct", "x02_approx_quantiles", "x03_sketch_union")) {
+      val fn = SparkEntry.queries(name)
+      val a  = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val b  = fn(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      assert(a == b, s"$name not deterministic across runs")
+    }
+  }
+}
