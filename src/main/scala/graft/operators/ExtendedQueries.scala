@@ -591,7 +591,11 @@ object ExtendedQueries {
     */
   val e05_embed_neardup_lsh: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val k = math.ceil(math.sqrt(t.embeddings.count().toDouble)).toLong
+    val n = t.embeddings.count().toDouble
+    // ⌈√N⌉ below 10⁶ vectors, then ⌈N/1000⌉: capping MEAN CELL WIDTH
+    // at ~1000 keeps total verify cost ≈ N·width·probes² — linear in N
+    // — where pure √N cells would grow it as N^1.5
+    val k = math.max(math.ceil(math.sqrt(n)), math.ceil(n / 1000.0)).toLong
     val e = t.embeddings
       .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
@@ -1001,7 +1005,7 @@ object ExtendedQueries {
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm
         |      FROM e),
-        |kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e),
+        |kk AS (SELECT GREATEST(CAST(ceil(sqrt(COUNT(*))) AS BIGINT), CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k FROM e),
         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n, kk WHERE vec_id < k),
         |asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
         |          SELECT n.vec_id, n.v, n.nrm, c.c_id,

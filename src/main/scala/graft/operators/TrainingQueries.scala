@@ -257,7 +257,10 @@ object TrainingQueries {
   val e08_semdedup: Q = (s, dir) => {
     import graft.similarity.Knn
     val t = Tables(s, dir)
-    val k = math.ceil(math.sqrt(t.embeddings.count().toDouble)).toLong
+    val n = t.embeddings.count().toDouble
+    // same cell-count rule as e05: √N up to 10⁶ vectors, then N/1000
+    // so mean cell width (and per-cell pair cost) stays bounded
+    val k = math.max(math.ceil(math.sqrt(n)), math.ceil(n / 1000.0)).toLong
     val e = t.embeddings
       .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Knn.norm(col("v")))
@@ -469,7 +472,7 @@ object TrainingQueries {
         |n AS (SELECT vec_id, v,
         |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm
         |      FROM e),
-        |kk AS (SELECT CAST(ceil(sqrt(COUNT(*))) AS BIGINT) AS k FROM e),
+        |kk AS (SELECT GREATEST(CAST(ceil(sqrt(COUNT(*))) AS BIGINT), CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k FROM e),
         |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n, kk WHERE vec_id < k),
         |asg AS (SELECT vec_id, v, c_id AS cell, rn FROM (
         |        SELECT n.vec_id, n.v, c.c_id,
