@@ -639,17 +639,21 @@ object Dedup {
     }
     val a = e.select(col("cell"), col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
     val b = e.select(col("cell"), col("id").as("id2"), col("v").as("v2"), col("nrm").as("n2"))
-    val cand = a
+    val verified = a
       .join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
-    // multi-assignment can surface the same pair from up to probes²
-    // shared cells — dedup BEFORE the cosine verify so each candidate
-    // pair is scored exactly once
-    val uniq = if (probes > 1) cand.dropDuplicates("id1", "id2") else cand
-    uniq
+      // verify IN the join projection: the cosine is map-side work on
+      // the joined row, so duplicate candidates (a pair sharing up to
+      // probes² cells) cost only redundant arithmetic — never a
+      // shuffle. Deduping candidates BEFORE the verify would shuffle
+      // every candidate with BOTH vector payloads attached, which the
+      // 20× scale probe measured at ~15× the whole query's cost.
       .withColumn("cos", Knn.dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
+    // dedup AFTER: only matched pairs move, three slim columns, and
+    // the duplicate copies carry bit-identical cos values
+    if (probes > 1) verified.dropDuplicates("id1", "id2") else verified
   }
 
   /** Connected components over near-dup pairs: every document labeled

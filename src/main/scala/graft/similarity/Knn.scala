@@ -202,6 +202,61 @@ object Knn {
       .select(col("vec_id"), col("cell"), col("drop_id").isNull.as("is_kept"))
   }
 
+  /** Corpus side of the streaming matcher: every vector in its primary
+    * (nprobe=1) centroid cell, norms precomputed — build once, persist
+    * / pre-partition by cell, reuse every micro-batch.
+    */
+  def indexCorpus(corpus: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assignCells(
+      corpus
+        .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      centroids,
+      "n_id")
+      .select(col("cell"), col("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+
+  /** Streaming embedding near-dup matcher: arriving vectors matched
+    * against a STATIC centroid-indexed corpus (`indexCorpus`), exact
+    * cosine verified. Entirely STATELESS — the arriving row's top-
+    * `probes` cells come from a PER-ROW expression over the literal
+    * centroid table (sort of a K-entry computed array; no window, no
+    * aggregation, so the streaming plan needs no state store), then a
+    * stream-static equi-join on the cell key. The centroid table is
+    * driver-collected by the caller: it is the K×dim model, the one
+    * thing that is SUPPOSED to be small enough to ship everywhere
+    * (same object the executors broadcast in the batch path).
+    *
+    * The batch-equivalence property (probes = K degenerates to the
+    * exact cross product) is spec-pinned in DedupKnnSpec.
+    */
+  def streamingEmbeddingMatches(
+      stream: DataFrame,
+      corpusIndexed: DataFrame,
+      centroids: Seq[(Long, Seq[Double], Double)],
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      probes: Int = 4): DataFrame = {
+    val centsLit = typedlit(centroids)
+    // per-row scores against every centroid, then top-`probes` cells by
+    // (cos desc, cell asc) via an ascending struct sort on (-cos, cell)
+    val scored = transform(
+      centsLit,
+      c =>
+        struct(
+          (-(dot(col("qv"), c.getField("_2")) / (col("qn") * c.getField("_3")))).as("neg"),
+          c.getField("_1").as("cell")))
+    val topCells = slice(transform(array_sort(scored), s => s.getField("cell")), 1, probes)
+    stream
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(topCells))
+      .join(corpusIndexed, Seq("cell"))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id"), col("n_id"), col("cos"))
+  }
+
   /** ANN: search only the query's sign-bit cell (IVF nprobe=1).
     * Recall trades against `bits`; candidates drop to ~N/2^bits.
     */

@@ -350,6 +350,50 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("streamingEmbeddingMatches at full probes equals the exact cross matches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb      = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus   = emb.filter(col("vec_id") % 5 =!= 0)
+    val incoming = emb.filter(col("vec_id") % 5 === 0)
+    val k = math.ceil(math.sqrt(corpus.count().toDouble)).toInt
+    val e = corpus
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val centsDf = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val idx = Knn.indexCorpus(corpus, centsDf, "vec_id", "embedding").persist()
+    val cents = centsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+
+    // exact expected set: brute cross cosine >= threshold
+    val q = incoming.select(col("vec_id").as("q_id"), Knn.asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("n_id"), Knn.asDouble(col("embedding")).as("cv"))
+    val expected = broadcast(q).crossJoin(c)
+      .withColumn("cos", Knn.cosine(col("qv"), col("cv")))
+      .filter(col("cos") >= 0.4)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val stream = MemoryStream[(Long, Array[Float])]
+    val sq = Knn
+      .streamingEmbeddingMatches(
+        stream.toDF().toDF("vec_id", "embedding"), idx, cents,
+        "vec_id", "embedding", threshold = 0.4, probes = k)
+      .writeStream.outputMode("append").format("memory").queryName("emb_matches").start()
+    try {
+      val batch = incoming.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect().toSeq
+      stream.addData(batch.take(batch.size / 2))
+      sq.processAllAvailable()
+      stream.addData(batch.drop(batch.size / 2))
+      sq.processAllAvailable()
+      val got = spark.table("emb_matches")
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"stream ${got.size} vs exact ${expected.size}")
+    } finally { sq.stop(); idx.unpersist() }
+  }
+
   test("rowMinhashBands is value-identical to the aggregated lshBands path") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
     val arrs = Dedup.shingleArrays(docs, "doc_id", "text", 3)
