@@ -125,6 +125,92 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("collapseRuns: idempotent, order-preserving, never longer (5 seeds)") {
+    import graft.operators.TrainingQueries
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val docs = (0 until 40).map { i =>
+        // heavy repetition so collapses actually happen
+        val toks = Seq.fill(rnd.nextInt(20))(s"w${rnd.nextInt(4)}")
+        (i.toLong, toks.mkString(" "))
+      }
+      def collapse(toks: Seq[String]): Seq[String] =
+        toks.foldLeft(Vector.empty[String])((acc, t) => if (acc.lastOption.contains(t)) acc else acc :+ t)
+      val expected = docs.map { case (id, tx) =>
+        id -> collapse(tx.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      }.toMap
+      val once = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TrainingQueries.collapseRuns(graft.functions.TextAnalysis.tokens(col("text"))).as("k"))
+      val got = once.as[(Long, Seq[String])].collect().toMap
+      assert(got == expected, s"seed=$seed")
+      // idempotence: collapsing a collapsed array changes nothing
+      val twice = once.select(col("doc_id"), TrainingQueries.collapseRuns(col("k")).as("k2"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(twice == got, s"seed=$seed not idempotent")
+    }
+  }
+
+  test("bridge attach/detach algebra: add∘remove(added) restores; remove∘add(removed) restores (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd    = new Random(seed)
+      val bridge = (0 until 60).map(_ => (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong)).distinct
+      val other  = (0 until 20).map(_ => (20L + rnd.nextInt(10), rnd.nextInt(15).toLong)).distinct
+      val bdf    = bridge.toDF("a", "b")
+      val odf    = other.toDF("a", "b")
+      val keys   = Seq("a", "b")
+      // attach disjoint pairs then detach exactly them → original set
+      val back1 = WritePath
+        .bridgeRemove(WritePath.bridgeAdd(bdf, odf), odf, keys)
+        .as[(Long, Long)].collect().toSet
+      assert(back1 == bridge.toSet, s"seed=$seed attach/detach")
+      // detach a subset then re-attach it → original set
+      val sub = bridge.filter(_._1 % 3 == 0)
+      val back2 = WritePath
+        .bridgeAdd(WritePath.bridgeRemove(bdf, sub.toDF("a", "b"), keys), sub.toDF("a", "b"))
+        .as[(Long, Long)].collect().toSet
+      assert(back2 == bridge.toSet, s"seed=$seed detach/attach")
+      // attach is idempotent (set semantics on the pair)
+      val twice = WritePath.bridgeAdd(WritePath.bridgeAdd(bdf, odf), odf)
+        .as[(Long, Long)].collect()
+      assert(twice.length == twice.distinct.length, s"seed=$seed attach not set-idempotent")
+    }
+  }
+
+  test("xlsx round-trip preserves random tables cell-for-cell (3 seeds)") {
+    import graft.sources.Xlsx
+    for (seed <- 1 to 3) {
+      val rnd  = new Random(seed)
+      val cols = 1 + rnd.nextInt(5)
+      val rows = (0 until 1 + rnd.nextInt(30)).map { r =>
+        (0 until cols).map { c =>
+          // nulls, XML-hostile chars, unicode, empties
+          rnd.nextInt(6) match {
+            case 0 => null
+            case 1 => s"<&>\"'${rnd.nextInt(100)}"
+            case 2 => s"ünï©ode${rnd.nextInt(10)}"
+            case 3 => ""
+            case _ => s"v${rnd.nextInt(1000)}"
+          }
+        }
+      }
+      val header = (0 until cols).map(c => s"Col_$c")
+      val path   = java.nio.file.Files.createTempDirectory("graft_xlsx_prop").toString + "/t.xlsx"
+      Xlsx.write(path, Seq("s" -> (header +: rows)))
+      val got = Xlsx.readSheets(path).head._2
+      assert(got.head == header, s"seed=$seed header")
+      // trailing all-null columns are indistinguishable from absent
+      // cells in the format itself; compare up to the widest read row
+      got.tail.zip(rows).zipWithIndex.foreach { case ((g, w), i) =>
+        val width = g.length
+        val wNorm = (w ++ Seq.fill(width - w.length)(null)).take(width)
+          .map(v => if (v == null || v == "") null else v)
+        val gNorm = g.map(v => if (v == null || v == "") null else v)
+        assert(gNorm == wNorm, s"seed=$seed row $i: $gNorm != $wNorm")
+      }
+    }
+  }
+
   test("paginate exactly partitions any ordered id stream (3 seeds)") {
     for (seed <- 1 to 3) {
       val rnd  = new Random(seed)
