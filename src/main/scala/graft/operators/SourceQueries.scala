@@ -30,6 +30,15 @@ object SourceQueries {
   private def fixDir(dir: String, q: String): String =
     s"/tmp/graft_fixtures/${new java.io.File(dir).getName}/$q"
 
+  /** Fixture base the ORACLE strings point at. `graft.Verify` sets the
+    * system property to the sf-dir basename it is dumping, so the
+    * oracle SQL always reads the fixtures of the SAME scale factor the
+    * engine just wrote — the whole suite stays green at sf0.01 AND
+    * sf0.1. Defaults to sf0.01, the driver's correctness gate.
+    */
+  private def fixBase: String =
+    "/tmp/graft_fixtures/" + sys.props.getOrElse("graft.verify.sfname", "sf0.01")
+
   // ---------- s13: spreadsheet-style ingest with header folding + match buckets ----------
 
   /** S3/S4/S5 — the reference's operator-upload flow
@@ -235,20 +244,20 @@ object SourceQueries {
     "wp05_bridge_attach_detach" -> wp05_bridge_attach_detach,
   )
 
-  val oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = Map(
     "s13_sheet_ingest" ->
-      """WITH up AS (SELECT CAST("C_CustKey" AS BIGINT) AS custkey, "C_NAME" AS name,
+      s"""WITH up AS (SELECT CAST("C_CustKey" AS BIGINT) AS custkey, "C_NAME" AS name,
         |                   "Mkt Segment" AS segment
-        |            FROM read_csv('/tmp/graft_fixtures/sf0.01/s13_sheet_ingest/sheet_a/*.csv',
+        |            FROM read_csv('$fixBase/s13_sheet_ingest/sheet_a/*.csv',
         |                          header=true, all_varchar=true))
         |SELECT custkey, name, segment,
         |       CASE WHEN custkey IN (SELECT o_custkey FROM orders)
         |            THEN 'existing' ELSE 'new' END AS bucket
         |FROM up ORDER BY custkey""".stripMargin,
     "s14_tsv_positional" ->
-      """SELECT CAST(column0 AS BIGINT) AS line_no, column0 AS nationkey, column1 AS name
-        |FROM read_csv('/tmp/graft_fixtures/sf0.01/s14_tsv_positional/nations/*.txt',
-        |              delim='\t', header=false, all_varchar=true)
+      s"""SELECT CAST(column0 AS BIGINT) AS line_no, column0 AS nationkey, column1 AS name
+        |FROM read_csv('$fixBase/s14_tsv_positional/nations/*.txt',
+        |              delim='\\t', header=false, all_varchar=true)
         |WHERE column0 IN ('7','19') ORDER BY line_no""".stripMargin,
     "s15_export_roundtrip" ->
       """SELECT s_suppkey AS suppkey, s_name AS name,
@@ -267,9 +276,9 @@ object SourceQueries {
         |WHERE p_partkey NOT IN (SELECT p_partkey FROM inc)
         |ORDER BY p_partkey""".stripMargin,
     "s17_csv_template" ->
-      """SELECT lower(trim(column_name)) AS col_name
+      s"""SELECT lower(trim(column_name)) AS col_name
         |FROM (DESCRIBE SELECT * FROM
-        |      read_csv('/tmp/graft_fixtures/sf0.01/s17_csv_template/template/*.csv',
+        |      read_csv('$fixBase/s17_csv_template/template/*.csv',
         |               header=true, all_varchar=true))
         |ORDER BY col_name""".stripMargin,
     "q55_istartswith" ->
