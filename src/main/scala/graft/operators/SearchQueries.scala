@@ -34,18 +34,29 @@ object SearchQueries {
     * annotate countDistinct, OR-of-icontains search, order on the
     * computed column, page cap 50. The reference's per-row N+1
     * render_column lookups fold into the one plan.
+    *
+    * The search predicate is applied BEFORE the per-order distinct
+    * count, and the fact-side aggregation is restricted to matched
+    * orders with a semi-join — the count-distinct (the expensive,
+    * shuffling half of this plan) runs over only the rows the page can
+    * ever show. Catalyst cannot do this rewrite itself (the filter
+    * sits above a left join on the aggregated side); result-identical
+    * because the left join keeps exactly the matched keys' counts.
     */
   val q32_datatables: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val counts = t.lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_partkey")).as("n_parts"))
-    t.orders
+    val matched = t.orders
       .join(t.customer, col("o_custkey") === col("c_custkey"))
-      .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
       .filter(
         lower(concat_ws(" ", col("c_name"), col("o_orderstatus"), col("o_orderpriority")))
           .contains("urgent"))
+      .select(col("o_orderkey"), col("c_name"))
+    val counts = t.lineitem
+      .join(matched.select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    matched
+      .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
       .select(
         col("o_orderkey"),
         col("c_name"),
