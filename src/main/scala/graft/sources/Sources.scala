@@ -10,12 +10,12 @@ import org.apache.spark.sql.types.StructType
   * normalization and row-wise validation
   * (/root/reference/tantalus/forms.py:112-304,
   * /root/reference/tantalus/utils.py:6-43) and exports CSV / JSON
-  * (/root/reference/tantalus/views.py:120-137,436-448,1593-1686). Here
-  * the same semantics run on Spark's native readers: tabular uploads
-  * are CSV/TSV (no spreadsheet codec ships with this environment — the
-  * sheet abstraction maps to one file per sheet), validation is a
-  * DataFrame predicate that fails the load loudly, and exports are
-  * plain writer calls.
+  * (/root/reference/tantalus/views.py:120-137,436-448,1593-1686). The
+  * same semantics run on Spark's native readers for CSV/TSV uploads;
+  * real .xlsx workbooks go through the JDK-only reader in
+  * [[graft.sources.Xlsx]] (same header folding and sheet filtering).
+  * Validation is a DataFrame predicate that fails the load loudly,
+  * and exports are plain writer calls.
   */
 object Sources {
 
