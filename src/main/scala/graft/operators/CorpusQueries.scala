@@ -268,9 +268,41 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** e09 — incremental embedding near-dup: an ARRIVING batch matched
+    * against the already-ingested corpus through the trained centroid
+    * index. This runs the exact plan of the STREAMING matcher
+    * (`Knn.streamingEmbeddingMatches` is stateless DataFrame ops;
+    * stream ≡ batch is spec-proven in DedupKnnSpec), so this row puts
+    * the streaming operator's semantics under the driver's oracle
+    * gate — the embedding twin of d26/d32's text-side incremental
+    * dedup. Corpus index and centroid table are built once and reused
+    * across batches in production; arriving vectors never join more
+    * than probes/k of the corpus.
+    */
+  val e09_incremental_embed_dedup: Q = (s, dir) => {
+    val t        = Tables(s, dir)
+    val corpus   = t.embeddings.filter(col("vec_id") % 5 =!= 0)
+    val incoming = t.embeddings.filter(col("vec_id") % 5 === 0)
+    val n        = corpus.count().toDouble
+    val k        = math.max(math.ceil(math.sqrt(n)), math.ceil(n / 1000.0)).toInt
+    val e = corpus
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val centsDf = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val idx = Knn.indexCorpus(corpus, centsDf, "vec_id", "embedding")
+    val cents = centsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    Knn
+      .streamingEmbeddingMatches(incoming, idx, cents, "vec_id", "embedding",
+        threshold = 0.4, probes = 4)
+      .orderBy(col("q_id"), col("n_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e06_ann_recall"     -> e06_ann_recall,
     "e07_kmeans_step"    -> e07_kmeans_step,
+    "e09_incremental_embed_dedup" -> e09_incremental_embed_dedup,
     "d28_mixture_report" -> d28_mixture_report,
     "d29_cluster_best"   -> d29_cluster_best,
     "d30_bigram_stats"   -> d30_bigram_stats,
@@ -278,6 +310,36 @@ object CorpusQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "e09_incremental_embed_dedup" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n0 AS (SELECT vec_id, v,
+        |              sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (x, y) -> x + y)) AS nrm
+        |       FROM e),
+        |corp AS (SELECT * FROM n0 WHERE vec_id % 5 <> 0),
+        |inc AS (SELECT * FROM n0 WHERE vec_id % 5 = 0),
+        |kk AS (SELECT GREATEST(CAST(ceil(sqrt(COUNT(*))) AS BIGINT),
+        |                       CAST(ceil(COUNT(*) / 1000.0) AS BIGINT)) AS k FROM corp),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM (
+        |        SELECT vec_id, v, nrm, row_number() OVER (ORDER BY vec_id) AS rn FROM corp), kk
+        |      WHERE rn <= k),
+        |asgc AS (SELECT vec_id AS n_id, v AS nv, nrm AS nn, c_id AS cell FROM (
+        |          SELECT corp.vec_id, corp.v, corp.nrm, c.c_id,
+        |                 row_number() OVER (PARTITION BY corp.vec_id ORDER BY
+        |                   list_reduce(list_transform(list_zip(corp.v, c.cv), s -> s[1] * s[2]), (x, y) -> x + y)
+        |                            / (corp.nrm * c.cn) DESC, c.c_id) AS rn
+        |          FROM corp CROSS JOIN c) WHERE rn = 1),
+        |asgq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, c_id AS cell FROM (
+        |          SELECT inc.vec_id, inc.v, inc.nrm, c.c_id,
+        |                 row_number() OVER (PARTITION BY inc.vec_id ORDER BY
+        |                   list_reduce(list_transform(list_zip(inc.v, c.cv), s -> s[1] * s[2]), (x, y) -> x + y)
+        |                            / (inc.nrm * c.cn) DESC, c.c_id) AS rn
+        |          FROM inc CROSS JOIN c) WHERE rn <= 4),
+        |m AS (SELECT q.q_id, a.n_id,
+        |             list_reduce(list_transform(list_zip(q.qv, a.nv), s -> s[1] * s[2]), (x, y) -> x + y)
+        |               / (q.qn * a.nn) AS cos
+        |      FROM asgq q JOIN asgc a ON q.cell = a.cell)
+        |SELECT q_id, n_id, cos FROM m WHERE cos >= 0.4 ORDER BY q_id, n_id""".stripMargin,
     "e06_ann_recall" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),

@@ -21,6 +21,7 @@ class PlanQualitySpec extends SparkTestBase {
     "e06_ann_recall"     -> Set("BroadcastNestedLoopJoin"),
     "e07_kmeans_step"    -> Set("BroadcastNestedLoopJoin"),
     "e08_semdedup"       -> Set("BroadcastNestedLoopJoin"),
+    "e09_incremental_embed_dedup" -> Set("BroadcastNestedLoopJoin"),
     "d09_embed_neardup"  -> Set("BroadcastNestedLoopJoin"),
     // one-row totals frames cross-joined back (broadcast)
     "d37_temperature_mix" -> Set("BroadcastNestedLoopJoin"),
