@@ -65,6 +65,28 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got.select("doc_id").as[Long].collect().toSeq == Seq(11L))
   }
 
+  test("centroid-blocked embedding ops survive empty corpora and empty batches") {
+    import graft.similarity.Knn
+    val embE = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val emb  = Seq((1L, Array(1f, 0f, 0f)), (2L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val e = emb.select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // empty corpus through the centroid path: no rows, no throw
+    assert(Dedup.embeddingNearDupLsh(embE, "vec_id", "embedding", 0.5,
+      centroids = Some(cents), probes = 2).isEmpty)
+    assert(Knn.semDedup(embE, "vec_id", "embedding", 0.5,
+      centroids = Some(cents), probes = 2).isEmpty)
+    // empty ARRIVING batch against a real index: empty result
+    val idx = Knn.indexCorpus(emb, cents, "vec_id", "embedding")
+    val centSeq = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    assert(Knn.streamingEmbeddingMatches(embE, idx, centSeq, "vec_id", "embedding", 0.5).isEmpty)
+    // real batch against an EMPTY corpus index: empty result
+    val idxE = Knn.indexCorpus(embE, cents, "vec_id", "embedding")
+    assert(Knn.streamingEmbeddingMatches(emb, idx.limit(0), centSeq, "vec_id", "embedding", 0.5).isEmpty)
+    assert(idxE.isEmpty)
+  }
+
   test("collapseRuns (d43) is total on empty and whitespace-only docs") {
     import graft.functions.TextAnalysis
     import graft.operators.TrainingQueries

@@ -30,6 +30,8 @@ class InvarianceSpec extends SparkTestBase {
     "d33_weighted_sample", // integer-exact E-S keys + distributed top-k
     "d40_winnowing",      // per-row array pipeline
     "d42_adaptive_cutoff", // exact percentile thresholds
+    "e05_embed_neardup_lsh", // centroid blocking + multi-probe pair dedup
+    "e09_incremental_embed_dedup", // literal-centroid probe + stream-static join
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
