@@ -52,8 +52,24 @@ object ProfileR5 {
       tm(s"$tag semDedup probes=4")(
         Knn.semDedup(d, "vec_id", "embedding", 0.4,
           centroids = Some(cents), probes = 4).count())
+      // incremental shape (e09): 20% arriving batch vs 80% indexed corpus
+      val corpus   = d.filter(col("vec_id") % 5 =!= 0)
+      val incoming = d.filter(col("vec_id") % 5 === 0)
+      val idx      = Knn.indexCorpus(corpus, cents, "vec_id", "embedding").persist()
+      idx.count()
+      val centSeq = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+      tm(s"$tag incrementalMatch")(
+        Knn.streamingEmbeddingMatches(incoming, idx, centSeq,
+          "vec_id", "embedding", 0.4, probes = 4).count())
+      idx.unpersist()
       cents.unpersist()
     }
+    // NOTE on reading the nearDup numbers: the synthetic 20× corpus is
+    // 20 verbatim copies of every vector, so the OUTPUT pair count (and
+    // with it the verify cost) grows quadratically in the copy factor
+    // by construction — real corpora don't; the per-candidate cost is
+    // what the probe holds flat.
     spark.stop()
   }
 }
