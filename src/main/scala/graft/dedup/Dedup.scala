@@ -191,8 +191,10 @@ object Dedup {
       // otherwise run on a single core
       .repartition(col(idCol))
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
-      .select(col(idCol), array_sort(array_distinct(
-        transform(TextAnalysis.shinglesFromTokens(col("t"), n), s => Hashing.hash60(s)))).as("set"))
+      // fused build+hash+sort+distinct (ShingleHash60Expr): same values
+      // as array_sort(array_distinct(transform(shingles, hash60))), one
+      // pass, no per-shingle string allocation
+      .select(col(idCol), graft.functions.ShingleExpressions.shingleHashSet(col("t"), n).as("set"))
       .withColumn("n", size(col("set")).cast("long"))
 
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
@@ -214,16 +216,9 @@ object Dedup {
     val empt = array().cast("array<bigint>")
     val hs = docs
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
-      .select(
-        col(idCol),
-        when(
-          size(col("t")) >= k,
-          transform(
-            sequence(lit(1), size(col("t")) - (k - 1)),
-            i =>
-              Hashing.hash60(
-                concat_ws(" ", (0 until k).map(j => element_at(col("t"), i + j)): _*))))
-          .otherwise(empt).as("h"))
+      // fused position-ordered k-gram hashes (< k tokens → empty array,
+      // same as the composed when-guard)
+      .select(col(idCol), graft.functions.ShingleExpressions.shingleHashes(col("t"), k).as("h"))
     hs.select(
       col(idCol),
       explode(
@@ -534,11 +529,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sArrs = stream
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t"))
-      .select(
-        col(idCol),
-        array_sort(
-          array_distinct(transform(TextAnalysis.shinglesFromTokens(col("t"), shingleN), s => Hashing.hash60(s))))
-          .as("set"))
+      .select(col(idCol), graft.functions.ShingleExpressions.shingleHashSet(col("t"), shingleN).as("set"))
       .withColumn("n", size(col("set")).cast("long"))
     val cBands = rowMinhashBands(corpusArrs, idCol, k, rowsPerBand)
       .select(col("band"), col("sig"), col(idCol).as("corpus_id"))

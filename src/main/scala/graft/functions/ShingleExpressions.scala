@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Fused shingle-build + hash for the dedup hot path.
+  *
+  * The composable form materializes every shingle STRING
+  * (`concat_ws(" ", t_i..t_{i+n-1})` — one UTF8String alloc + copy per
+  * shingle) before hashing it, then runs `array_distinct` (per-row
+  * hash set) and `array_sort` as separate interpreted steps. This
+  * expression streams the token bytes straight into the (thread-cached)
+  * MD5 digest with a single separator byte between tokens — the digest
+  * of the joined string, without ever building it — and sorts/dedups
+  * the longs with `java.util.Arrays.sort` in place. Values are
+  * bit-identical to `hash60(concat_ws(" ", ...))` by construction
+  * (MD5 is a streaming hash), which the oracle suite and DedupKnnSpec
+  * prove end-to-end.
+  *
+  * Assumes non-null tokens (the engine's `TextAnalysis.tokens` output
+  * contract — split+filter never yields nulls). Documents with fewer
+  * than `n` tokens hash to an empty array, matching the composed
+  * form's `when(size >= n, ...).otherwise(array())` guard.
+  */
+case class ShingleHash60Expr(child: Expression, n: Int, distinctSorted: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType                   = ArrayType(LongType, containsNull = false)
+  override def prettyName: String                   = "shingle_hash60"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.shingleHash60(v.asInstanceOf[ArrayData], n, distinctSorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.shingleHash60($c, $n, $distinctSorted)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleOps {
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val Space = ' '.toByte
+
+  /** Per-position 60-bit shingle hashes of a token array; sorted
+    * distinct set when `distinctSorted`. Codegen entry point.
+    */
+  def shingleHash60(toks: ArrayData, n: Int, distinctSorted: Boolean): ArrayData = {
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    // extract each token's bytes once (not once per covering shingle)
+    val tb = new Array[Array[Byte]](len)
+    var i  = 0
+    while (i < len) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    val m   = len - n + 1
+    val out = new Array[Long](m)
+    val d   = digest.get()
+    i = 0
+    while (i < m) {
+      d.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) d.update(Space)
+        d.update(tb(i + j))
+        j += 1
+      }
+      val h = d.digest()
+      var x = 0L
+      var b = 0
+      while (b < 8) { x = (x << 8) | (h(b) & 0xffL); b += 1 }
+      out(i) = x >>> 4
+      i += 1
+    }
+    if (!distinctSorted) return new GenericArrayData(out)
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
+  }
+}
+
+object ShingleExpressions {
+
+  /** Sorted-distinct 60-bit shingle hash set of a token-array column —
+    * the fused form of
+    * `array_sort(array_distinct(transform(shinglesFromTokens(t, n), hash60)))`.
+    */
+  def shingleHashSet(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHash60Expr(Bridge.expression(tokens), n, distinctSorted = true))
+
+  /** Position-ordered 60-bit shingle hashes (winnowing's k-gram run) —
+    * the fused form of `transform(shinglesFromTokens(t, n), hash60)`.
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHash60Expr(Bridge.expression(tokens), n, distinctSorted = false))
+}

@@ -410,24 +410,14 @@ object TrainingQueries {
     * near-dup search.
     */
   val d41_source_overlap: Q = (s, dir) => {
-    val t    = Tables(s, dir)
-    val empt = array().cast("array<bigint>")
+    val t = Tables(s, dir)
     val sh = t.documents
       .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
+      // fused 3-gram hashes (ShingleHash60Expr); <3-token docs yield an
+      // empty array which explode drops, same as the old when-guard
       .select(
         col("source"),
-        explode(
-          when(
-            size(col("t")) >= 3,
-            transform(
-              sequence(lit(1), size(col("t")) - 2),
-              i =>
-                Hashing.hash60(
-                  concat_ws(
-                    " ",
-                    element_at(col("t"), i),
-                    element_at(col("t"), i + 1),
-                    element_at(col("t"), i + 2))))).otherwise(empt)).as("s"))
+        explode(graft.functions.ShingleExpressions.shingleHashes(col("t"), 3)).as("s"))
       .distinct()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val a     = sh.select(col("source").as("src_a"), col("s"))

@@ -54,6 +54,35 @@ class DedupKnnSpec extends SparkTestBase {
         graft.functions.Hashing.hash60Composed(lit("0:the quick brown"))).as[Long].head())
   }
 
+  test("fused ShingleHash60Expr equals the composed transform+hash60 forms") {
+    import graft.functions.{ShingleExpressions, TextAnalysis, Hashing}
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("aa", "bб", "çc", "dd", "ee", "ünï✓", "中文", "x")
+    val docs = ((0 until 60).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((100L, ""), (101L, "one"), (102L, "two toks"))).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    for (n <- Seq(2, 3, 4)) {
+      // sorted-distinct set form
+      val fusedSet = base.select(col("doc_id"), ShingleExpressions.shingleHashSet(col("t"), n).as("v"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val composedSet = base.select(
+        col("doc_id"),
+        array_sort(array_distinct(
+          transform(TextAnalysis.shinglesFromTokens(col("t"), n), s => Hashing.hash60(s)))).as("v"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fusedSet == composedSet, s"set form n=$n")
+      // position-ordered form
+      val fusedOrd = base.select(col("doc_id"), ShingleExpressions.shingleHashes(col("t"), n).as("v"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val composedOrd = base.select(
+        col("doc_id"),
+        transform(TextAnalysis.shinglesFromTokens(col("t"), n), s => Hashing.hash60(s)).as("v"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(fusedOrd == composedOrd, s"ordered form n=$n")
+    }
+  }
+
   test("native Hash60Expr is value-identical to the composed md5 form") {
     val rnd = new scala.util.Random(11)
     val samples = Seq("", "a", "0:x", "ünïcødé ✓ 中文", "  spaces  ") ++
