@@ -11,8 +11,8 @@ import org.apache.spark.sql.SparkSession
   * optimizer rules (`plans.GraftExtensions`: join+distinct → semi join,
   * range-join auto-banding) are registered, so user-written queries get
   * the protective rewrites by default; Verify and Bench register the
-  * same extensions, which makes the 92-query oracle gate double as a
-  * do-no-harm proof for the rules.
+  * same extensions, which makes the full oracle gate (128 hash-checked
+  * queries) double as a do-no-harm proof for the rules.
   */
 object Graft {
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
