@@ -482,11 +482,10 @@ object Dedup {
       rowsPerBand: Int,
       carryCols: Seq[String] = Nil): DataFrame = {
     val nBands = k / rowsPerBand
-    val sig = transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(
-          transform(col("set"), s => Hashing.hash60(concat(i.cast("string"), lit(":"), s.cast("string"))))))
+    // fused k-minima signature (MinhashSigExpr): one JVM pass per row
+    // instead of k × |set| interpreted lambda hops; value-identical to
+    // the composed form (spec-proven against the aggregated path)
+    val sig = graft.functions.ShingleExpressions.minhashSignature(col("set"), k)
     arrs
       .filter(size(col("set")) > 0)
       .withColumn("__sig_arr", sig)

@@ -92,6 +92,72 @@ object ShingleOps {
     }
     new GenericArrayData(if (w == m) out else java.util.Arrays.copyOf(out, w))
   }
+
+  // "0:", "1:", ... seed prefixes, rendered once per family size
+  private val seedPrefixes = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def prefixes(k: Int): Array[Array[Byte]] =
+    seedPrefixes.computeIfAbsent(
+      k,
+      kk => Array.tabulate(kk)(i => (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
+  /** k seeded-minima MinHash signature of a pre-hashed shingle set
+    * (codegen entry point). Empty set → empty array.
+    */
+  def minhashSignature(set: ArrayData, k: Int): ArrayData = {
+    val n = set.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val pre = prefixes(k)
+    val out = Array.fill(k)(Long.MaxValue)
+    val d   = digest.get()
+    var j   = 0
+    while (j < n) {
+      val dec = java.lang.Long.toString(set.getLong(j))
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      var i = 0
+      while (i < k) {
+        d.reset()
+        d.update(pre(i))
+        d.update(dec)
+        val h = d.digest()
+        var x = 0L
+        var b = 0
+        while (b < 8) { x = (x << 8) | (h(b) & 0xffL); b += 1 }
+        val v = x >>> 4
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-row MinHash signature over a pre-hashed shingle-set column:
+  * the k running minima of the seeded family `hash60("i:" + decimal(s))`
+  * in one JVM pass. The composable form evaluates k × |set| interpreted
+  * lambda hops plus a string concat per member; here the "i:" prefixes
+  * are rendered once per k and each shingle's decimal bytes once per
+  * row, streamed into the thread-cached digest. Identical values to
+  * `Dedup.minhashSignatures` / `MinHashAgg` by construction (same
+  * seeded-string semantics the DuckDB oracle uses); rows with an empty
+  * set return an empty array so stream filters keep their semantics.
+  */
+case class MinhashSigExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType))
+  override def dataType: DataType                   = ArrayType(LongType, containsNull = false)
+  override def prettyName: String                   = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.minhashSignature(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.minhashSignature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object ShingleExpressions {
@@ -108,4 +174,11 @@ object ShingleExpressions {
     */
   def shingleHashes(tokens: Column, n: Int): Column =
     Bridge.column(ShingleHash60Expr(Bridge.expression(tokens), n, distinctSorted = false))
+
+  /** Per-row k-member MinHash signature of a pre-hashed shingle set —
+    * the fused form of
+    * `transform(sequence(0, k-1), i => array_min(transform(set, s => hash60(i:s))))`.
+    */
+  def minhashSignature(set: Column, k: Int): Column =
+    Bridge.column(MinhashSigExpr(Bridge.expression(set), k))
 }
