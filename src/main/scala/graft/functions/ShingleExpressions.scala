@@ -130,6 +130,28 @@ object ShingleOps {
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass consecutive-duplicate collapse (codegen entry point).
+    * Keeps index 0 unconditionally; keeps element i > 0 iff both it and
+    * its predecessor are non-null AND differ (the lambda's three-valued
+    * `=!=` semantics).
+    */
+  def collapseRuns(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](n)
+    var w   = 0
+    var i   = 0
+    var prev: org.apache.spark.unsafe.types.UTF8String = null
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val keep = i == 0 || (s != null && prev != null && !s.equals(prev))
+      if (keep) { out(w) = s; w += 1 }
+      prev = s
+      i += 1
+    }
+    new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
+  }
 }
 
 /** Per-row MinHash signature over a pre-hashed shingle-set column:
@@ -160,6 +182,32 @@ case class MinhashSigExpr(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Consecutive-duplicate run collapse over a string array — the fused
+  * form of `filter(arr, (x, i) => i === 0 || x =!= element_at(arr, i))`
+  * (d43's stutter scrub): one JVM pass of adjacent UTF8String
+  * comparisons instead of an interpreted lambda + element_at probe per
+  * token. Exact lambda semantics preserved, including its three-valued
+  * logic: index 0 is always kept, and when either neighbor is null the
+  * `=!=` is null so the element drops.
+  */
+case class CollapseRunsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType                   = ArrayType(StringType, containsNull = true)
+  override def prettyName: String                   = "collapse_runs"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.collapseRuns(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.collapseRuns($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
 
   /** Sorted-distinct 60-bit shingle hash set of a token-array column —
@@ -181,4 +229,8 @@ object ShingleExpressions {
     */
   def minhashSignature(set: Column, k: Int): Column =
     Bridge.column(MinhashSigExpr(Bridge.expression(set), k))
+
+  /** Fused consecutive-duplicate collapse (d43's stutter scrub). */
+  def collapseRuns(arr: Column): Column =
+    Bridge.column(CollapseRunsExpr(Bridge.expression(arr)))
 }

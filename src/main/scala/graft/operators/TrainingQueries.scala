@@ -173,15 +173,18 @@ object TrainingQueries {
     * rebuilt head. Entirely per-row array expressions — narrow,
     * shuffle-free; only docs that actually shrank are emitted.
     *
-    * Single pass via the index-aware `filter` lambda: element i is kept
-    * iff i == 0 or it differs from its predecessor (`element_at(t, i)`
-    * is 1-based, so with a 0-based index it IS the previous token). One
-    * probe per element — half the expression work of the earlier
-    * transform(sequence(...)) form — and trivially total: an empty
-    * token array filters to an empty array instead of building a
-    * descending sequence(1, 0) that crashed element_at.
+    * Element i is kept iff i == 0 or it differs from its predecessor;
+    * computed by the fused native expression (CollapseRunsExpr — one
+    * JVM pass of adjacent comparisons; trivially total on empty
+    * arrays). The composable twin `collapseRunsComposed` is the lambda
+    * form the native expression must match (property-spec-checked
+    * against a fold-based reference as well).
     */
   def collapseRuns(arr: Column): Column =
+    graft.functions.ShingleExpressions.collapseRuns(arr)
+
+  /** Composable-built-ins twin of `collapseRuns` (reference semantics). */
+  def collapseRunsComposed(arr: Column): Column =
     filter(arr, (x, i) => i === 0 || x =!= element_at(arr, i))
 
   val d43_collapse_repeats: Q = (s, dir) => {

@@ -144,6 +144,12 @@ class RandomizedPropertySpec extends SparkTestBase {
           TrainingQueries.collapseRuns(graft.functions.TextAnalysis.tokens(col("text"))).as("k"))
       val got = once.as[(Long, Seq[String])].collect().toMap
       assert(got == expected, s"seed=$seed")
+      // the native expression must match the composable lambda twin
+      val composed = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TrainingQueries.collapseRunsComposed(graft.functions.TextAnalysis.tokens(col("text"))).as("k"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(composed == got, s"seed=$seed native != composed")
       // idempotence: collapsing a collapsed array changes nothing
       val twice = once.select(col("doc_id"), TrainingQueries.collapseRuns(col("k")).as("k2"))
         .as[(Long, Seq[String])].collect().toMap
