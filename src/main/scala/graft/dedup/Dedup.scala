@@ -163,7 +163,7 @@ object Dedup {
     cand
       .join(iArrs.select(col(idCol).as("incoming_id"), col("set").as("set1"), col("n").as("n1")), "incoming_id")
       .join(cArrs.select(col(idCol).as("corpus_id"), col("set").as("set2"), col("n").as("n2")), "corpus_id")
-      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("incoming_id"), col("corpus_id"), col("jac"))
@@ -396,7 +396,7 @@ object Dedup {
     cand
       .join(arrs.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
       .join(arrs.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
-      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
       .withColumn("cont", col("inter").cast("double") / least(col("n1"), col("n2")))
       .filter(col("cont") >= threshold)
       .select(col("id1"), col("id2"), col("cont"))
@@ -428,7 +428,7 @@ object Dedup {
     cand
       .join(sets.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
-      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
@@ -541,7 +541,7 @@ object Dedup {
       .join(
         corpusArrs.select(col(idCol).as("corpus_id"), col("set").as("set2"), col("n").as("n2")),
         "corpus_id")
-      .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("incoming_id"), col("corpus_id"), col("jac"))

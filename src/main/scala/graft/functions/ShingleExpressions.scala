@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -131,6 +131,25 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Two-pointer intersection count of sorted-distinct long arrays
+    * (codegen entry point).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i  = 0
+    var j  = 0
+    var c  = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** One-pass consecutive-duplicate collapse (codegen entry point).
     * Keeps index 0 unconditionally; keeps element i > 0 iff both it and
     * its predecessor are non-null AND differ (the lambda's three-valued
@@ -208,6 +227,33 @@ case class CollapseRunsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Intersection SIZE of two sorted-distinct long arrays — the fused
+  * form of `size(array_intersect(a, b))` for the dedup verify joins.
+  * The engine's shingle sets are sorted distinct by construction
+  * (ShingleHash60Expr), so a two-pointer merge counts the overlap in
+  * one pass with zero allocation, where the generic array_intersect
+  * builds a hash set and materializes the intersection array per pair
+  * only for `size` to throw it away. This expression runs once per
+  * CANDIDATE pair — the hottest row count in the near-dup pipelines.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType                   = org.apache.spark.sql.types.LongType
+  override def prettyName: String                   = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ShingleExpressions {
 
   /** Sorted-distinct 60-bit shingle hash set of a token-array column —
@@ -233,4 +279,10 @@ object ShingleExpressions {
   /** Fused consecutive-duplicate collapse (d43's stutter scrub). */
   def collapseRuns(arr: Column): Column =
     Bridge.column(CollapseRunsExpr(Bridge.expression(arr)))
+
+  /** Two-pointer overlap count of sorted-distinct long arrays — the
+    * fused `size(array_intersect(a, b))` for verify joins.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
 }
