@@ -39,18 +39,20 @@ object TrainingQueries {
     */
   val d34_dup_ngrams: Q = (s, dir) => {
     val t    = Tables(s, dir)
+    val se   = graft.functions.ShingleExpressions
     val toks = t.documents.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    // grams carried as their 60-bit content hash — the SAME sketch
+    // representation every other shingle pipeline uses (8-byte shuffle
+    // keys instead of gram strings; duplicate-count semantics are
+    // hash-collision-safe at the documented 2^-60 rate), built by the
+    // fused native shingle hasher
     val grams = toks
       .select(
         col("doc_id"),
         explode(
           concat(
-            transform(
-              TextAnalysis.shinglesFromTokens(col("t"), 2),
-              g => struct(lit(2).as("n"), g.as("gram"))),
-            transform(
-              TextAnalysis.shinglesFromTokens(col("t"), 3),
-              g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+            transform(se.shingleHashes(col("t"), 2), h => struct(lit(2).as("n"), h.as("gram"))),
+            transform(se.shingleHashes(col("t"), 3), h => struct(lit(3).as("n"), h.as("gram"))))).as("g"))
       .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
     val frac2 = col("d2").cast("double") / col("n2")
     val frac3 = col("d3").cast("double") / col("n3")
