@@ -806,18 +806,33 @@ object Dedup {
     * only, keeping the value positive in a signed 64-bit long on every
     * engine. Emits one row per document that has at least one token.
     *
-    * Sketch-aggregator execution (functions.SimHashAgg): each token
-    * folds once into a 60-counter buffer, so map-side work is linear in
-    * tokens and the shuffle carries one buffer per doc — the composed
-    * 60×-bit-explode form (`simhash60Composed`, identical output) blew
-    * up 60 rows per token before partial aggregation, measured
-    * dominant at the 100 k-doc scale probe.
+    * Per-ROW native execution (functions.Simhash60Expr): the sketch is
+    * a pure function of the document's own tokens, so it computes in
+    * the row projection — no (doc, token) explode, no shuffle at all
+    * (the earlier SimHashAgg aggregation shuffled one buffer per doc;
+    * the 60×-bit-explode form before that was worse still). Distinct
+    * tokens hash once, weighted by occurrence count — identical sums
+    * in integer arithmetic, spec-proven against the aggregator and the
+    * composed reference form.
     */
-  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .repartition(col(idCol)) // spread single-split corpora before the per-row work
+      .select(
+        col(idCol).cast("long").as(idCol),
+        graft.functions.ShingleExpressions.simhash60(TextAnalysis.tokens(col(textCol))).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Aggregator form of `simhash60` (functions.SimHashAgg — one
+    * 60-counter buffer per doc): kept as the incremental/streaming
+    * building block and as the equality twin the per-row expression is
+    * spec-checked against.
+    */
+  def simhash60Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .repartition(col(idCol)) // spread single-split corpora before the explode
+      .repartition(col(idCol))
       .select(col(idCol).cast("long"), explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .as[(Long, String)]
       .groupByKey(_._1)

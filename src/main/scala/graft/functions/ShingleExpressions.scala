@@ -131,6 +131,44 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Per-row 60-bit SimHash (codegen entry point); null for empty
+    * token arrays. Distinct tokens hashed once, weighted by count.
+    */
+  def simhash60(tokens: ArrayData): java.lang.Long = {
+    val n = tokens.numElements()
+    if (n == 0) return null
+    val counts = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Int]](n * 2)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val c = counts.get(t)
+      if (c == null) counts.put(t, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val acc = new Array[Long](60)
+    val d   = digest.get()
+    val it  = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      d.reset()
+      val hb = d.digest(e.getKey.getBytes)
+      var x  = 0L
+      var b  = 0
+      while (b < 8) { x = (x << 8) | (hb(b) & 0xffL); b += 1 }
+      val h = x >>> 4
+      val c = e.getValue()(0)
+      var j = 0
+      while (j < 60) {
+        if (((h >> j) & 1L) == 1L) acc(j) += c else acc(j) -= c
+        j += 1
+      }
+    }
+    var r = 0L
+    var j = 0
+    while (j < 60) { if (acc(j) > 0) r |= 1L << j; j += 1 }
+    java.lang.Long.valueOf(r)
+  }
+
   /** Two-pointer intersection count of sorted-distinct long arrays
     * (codegen entry point).
     */
@@ -227,6 +265,44 @@ case class CollapseRunsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Per-row 60-bit SimHash of a token array — the shuffle-FREE form of
+  * the `SimHashAgg` aggregation: the sketch is a pure function of the
+  * document's own tokens, so computing it in the row projection
+  * removes the (doc, token) explode+shuffle entirely. Identical
+  * semantics: per token occurrence, bit j of `hash60(token)` adds ±1
+  * to counter j; final bit j is set iff counter j > 0. Occurrences of
+  * the same token are counted once and weighted (integer arithmetic —
+  * same sums in any order), which also hashes each DISTINCT token once
+  * instead of once per occurrence. Returns null for token-less docs so
+  * callers can drop them, matching the aggregated form where such docs
+  * never produce a sketch row.
+  */
+case class Simhash60Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType                   = LongType
+  override def nullable: Boolean                    = true
+  override def prettyName: String                   = "simhash60"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.simhash60(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val res = ctx.freshName("sh")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object $res = graft.functions.ShingleOps.simhash60($c);
+         |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Long) $res).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection SIZE of two sorted-distinct long arrays — the fused
   * form of `size(array_intersect(a, b))` for the dedup verify joins.
   * The engine's shingle sets are sorted distinct by construction
@@ -285,4 +361,8 @@ object ShingleExpressions {
     */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Per-row 60-bit SimHash of a token-array column (null when empty). */
+  def simhash60(tokens: Column): Column =
+    Bridge.column(Simhash60Expr(Bridge.expression(tokens)))
 }

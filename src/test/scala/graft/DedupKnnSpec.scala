@@ -218,15 +218,19 @@ class DedupKnnSpec extends SparkTestBase {
     assert(!got.exists { case (i, c) => c >= 10L })
   }
 
-  test("SimHashAgg form identical to the composed 60x-explode form") {
+  test("per-row, aggregator and composed simhash forms are identical") {
     val rnd   = new scala.util.Random(5)
-    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
-    val d = (0 until 40).map(i =>
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "ünï✓", "中文")
+    val d = ((0 until 40).map(i =>
       (i.toLong, Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      :+ (100L, "") :+ (101L, "   ")) // token-less docs must vanish in every form
       .toDF("doc_id", "text")
-    val agg = Dedup.simhash60(d, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val row = Dedup.simhash60(d, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val agg = Dedup.simhash60Agg(d, "doc_id", "text").as[(Long, Long)].collect().toMap
     val cmp = Dedup.simhash60Composed(d, "doc_id", "text").as[(Long, Long)].collect().toMap
-    assert(agg == cmp)
+    assert(row == agg)
+    assert(row == cmp)
+    assert(!row.contains(100L) && !row.contains(101L))
   }
 
   test("simhash: identical normalized docs get identical hashes") {
