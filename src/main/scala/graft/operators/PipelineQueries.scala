@@ -62,6 +62,22 @@ object PipelineQueries {
     Dedup.jaccardPairs(arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
+  /** d02's semantics through the RARITY-ordered PPJoin variant
+    * (Dedup.prefixCandidatesRarity): canonical order = (document
+    * frequency asc, shingle), so stop-shingles never sit in any
+    * prefix — the skew-hardened candidate path a Zipf-heavy corpus
+    * needs at 100 TB. Value-identical to d02 by the PPJoin losslessness
+    * argument (complete for ANY fixed total order), which this row
+    * proves under the oracle gate with the same brute-force SQL.
+    */
+  val d44_jaccard_rarity: Q = (s, dir) => {
+    val t    = Tables(s, dir)
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    Dedup
+      .verifyJaccard(Dedup.prefixCandidatesRarity(arrs, "doc_id", 0.5), arrs, "doc_id", 0.5)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** MinHash(16) + LSH(8 bands of 2) candidates, exact-Jaccard verified. */
   val d03_minhash_lsh: Q = (s, dir) => {
     val t    = Tables(s, dir)
@@ -360,6 +376,7 @@ object PipelineQueries {
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact"   -> d01_dedup_exact,
     "d02_ngram_jaccard" -> d02_ngram_jaccard,
+    "d44_jaccard_rarity" -> d44_jaccard_rarity,
     "d03_minhash_lsh"   -> d03_minhash_lsh,
     "d04_simhash"       -> d04_simhash,
     "d05_lang_id"       -> d05_lang_id,
@@ -404,6 +421,19 @@ object PipelineQueries {
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "d02_ngram_jaccard" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT i.id1, i.id2, i.inter / (s1.n + s2.n - i.inter) AS jac
+         |FROM inter i
+         |JOIN sizes s1 ON s1.doc_id = i.id1
+         |JOIN sizes s2 ON s2.doc_id = i.id2
+         |WHERE i.inter / (s1.n + s2.n - i.inter) >= 0.5
+         |ORDER BY id1, id2""".stripMargin,
+    "d44_jaccard_rarity" ->
       s"""WITH $toksCte,
          |$shCte,
          |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
