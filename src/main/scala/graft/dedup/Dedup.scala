@@ -22,14 +22,27 @@ object Dedup {
   /** Exact dedup by normalized-content hash: every row annotated with
     * its content hash, duplicate-group size, and the kept representative
     * (min id). Filter `is_kept` to materialize the deduplicated corpus.
+    *
+    * Skew note: group stats come from a narrow groupBy (map-side
+    * partial aggregation) joined back on the hash, NOT from a window
+    * over `content_hash` — duplicate-family size is exactly the skewed
+    * quantity at corpus scale (one boilerplate page can have millions
+    * of copies), and a hash-keyed window would sort every hot family
+    * inside a single task. The join-back is equally keyed by the hash
+    * but AQE skew-join can split a hot hash across tasks; a window
+    * partition cannot be split.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("content_hash"))
-    docs
-      .withColumn("content_hash", md5(normalized(col(textCol))))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("keeper", min(col(idCol)).over(w))
+    val hashed = docs.withColumn("content_hash", md5(normalized(col(textCol))))
+    val stats = hashed
+      .select(col("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper"))
+    hashed
+      .join(stats, Seq("content_hash"))
       .withColumn("is_kept", col(idCol) === col("keeper"))
+      .select(docs.columns.map(col) ++
+        Seq(col("content_hash"), col("group_size"), col("keeper"), col("is_kept")): _*)
   }
 
   /** Streaming incremental exact dedup: first-seen document per
@@ -107,13 +120,18 @@ object Dedup {
     // on degenerate input.
     val hashed = (df: DataFrame) =>
       df.filter(col(textCol).isNotNull).withColumn("content_hash", md5(normalized(col(textCol))))
-    val seen   = hashed(corpus).select(col("content_hash")).distinct()
-    val w      = Window.partitionBy(col("content_hash"))
-    hashed(incoming)
-      .join(seen, Seq("content_hash"), "left_anti")
-      .withColumn("keeper", min(col(idCol)).over(w))
-      .filter(col(idCol) === col("keeper"))
-      .drop("keeper")
+    val seen  = hashed(corpus).select(col("content_hash")).distinct()
+    val after = hashed(incoming).join(seen, Seq("content_hash"), "left_anti")
+    // First-wins within the batch as ONE hash aggregation (min_by over
+    // the whole row) — no content_hash window (hot-family skew, see
+    // exactDedup) and no self-join back, so the incoming batch is
+    // scanned once.
+    val payload = after.columns.filterNot(_ == "content_hash")
+    after
+      .groupBy(col("content_hash"))
+      .agg(min_by(struct(payload.map(col): _*), col(idCol)).as("r"))
+      .select(payload.map(c => col(s"r.`$c`").as(c)) :+ col("content_hash"): _*)
+      .select(after.columns.map(col): _*)
   }
 
   /** Cross-batch near-dup pairs: MinHash-LSH candidates restricted to
@@ -815,13 +833,20 @@ object Dedup {
     * in integer arithmetic, spec-proven against the aggregator and the
     * composed reference form.
     */
-  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(col(idCol)) // spread single-split corpora before the per-row work
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The per-row form needs no shuffle on already-parallel input; only
+    // spread the rows when the source arrives as a single split (tiny
+    // fixture parquet), otherwise a full-width repartition of the text
+    // payload would contradict the shuffle-free design above.
+    val spread =
+      if (docs.rdd.getNumPartitions > 1) docs
+      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+    spread
       .select(
         col(idCol).cast("long").as(idCol),
         graft.functions.ShingleExpressions.simhash60(TextAnalysis.tokens(col(textCol))).as("simhash"))
       .filter(col("simhash").isNotNull)
+  }
 
   /** Aggregator form of `simhash60` (functions.SimHashAgg — one
     * 60-counter buffer per doc): kept as the incremental/streaming

@@ -21,10 +21,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * (MD5 is a streaming hash), which the oracle suite and DedupKnnSpec
   * prove end-to-end.
   *
-  * Assumes non-null tokens (the engine's `TextAnalysis.tokens` output
-  * contract — split+filter never yields nulls). Documents with fewer
-  * than `n` tokens hash to an empty array, matching the composed
-  * form's `when(size >= n, ...).otherwise(array())` guard.
+  * Null token elements are skipped inside each window exactly like
+  * `concat_ws` skips null arguments (separator only between present
+  * tokens), so the expression stays total on any array<string> input,
+  * not just `TextAnalysis.tokens` output. Documents with fewer than
+  * `n` tokens hash to an empty array, matching the composed form's
+  * `when(size >= n, ...).otherwise(array())` guard.
   */
 case class ShingleHash60Expr(child: Expression, n: Int, distinctSorted: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
@@ -59,20 +61,30 @@ object ShingleOps {
   def shingleHash60(toks: ArrayData, n: Int, distinctSorted: Boolean): ArrayData = {
     val len = toks.numElements()
     if (len < n) return new GenericArrayData(Array.emptyLongArray)
-    // extract each token's bytes once (not once per covering shingle)
+    // extract each token's bytes once (not once per covering shingle);
+    // null elements stay null and are skipped per-window like concat_ws
     val tb = new Array[Array[Byte]](len)
     var i  = 0
-    while (i < len) { tb(i) = toks.getUTF8String(i).getBytes; i += 1 }
+    while (i < len) {
+      val u = toks.getUTF8String(i)
+      tb(i) = if (u == null) null else u.getBytes
+      i += 1
+    }
     val m   = len - n + 1
     val out = new Array[Long](m)
     val d   = digest.get()
     i = 0
     while (i < m) {
       d.reset()
-      var j = 0
+      var j     = 0
+      var wrote = false
       while (j < n) {
-        if (j > 0) d.update(Space)
-        d.update(tb(i + j))
+        val t = tb(i + j)
+        if (t != null) {
+          if (wrote) d.update(Space)
+          d.update(t)
+          wrote = true
+        }
         j += 1
       }
       val h = d.digest()

@@ -192,16 +192,23 @@ object CorpusQueries {
       .withColumn("ckey", coalesce(col("hc"), col("simhash")))
       .filter(col("hc").isNotNull || col("gs") >= 2)
     val toks = t.documents.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("bpe"))
-    val wc    = Window.partitionBy(col("ckey"))
-    val wBest = Window.partitionBy(col("ckey")).orderBy(col("bpe").desc, col("doc_id"))
+    // Per-cluster stats as a hash aggregation, NOT cluster-key windows:
+    // near-dup cluster sizes are exactly the skewed quantity at scale
+    // (boilerplate families can be O(millions) of members), and a
+    // whole-partition window would sort every cluster inside one task.
+    // groupBy gets map-side partial aggregation and never sorts;
+    // max_by(doc_id, struct(bpe, -doc_id)) reproduces the window's
+    // "highest bpe, ties to the smaller doc_id" representative choice.
     clustered
       .join(toks, "doc_id")
-      .withColumn("component", min(col("doc_id")).over(wc))
-      .withColumn("n_members", count(lit(1)).over(wc))
-      .withColumn("total_bpe", sum(col("bpe")).over(wc))
-      .withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1)
-      .select(col("component"), col("doc_id").as("best_doc"), col("bpe").as("best_bpe"),
+      .groupBy(col("ckey"))
+      .agg(
+        min(col("doc_id")).as("component"),
+        max_by(col("doc_id"), struct(col("bpe"), negate(col("doc_id")))).as("best_doc"),
+        max(col("bpe")).as("best_bpe"),
+        count(lit(1)).as("n_members"),
+        sum(col("bpe")).as("total_bpe"))
+      .select(col("component"), col("best_doc"), col("best_bpe"),
         col("n_members"), col("total_bpe"))
       .orderBy(col("component"))
   }

@@ -40,6 +40,17 @@ object Xlsx {
         Option(zf.getEntry(name)).map { e =>
           val db = DocumentBuilderFactory.newInstance()
           db.setNamespaceAware(false)
+          // This is the documented ingest path for operator-UPLOADED
+          // workbooks, i.e. untrusted XML: refuse DOCTYPEs outright
+          // (kills both XXE file disclosure/SSRF and billion-laughs
+          // entity expansion) and belt-and-braces the entity/XInclude
+          // switches for parsers that ignore the first feature.
+          db.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+          db.setFeature("http://xml.org/sax/features/external-general-entities", false)
+          db.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+          db.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+          db.setXIncludeAware(false)
+          db.setExpandEntityReferences(false)
           db.newDocumentBuilder().parse(zf.getInputStream(e)).getDocumentElement
         }
       def children(e: Element, tag: String): Seq[Element] = {
@@ -120,12 +131,17 @@ object Xlsx {
     * reader's sparse-cell path is exercised.
     */
   def write(path: String, sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
+    // Escapes for BOTH text content and attribute values (sheet names
+    // land inside name="…"), so quotes must be covered too — a '"' in a
+    // sheet name would otherwise emit a malformed workbook.
     def esc(s: String): String =
       s.flatMap {
-        case '&' => "&amp;"
-        case '<' => "&lt;"
-        case '>' => "&gt;"
-        case c   => c.toString
+        case '&'  => "&amp;"
+        case '<'  => "&lt;"
+        case '>'  => "&gt;"
+        case '"'  => "&quot;"
+        case '\'' => "&apos;"
+        case c    => c.toString
       }
     def colRef(i: Int): String = {
       var n = i + 1; val sb = new StringBuilder

@@ -39,6 +39,18 @@ object PlanCheck {
       n.nodeName.contains("ObjectHashAggregate") || n.nodeName.contains("Limit") ||
       n.nodeName.contains("TakeOrderedAndProject"))
 
+  /** True if a KEYED window's per-partition input is bounded: either the
+    * subtree below it aggregates/truncates first, or Spark inserted a
+    * WindowGroupLimit (rank-limit pushdown caps rows per key before the
+    * sort). A keyed window over raw rows whose partition key is
+    * data-dependent (cluster ids, hash buckets) sorts every hot key in
+    * one task — the d29-class skew pattern — so those are flagged and
+    * must be explicitly allowlisted with a rationale for why the key's
+    * per-partition cardinality stays bounded at scale.
+    */
+  private def keyedInputBounded(p: SparkPlan): Boolean =
+    boundedBelow(p) || p.exists(_.isInstanceOf[WindowGroupLimitExec])
+
   def flagsOf(plan: SparkPlan): Seq[String] = {
     val nodes = plan.collect {
       case a: AdaptiveSparkPlanExec => a.inputPlan
@@ -50,6 +62,8 @@ object PlanCheck {
     nodes.foreach {
       case w: WindowExec if w.partitionSpec.isEmpty =>
         flags += (if (boundedBelow(w.child)) "GlobalWindow(small)" else "GlobalWindow(RAW)")
+      case w: WindowExec if !keyedInputBounded(w.child) =>
+        flags += "KeyedWindow(RAW)"
       case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
         flags += (if (boundedBelow(w.child)) "GlobalWindowLimit(small)" else "GlobalWindowLimit(RAW)")
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>

@@ -31,6 +31,26 @@ class PlanQualitySpec extends SparkTestBase {
     "d28_mixture_report" -> Set("GlobalWindow(small)"),
     "d38_bpe_merge"      -> Set("GlobalWindow(small)"),
     "q21_pagination"     -> Set("GlobalWindow(small)", "GlobalWindowLimit(small)"),
+    // KeyedWindow(RAW): keyed windows over un-aggregated input. The
+    // d29-class hazard is a DATA-DEPENDENT cluster/hash key whose hot
+    // partitions grow with duplication (those are banned — exactDedup,
+    // d29 and incrementalExactDedup were all rewritten to groupBy
+    // partial aggregation). The rows below are the allowed remainder:
+    // either the key domain is a bounded catalog enum, or the window
+    // expresses per-entity SEQUENCE semantics (lag/rolling/sessionize/
+    // as-of/interval) that are order-defined and have no aggregation
+    // equivalent; per-key cardinality is one entity's history, not a
+    // duplicate-family size.
+    "d24_packing"        -> Set("KeyedWindow(RAW)"), // running sum keyed by `source` (bounded enum, like d27 strata)
+    "d35_global_shuffle" -> Set("KeyedWindow(RAW)"), // uniform hash shards: skew impossible; shard count is the scale knob
+    "q23_lag_diff"       -> Set("KeyedWindow(RAW)"), // lag over one sample's version history
+    "q40_rolling_window" -> Set("KeyedWindow(RAW)"), // per-entity rolling frame (order-defined)
+    "q44_rank_funcs"     -> Set("KeyedWindow(RAW)"), // rank per nation (25-value enum)
+    "q51_range_frame"    -> Set("KeyedWindow(RAW)"), // per-entity RANGE frame (order-defined)
+    "st02_sessionize"    -> Set("KeyedWindow(RAW)"), // per-user gap detection (sequence semantics)
+    "st04_asof_join"     -> Set("KeyedWindow(RAW)"), // union-merge as-of: last() over one key's event stream
+    "st08_asof_forward"  -> Set("KeyedWindow(RAW)"), // forward as-of twin of st04
+    "wp03_scd2_intervals" -> Set("KeyedWindow(RAW)"), // SCD2 validity intervals over one entity's history
   )
 
   test("no query plans a scale anti-pattern outside the allowlist") {
