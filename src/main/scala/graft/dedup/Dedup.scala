@@ -171,8 +171,10 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
-    def bands(arrs: DataFrame) =
-      lshBands(minhashSignaturesAgg(explodeShingles(arrs, idCol), idCol, k), idCol, rowsPerBand)
+    // per-row fused signatures/bands (MinhashSigExpr) — value-identical
+    // to lshBands∘minhashSignaturesAgg∘explodeShingles (spec-proven),
+    // with no explode and no aggregation before the band join
+    def bands(arrs: DataFrame) = rowMinhashBands(arrs, idCol, k, rowsPerBand)
     val cand = bands(iArrs)
       .select(col("band"), col("sig"), col(idCol).as("incoming_id"))
       .join(bands(cArrs).select(col("band"), col("sig"), col(idCol).as("corpus_id")), Seq("band", "sig"))
@@ -576,6 +578,9 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band →
     * candidates → exact-Jaccard verification of candidates only.
+    * Signatures + bands are the per-row fused path (`rowMinhashBands`,
+    * MinhashSigExpr) — value-identical to the exploded/aggregated
+    * forms (spec-proven), with no shuffle before candidate generation.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -586,8 +591,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     val arrs = shingleArrays(docs, idCol, textCol, shingleN)
-    val sh   = explodeShingles(arrs, idCol)
-    val cand = lshCandidates(lshBands(minhashSignaturesAgg(sh, idCol, k), idCol, rowsPerBand), idCol)
+    val cand = lshCandidates(rowMinhashBands(arrs, idCol, k, rowsPerBand), idCol)
     // exact-jaccard verification of the (small) candidate set only
     verifyJaccard(cand, arrs, idCol, threshold)
   }
@@ -764,10 +768,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDist: Int = 3): DataFrame = {
-    val h      = simhash60(docs, idCol, textCol)
+    val h = simhash60(docs, idCol, textCol)
+    // one narrow (simhash, ids) row per DISTINCT sketch, consumed four
+    // times below (band join, within-group pairs, both cross joins) —
+    // persist it or the per-token MD5 sketching recomputes per consumer
     val groups = h
       .groupBy(col("simhash"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .persist()
     val hashPairs = simhashHashPairs(groups.select(col("simhash")), maxDist)
     // dist-0 doc pairs: all pairs within each identical-hash group
     val within = pairsWithinGroups(groups.select(col("ids").as("ds")))

@@ -437,12 +437,16 @@ object ExtendedQueries {
   val d16_minhash_est: Q = (s, dir) => {
     val t    = Tables(s, dir)
     val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
-    val sh   = Dedup.explodeShingles(arrs, "doc_id")
-    val cand = Dedup.lshCandidates(
-      Dedup.lshBands(Dedup.minhashSignaturesAgg(sh, "doc_id", 16), "doc_id", 2),
-      "doc_id")
+    // per-row fused signatures/bands (MinhashSigExpr) — the persisted
+    // shingle arrays feed bands, signatures AND verification sets with
+    // no explode and no aggregation before the candidate shuffle
+    val cand  = Dedup.lshCandidates(Dedup.rowMinhashBands(arrs, "doc_id", 16, 2), "doc_id")
     val pairs = Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5)
-    val sigs  = Dedup.minhashSignatureArrays(sh, "doc_id", 16)
+    val sigs = arrs
+      .filter(size(col("set")) > 0)
+      .select(
+        col("doc_id"),
+        graft.functions.ShingleExpressions.minhashSignature(col("set"), 16).as("sig"))
     pairs
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")

@@ -78,14 +78,18 @@ object PipelineQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** MinHash(16) + LSH(8 bands of 2) candidates, exact-Jaccard verified. */
+  /** MinHash(16) + LSH(8 bands of 2) candidates, exact-Jaccard verified.
+    *
+    * Signatures + bands come from the per-row fused path
+    * (`Dedup.rowMinhashBands`, MinhashSigExpr): the signature is a pure
+    * function of the doc's own shingle set, so nothing explodes and
+    * nothing aggregates before the ONE candidate shuffle — value-
+    * identical to the exploded/aggregated forms (spec-proven).
+    */
   val d03_minhash_lsh: Q = (s, dir) => {
     val t    = Tables(s, dir)
     val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
-    val sh   = Dedup.explodeShingles(arrs, "doc_id")
-    val cand = Dedup.lshCandidates(
-      Dedup.lshBands(Dedup.minhashSignaturesAgg(sh, "doc_id", 16), "doc_id", 2),
-      "doc_id")
+    val cand = Dedup.lshCandidates(Dedup.rowMinhashBands(arrs, "doc_id", 16, 2), "doc_id")
     Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
