@@ -350,11 +350,17 @@ object ExtendedQueries {
   val d25_corpus_pipeline: Q = (s, dir) => {
     val t  = Tables(s, dir)
     val ta = graft.functions.TextAnalysis
+    // ONE documents scan: the 4-column projection the whole pipeline
+    // needs, persisted once — the exact-dedup subtree and the shingle
+    // subtree both read the cached projection instead of re-scanning
+    // the table (at 100 TB both subtrees are column-pruned scans, but a
+    // composed run still pays the IO twice without this).
+    val base = t.documents.select(col("doc_id"), col("text"), col("source"), col("lang")).persist()
     val kept = Dedup
-      .exactDedup(t.documents, "doc_id", "text")
+      .exactDedup(base, "doc_id", "text")
       .filter(col("is_kept"))
       .filter(ta.tokenCount(col("text")) >= 10 && ta.punctRatio(col("text")) <= 0.1)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(base, "doc_id", "text", 3).persist()
     val losers = Dedup
       .dedupComponents(Dedup.jaccardPairs(arrs, "doc_id", 0.5))
       .filter(!col("is_representative"))

@@ -30,6 +30,7 @@ object ProfileR6 {
     tm("d03-as-wired")(graft.operators.PipelineQueries.d03_minhash_lsh(spark, dir).count())
     tm("d16-as-wired")(graft.operators.ExtendedQueries.d16_minhash_est(spark, dir).count())
     tm("d18-as-wired")(graft.operators.ExtendedQueries.d18_simhash_pairs(spark, dir).count())
+    tm("d25-as-wired")(graft.operators.ExtendedQueries.d25_corpus_pipeline(spark, dir).count())
     // substeps
     val t = graft.Tables(spark, dir)
     import org.apache.spark.sql.functions._
