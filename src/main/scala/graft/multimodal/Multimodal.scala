@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side machinery — schema, batch shape, partition-parallel
   * decode, frame sampling — is real and tested. The codec is REAL for
-  * images: `javax.imageio` ships with the JDK (PNG/JPEG/BMP/GIF), so
-  * image payloads decode to their true width/height and a 4×4
-  * grid-sampled grayscale feature vector. Audio/video decode remains a
-  * documented STUB (no ffmpeg-equivalent in the JDK): a deterministic
-  * fake feature vector folded from the payload bytes, same batch shape,
-  * so swapping in a real codec is a one-function change.
+  * images (`javax.imageio` ships with the JDK: PNG/JPEG/BMP/GIF →
+  * true width/height + a 4×4 grid-sampled grayscale vector) and for
+  * WAV audio (JDK-only RIFF/PCM parse: true sample rate, channels,
+  * bit depth, frame count + an 8-cell RMS energy grid). Video decode
+  * remains a documented STUB (no ffmpeg-equivalent in the JDK): a
+  * deterministic fake feature vector folded from the payload bytes,
+  * same batch shape, so swapping in a real codec is a one-function
+  * change.
   *
   * Scale notes: payload columns are large — keep them OUT of shuffles.
   * `decodeFeatures` repartitions by a hash of the id only (narrow
@@ -89,8 +91,131 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** STUB codec for the formats the JDK cannot decode (audio/video —
-    * a real implementation would call an ffmpeg-equivalent here).
+  /** Decoded WAV facts: true header fields plus an 8-cell RMS energy
+    * grid over the PCM frames — the audio analog of MediaFeatures'
+    * true-dims + luma grid.
+    */
+  case class AudioFeatures(
+      media_id: Long,
+      format: String,
+      sample_rate: Int,
+      channels: Int,
+      bits_per_sample: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      features: Array[Float])
+
+  /** REAL WAV (RIFF) decode, JDK-only byte parsing — the audio twin of
+    * `decodeImage`. Walks the chunk list (word-aligned, sizes LE),
+    * reads the fmt chunk's PCM geometry and the data chunk's samples
+    * (PCM 8-bit unsigned / 16-bit signed little-endian), and computes
+    * an 8-cell RMS energy grid over amplitude-normalized samples —
+    * deterministic double arithmetic, channel-interleaved. Returns
+    * None for anything that is not a well-formed PCM WAV, so callers
+    * fall back instead of failing the batch.
+    */
+  private[multimodal] def decodeWav(
+      payload: Array[Byte]): Option[(Int, Int, Int, Long, Array[Float])] = {
+    def u8(i: Int): Int  = payload(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos                                     = 12
+      var fmt: Option[(Int, Int, Int)]            = None // (channels, sampleRate, bits)
+      var data: Option[(Int, Int)]                = None // (offset, size)
+      while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+        val id   = tag(pos)
+        val size = le32(pos + 4).toInt
+        val body = pos + 8
+        if (size < 0 || body > payload.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            val audioFormat = le16(body)
+            if (audioFormat != 1) return None // PCM only
+            fmt = Some((le16(body + 2), le32(body + 4).toInt, le16(body + 14)))
+          case "data" =>
+            data = Some((body, math.min(size, payload.length - body)))
+          case _ => ()
+        }
+        pos = body + size + (size & 1) // chunks are word-aligned
+      }
+      for {
+        (channels, rate, bits) <- fmt
+        if channels > 0 && rate > 0 && (bits == 8 || bits == 16)
+        (off, len) <- data
+      } yield {
+        val bytesPerSample = bits / 8
+        val frameBytes     = channels * bytesPerSample
+        val nFrames        = (len / frameBytes).toLong
+        val nSamples       = nFrames.toInt * channels
+        val cells          = 8
+        val energy         = new Array[Double](cells)
+        val counts         = new Array[Int](cells)
+        var s              = 0
+        while (s < nSamples) {
+          val x =
+            if (bits == 16) le16(off + s * 2).toShort / 32768.0
+            else (u8(off + s) - 128) / 128.0
+          val frame = s / channels
+          val cell  = if (nFrames == 0) 0 else math.min((frame * cells / nFrames).toInt, cells - 1)
+          energy(cell) += x * x
+          counts(cell) += 1
+          s += 1
+        }
+        val grid = Array.tabulate(cells)(c =>
+          if (counts(c) == 0) 0f else math.sqrt(energy(c) / counts(c)).toFloat)
+        (rate, channels, bits, nFrames, grid)
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** PCM-16 WAV encoder (mono/stereo interleaved samples) — the writer
+    * twin of `decodeWav`, used to build real audio fixtures and prove
+    * the round trip, exactly like `Xlsx.write` does for the sheet
+    * reader.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1.toShort) // PCM
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort)  // block align
+    buf.putShort(16.toShort)              // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Partition-parallel audio decode over a media table: real header
+    * fields + RMS grid for every row `decodeWav` accepts (rows that do
+    * not parse as PCM WAV are dropped — the caller's signal to route
+    * them through `decodeFeatures`' stub path instead). Same
+    * mapPartitions batch shape as `decodeFeatures`.
+    */
+  def decodeAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, fmt, bytes) =>
+        decodeWav(bytes).map { case (rate, ch, bits, frames, grid) =>
+          AudioFeatures(id, fmt, rate, ch, bits, frames, frames * 1000.0 / rate, grid)
+        }
+      })
+  }
+
+  /** STUB codec for the formats the JDK cannot decode (video — a real
+    * implementation would call an ffmpeg-equivalent here; images decode
+    * via ImageIO above, WAV audio via `decodeWav`).
     * Deterministic fake: 8 floats folded from the payload bytes.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
@@ -106,8 +231,9 @@ object Multimodal {
   /** Partition-parallel decode: repartition on the narrow id (payload
     * rides along column-pruned), then stream each partition through the
     * codec once. Image formats go through the real ImageIO decode
-    * (true dims + pixel features); undecodable image payloads and
-    * audio/video fall back to the byte-fold stub with no dims.
+    * (true dims + pixel features), wav through the real RIFF/PCM parse
+    * (RMS energy grid, no dims); undecodable payloads and video fall
+    * back to the byte-fold stub with no dims.
     */
   def decodeFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -118,11 +244,14 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here (once, not per row)
         it.map { case (id, fmt, bytes) =>
-          val img = if (ImageFormats.contains(fmt.toLowerCase)) decodeImage(bytes) else None
-          img match {
-            case Some((w, h, feats)) => MediaFeatures(id, fmt, feats, Some(w), Some(h))
-            case None                => MediaFeatures(id, fmt, decodeStub(bytes), None, None)
-          }
+          val f = fmt.toLowerCase
+          val decoded =
+            if (ImageFormats.contains(f))
+              decodeImage(bytes).map { case (w, h, feats) => MediaFeatures(id, fmt, feats, Some(w), Some(h)) }
+            else if (f == "wav")
+              decodeWav(bytes).map { case (_, _, _, _, grid) => MediaFeatures(id, fmt, grid, None, None) }
+            else None
+          decoded.getOrElse(MediaFeatures(id, fmt, decodeStub(bytes), None, None))
         }
       }
   }

@@ -57,6 +57,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(got(12L).width.isEmpty && got(12L).features.length == 8)
   }
 
+  test("decodeWav really decodes PCM-16 WAV payloads (RIFF parse + RMS grid)") {
+    // 1 second at 8 kHz mono: first half silence, second half a
+    // full-scale square wave — the RMS grid must read 0 then ~1
+    val rate = 8000
+    val samples = Array.tabulate[Short](rate) { i =>
+      if (i < rate / 2) 0
+      else if ((i / 4) % 2 == 0) Short.MaxValue
+      else (-Short.MaxValue).toShort
+    }
+    val wav = Multimodal.encodeWavPcm16(rate, 1, samples)
+    val rows = Seq(
+      (20L, wav, "wav"),
+      (21L, "not audio".getBytes("UTF-8"), "wav") // undecodable → stub fallback
+    ).toDF("media_id", "payload", "format")
+
+    val audio = Multimodal.decodeAudioFeatures(rows).collect()
+    assert(audio.length == 1) // only the real WAV parses
+    val a = audio.head
+    assert(a.media_id == 20L && a.sample_rate == rate && a.channels == 1 && a.bits_per_sample == 16)
+    assert(a.n_frames == rate && math.abs(a.duration_ms - 1000.0) < 1e-9)
+    assert(a.features.length == 8)
+    // energy grid: silent first half, full-scale second half
+    assert(a.features.take(4).forall(_ < 1e-6f))
+    assert(a.features.drop(4).forall(f => math.abs(f - 1f) < 1e-3f))
+
+    // decodeFeatures routes wav through the same real decode...
+    val got = Multimodal.decodeFeatures(rows).collect().map(f => f.media_id -> f).toMap
+    assert(got(20L).features.sameElements(a.features) && got(20L).width.isEmpty)
+    // ...and degrades bad bytes to the 8-float stub, not a failure
+    assert(got(21L).features.length == 8 && got(21L).features.exists(_ > 0f))
+  }
+
+  test("decodeWav reads stereo interleaved frames and word-aligned chunk walks") {
+    // 100 frames at 44.1 kHz stereo: left channel full-scale, right silent
+    val rate    = 44100
+    val frames  = 100
+    val samples = Array.tabulate[Short](frames * 2)(i => if (i % 2 == 0) Short.MaxValue else 0)
+    val rows    = Seq((30L, Multimodal.encodeWavPcm16(rate, 2, samples), "wav"))
+      .toDF("media_id", "payload", "format")
+    val audio = Multimodal.decodeAudioFeatures(rows).collect()
+    assert(audio.length == 1)
+    val a = audio.head
+    assert(a.sample_rate == rate && a.channels == 2 && a.bits_per_sample == 16 && a.n_frames == frames)
+    // interleaved full-scale/silence → per-cell RMS = sqrt(1/2)
+    assert(a.features.forall(g => math.abs(g - math.sqrt(0.5).toFloat) < 1e-3f))
+  }
+
   test("resizeStub decimates payloads deterministically") {
     val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
     assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0
