@@ -203,19 +203,29 @@ object Dedup {
     * (astronomically unlikely, deterministic) collision affects both
     * engines the same way.
     */
-  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
-    docs
-      // spread docs across the cluster BEFORE the ~50x explode and the
-      // downstream per-shingle hashing: a small corpus file arrives as
-      // one input split, and everything up to the first shuffle would
-      // otherwise run on a single core
-      .repartition(col(idCol))
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    // Spread single-split corpora BEFORE the per-shingle hashing (a
+    // small corpus file arrives as one input split, and everything up
+    // to the first shuffle would otherwise run on one core) — but
+    // spread ROUND-ROBIN, never repartition(col(id)): a user-specified
+    // hash partitioning on the id satisfies the verify joins'
+    // distribution requirement, so EnsureRequirements inserts no
+    // exchange there and AQE can neither skew-split nor coalesce a
+    // REPARTITION_BY_COL shuffle. Keyless spreading leaves the join
+    // exchanges to EnsureRequirements, which AQE CAN split when a hot
+    // candidate key (one doc near-duplicating 10^5 others) lands on
+    // one reducer — proven by ProfileR6Scale's skew audit.
+    val spread =
+      if (docs.rdd.getNumPartitions > 1) docs
+      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    spread
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
       // fused build+hash+sort+distinct (ShingleHash60Expr): same values
       // as array_sort(array_distinct(transform(shingles, hash60))), one
       // pass, no per-shingle string allocation
       .select(col(idCol), graft.functions.ShingleExpressions.shingleHashSet(col("t"), n).as("set"))
       .withColumn("n", size(col("set")).cast("long"))
+  }
 
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS
     * algorithm): hash every k-gram in POSITION order, take the min hash
@@ -845,10 +855,12 @@ object Dedup {
     // The per-row form needs no shuffle on already-parallel input; only
     // spread the rows when the source arrives as a single split (tiny
     // fixture parquet), otherwise a full-width repartition of the text
-    // payload would contradict the shuffle-free design above.
+    // payload would contradict the shuffle-free design above. Keyless
+    // round-robin, not repartition(col(id)) — a keyed repartition pins
+    // the partitioning and blinds AQE downstream (see shingleArrays).
     val spread =
       if (docs.rdd.getNumPartitions > 1) docs
-      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
+      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
     spread
       .select(
         col(idCol).cast("long").as(idCol),

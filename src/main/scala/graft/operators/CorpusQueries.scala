@@ -222,8 +222,7 @@ object CorpusQueries {
     */
   val d30_bigram_stats: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val big = t.documents
-      .repartition(col("doc_id"))
+    val big = Ops.spread(t.documents)
       .select(col("lang"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(

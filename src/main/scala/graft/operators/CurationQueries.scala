@@ -140,8 +140,7 @@ object CurationQueries {
     */
   val d33_weighted_sample: Q = (s, dir) => {
     val t = Tables(s, dir)
-    t.documents
-      .repartition(col("doc_id")) // spread before the weight-fold explode
+    Ops.spread(t.documents)
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w"))
       .filter(col("w") > 0)
       .select(col("doc_id"), col("w"), explode(sequence(lit(1L), col("w"))).as("j"))

@@ -199,8 +199,7 @@ object ExtendedQueries {
     */
   val d19_oov_ratio: Q = (s, dir) => {
     val t   = Tables(s, dir)
-    val tok = t.documents
-      .repartition(col("doc_id"))
+    val tok = Ops.spread(t.documents)
       .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
     val vocab = tok
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -271,8 +270,7 @@ object ExtendedQueries {
     */
   val d22_repetition: Q = (s, dir) => {
     val t  = Tables(s, dir)
-    val tf = t.documents
-      .repartition(col("doc_id"))
+    val tf = Ops.spread(t.documents)
       .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -296,8 +294,7 @@ object ExtendedQueries {
   val d23_chunking: Q = (s, dir) => {
     val t              = Tables(s, dir)
     val (width, stride) = (64, 48)
-    t.documents
-      .repartition(col("doc_id"))
+    Ops.spread(t.documents)
       .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") > 0)
@@ -416,8 +413,7 @@ object ExtendedQueries {
     */
   val d14_zipf: Q = (s, dir) => {
     val t = Tables(s, dir)
-    t.documents
-      .repartition(col("doc_id"))
+    Ops.spread(t.documents)
       .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("occurrences"))

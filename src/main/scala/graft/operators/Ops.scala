@@ -21,6 +21,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Ops {
 
+  /** Spread a single-split source across the cluster before per-row
+    * heavy work (tokenizing, hashing, explodes): a small file arrives
+    * as ONE input split and everything up to the first shuffle would
+    * run on one core. Already-parallel inputs pass through untouched.
+    *
+    * Deliberately ROUND-ROBIN, never `repartition(col(key))`: a
+    * user-specified hash partitioning satisfies downstream joins' /
+    * aggregations' distribution requirement on that key, so
+    * EnsureRequirements inserts no exchange there — and AQE can
+    * neither skew-split nor coalesce a REPARTITION_BY_COL shuffle.
+    * Keyless spreading leaves every later exchange to
+    * EnsureRequirements, which AQE CAN rewrite under hot keys
+    * (ProfileR6Scale skew audit: candidates ⋈ arrs splits with
+    * round-robin feeds, never with keyed ones).
+    */
+  def spread(df: DataFrame): DataFrame =
+    if (df.rdd.getNumPartitions > 1) df
+    else df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** Exact money cast: doubles carrying 2-decimal values → DECIMAL(18,2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -171,8 +171,7 @@ object PipelineQueries {
     */
   val d11_top_terms: Q = (s, dir) => {
     val t   = Tables(s, dir)
-    val tok = t.documents
-      .repartition(col("doc_id"))
+    val tok = Ops.spread(t.documents)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("term"))
     val tf    = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
