@@ -211,13 +211,15 @@ object Dedup {
     // hash partitioning on the id satisfies the verify joins'
     // distribution requirement, so EnsureRequirements inserts no
     // exchange there and AQE can neither skew-split nor coalesce a
-    // REPARTITION_BY_COL shuffle. Keyless spreading leaves the join
-    // exchanges to EnsureRequirements, which AQE CAN split when a hot
-    // candidate key (one doc near-duplicating 10^5 others) lands on
-    // one reducer — proven by ProfileR6Scale's skew audit.
+    // REPARTITION_BY_COL shuffle. Spreading by hash(id) — a DERIVED
+    // key, distinct from clustering(id) — leaves the join exchanges to
+    // EnsureRequirements, which AQE CAN split when a hot candidate key
+    // (one doc near-duplicating 10^5 others) lands on one reducer —
+    // proven by ProfileR6Scale's skew audit. (Round-robin would also
+    // work but pays a full-payload sortBeforeRepartition.)
     val spread =
       if (docs.rdd.getNumPartitions > 1) docs
-      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, hash(col(idCol)))
     spread
       .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("t")) // materialize once
       // fused build+hash+sort+distinct (ShingleHash60Expr): same values
@@ -855,12 +857,13 @@ object Dedup {
     // The per-row form needs no shuffle on already-parallel input; only
     // spread the rows when the source arrives as a single split (tiny
     // fixture parquet), otherwise a full-width repartition of the text
-    // payload would contradict the shuffle-free design above. Keyless
-    // round-robin, not repartition(col(id)) — a keyed repartition pins
-    // the partitioning and blinds AQE downstream (see shingleArrays).
+    // payload would contradict the shuffle-free design above. Spread
+    // by hash(id), not repartition(col(id)) — a repartition keyed on
+    // the id itself pins the partitioning and blinds AQE downstream
+    // (see shingleArrays).
     val spread =
       if (docs.rdd.getNumPartitions > 1) docs
-      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, hash(col(idCol)))
     spread
       .select(
         col(idCol).cast("long").as(idCol),

@@ -222,7 +222,7 @@ object CorpusQueries {
     */
   val d30_bigram_stats: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val big = Ops.spread(t.documents)
+    val big = Ops.spread(t.documents, col("doc_id"))
       .select(col("lang"), TextAnalysis.tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(

@@ -140,7 +140,7 @@ object CurationQueries {
     */
   val d33_weighted_sample: Q = (s, dir) => {
     val t = Tables(s, dir)
-    Ops.spread(t.documents)
+    Ops.spread(t.documents, col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("w"))
       .filter(col("w") > 0)
       .select(col("doc_id"), col("w"), explode(sequence(lit(1L), col("w"))).as("j"))

@@ -199,7 +199,7 @@ object ExtendedQueries {
     */
   val d19_oov_ratio: Q = (s, dir) => {
     val t   = Tables(s, dir)
-    val tok = Ops.spread(t.documents)
+    val tok = Ops.spread(t.documents, col("doc_id"))
       .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
     val vocab = tok
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -270,7 +270,7 @@ object ExtendedQueries {
     */
   val d22_repetition: Q = (s, dir) => {
     val t  = Tables(s, dir)
-    val tf = Ops.spread(t.documents)
+    val tf = Ops.spread(t.documents, col("doc_id"))
       .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
@@ -294,7 +294,7 @@ object ExtendedQueries {
   val d23_chunking: Q = (s, dir) => {
     val t              = Tables(s, dir)
     val (width, stride) = (64, 48)
-    Ops.spread(t.documents)
+    Ops.spread(t.documents, col("doc_id"))
       .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .filter(col("n") > 0)
@@ -413,7 +413,7 @@ object ExtendedQueries {
     */
   val d14_zipf: Q = (s, dir) => {
     val t = Tables(s, dir)
-    Ops.spread(t.documents)
+    Ops.spread(t.documents, col("doc_id"))
       .select(explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("occurrences"))

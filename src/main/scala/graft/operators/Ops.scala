@@ -26,19 +26,25 @@ object Ops {
     * as ONE input split and everything up to the first shuffle would
     * run on one core. Already-parallel inputs pass through untouched.
     *
-    * Deliberately ROUND-ROBIN, never `repartition(col(key))`: a
-    * user-specified hash partitioning satisfies downstream joins' /
-    * aggregations' distribution requirement on that key, so
-    * EnsureRequirements inserts no exchange there — and AQE can
-    * neither skew-split nor coalesce a REPARTITION_BY_COL shuffle.
-    * Keyless spreading leaves every later exchange to
-    * EnsureRequirements, which AQE CAN rewrite under hot keys
-    * (ProfileR6Scale skew audit: candidates ⋈ arrs splits with
-    * round-robin feeds, never with keyed ones).
+    * Deliberately keyed by a DERIVED hash of the row id, never by the
+    * id itself and never round-robin:
+    *   - `repartition(col(id))` satisfies downstream joins' /
+    *     aggregations' distribution requirement on that key, so
+    *     EnsureRequirements inserts no exchange there — and AQE can
+    *     neither skew-split nor coalesce a REPARTITION_BY_COL shuffle
+    *     (ProfileR6Scale skew audit: the hot-key verify join only
+    *     splits once no keyed-on-id repartition feeds it).
+    *   - plain `repartition(n)` is round-robin, and Spark sorts every
+    *     input partition by ALL columns first (retry determinism,
+    *     sortBeforeRepartition) — a full-payload sort just to spread.
+    * `hashpartitioning(hash(id))` is deterministic, sort-free, uniform,
+    * and semantically distinct from `clustering(id)`, so every later
+    * exchange still belongs to EnsureRequirements where AQE can
+    * rewrite it.
     */
-  def spread(df: DataFrame): DataFrame =
+  def spread(df: DataFrame, salt: Column): DataFrame =
     if (df.rdd.getNumPartitions > 1) df
-    else df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    else df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, hash(salt))
 
   /** Exact money cast: doubles carrying 2-decimal values → DECIMAL(18,2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -171,7 +171,7 @@ object PipelineQueries {
     */
   val d11_top_terms: Q = (s, dir) => {
     val t   = Tables(s, dir)
-    val tok = Ops.spread(t.documents)
+    val tok = Ops.spread(t.documents, col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("term"))
     val tf    = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

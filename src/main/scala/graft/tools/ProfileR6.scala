@@ -27,6 +27,13 @@ object ProfileR6 {
       println(f"[prof] $name%-22s ${ts.min}%8.2fs  (${ts.map(x => f"$x%.2f").mkString(" ")})  rows=$n")
       spark.sharedState.cacheManager.clearCache()
     }
+    locally { // build-time cost of the spread parallelism probe
+      val t0 = System.nanoTime()
+      val p  = graft.Tables(spark, dir).documents.rdd.getNumPartitions
+      println(f"[prof] rdd.getNumPartitions   ${(System.nanoTime() - t0) / 1e9}%8.2fs  parts=$p")
+    }
+    tm("d11-as-wired")(graft.operators.PipelineQueries.d11_top_terms(spark, dir).count())
+    tm("d01-as-wired")(graft.operators.PipelineQueries.d01_dedup_exact(spark, dir).count())
     tm("d03-as-wired")(graft.operators.PipelineQueries.d03_minhash_lsh(spark, dir).count())
     tm("d16-as-wired")(graft.operators.ExtendedQueries.d16_minhash_est(spark, dir).count())
     tm("d18-as-wired")(graft.operators.ExtendedQueries.d18_simhash_pairs(spark, dir).count())
