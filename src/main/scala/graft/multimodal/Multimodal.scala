@@ -238,7 +238,7 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val df = if (partitions > 0) media.repartition(partitions, col("media_id")) else media
+    val df = if (partitions > 0) media.repartition(partitions, hash(col("media_id"))) else media
     df.select(col("media_id"), col("format"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>

@@ -4,10 +4,11 @@ import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_COL, REPARTITION_BY_NUM, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, SinglePartition}
 
 /** Dev tool: walk each query's physical plan tree and flag scale
   * anti-patterns structurally (string matching against explain output
@@ -23,7 +24,11 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
   *     `GlobalWindow(RAW)` when it consumes unaggregated input (a real
   *     100 TB bottleneck);
   *   - SinglePartitionExchange — an explicit all-to-one shuffle that
-  *     is not the bounded window/agg case above.
+  *     is not the bounded window/agg case above;
+  *   - PinnedKeyedRepartition — an explicit `repartition(col(x))` on
+  *     raw columns, which pre-satisfies downstream clustering(x) and
+  *     so hides those exchanges from EnsureRequirements and AQE's
+  *     skew-split (derive the key instead: `hash(col(x))`).
   *
   * Usage: runMain graft.tools.PlanCheck [queryName...] — with names,
   * also dumps the formatted plan.
@@ -69,6 +74,20 @@ object PlanCheck {
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         flags += (if (boundedBelow(e.child)) "SinglePartitionExchange(small)"
                   else "SinglePartitionExchange(RAW)")
+      // An explicit repartition keyed on RAW columns pins the layout:
+      // hashpartitioning(x) pre-satisfies any downstream join/agg
+      // clustering on x, so EnsureRequirements inserts no exchange
+      // there and AQE can neither skew-split nor coalesce it (user
+      // shuffles are off-limits to AQE rewrites). Spread by a DERIVED
+      // key instead — Ops.spread's hash(id) — which keeps every later
+      // exchange under EnsureRequirements' (and AQE's) control.
+      case e: ShuffleExchangeExec
+          if e.shuffleOrigin == REPARTITION_BY_COL || e.shuffleOrigin == REPARTITION_BY_NUM =>
+        e.outputPartitioning match {
+          case h: HashPartitioning if h.expressions.forall(_.isInstanceOf[AttributeReference]) =>
+            flags += "PinnedKeyedRepartition"
+          case _ => ()
+        }
       case _ => ()
     }
     flags.toSeq.distinct
