@@ -33,7 +33,15 @@ object Dedup {
     * partition cannot be split.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.withColumn("content_hash", md5(normalized(col(textCol))))
+    // Spread single-split corpora first: the normalize+md5 pass runs
+    // BELOW the first exchange on both the row side and the stats
+    // side, so on a one-split input every byte of text would otherwise
+    // be regexp-normalized twice on one core. Derived hash(id) key,
+    // not repartition(col(id)) — see shingleArrays.
+    val spreadDocs =
+      if (docs.rdd.getNumPartitions > 1) docs
+      else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, hash(col(idCol)))
+    val hashed = spreadDocs.withColumn("content_hash", md5(normalized(col(textCol))))
     val stats = hashed
       .select(col("content_hash"), col(idCol))
       .groupBy(col("content_hash"))
