@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * images (`javax.imageio` ships with the JDK: PNG/JPEG/BMP/GIF →
   * true width/height + a 4×4 grid-sampled grayscale vector) and for
   * WAV audio (JDK-only RIFF/PCM parse: true sample rate, channels,
-  * bit depth, frame count + an 8-cell RMS energy grid). Video decode
-  * remains a documented STUB (no ffmpeg-equivalent in the JDK): a
-  * deterministic fake feature vector folded from the payload bytes,
-  * same batch shape, so swapping in a real codec is a one-function
-  * change.
+  * bit depth, frame count + an 8-cell RMS energy grid) and for
+  * AVI/MJPEG video (JDK-only RIFF container walk + per-frame ImageIO
+  * decode: true dims, fps, frame count + a sampled-frame luma track).
+  * Only codecs with no JDK decode path (H.264/MP4 and friends) fall
+  * back to a deterministic byte-fold STUB with the same batch shape,
+  * so swapping in a native codec is a one-function change.
   *
   * Scale notes: payload columns are large — keep them OUT of shuffles.
   * `decodeFeatures` repartitions by a hash of the id only (narrow
@@ -194,6 +195,187 @@ object Multimodal {
     buf.array()
   }
 
+  /** Decoded video facts: true container geometry plus a per-sampled-
+    * frame mean-luma track — the video analog of AudioFeatures' RMS
+    * grid (temporal, not spatial, resolution).
+    */
+  case class VideoFeatures(
+      media_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      fps: Double,
+      n_frames: Long,
+      duration_ms: Double,
+      features: Array[Float])
+
+  /** How many evenly-spaced frames `decodeAvi` actually decodes per
+    * video. Bounded so a feature pass over a long video reads k frames,
+    * not all of them — the frame-sampling that makes video feature
+    * extraction linear in corpus size rather than corpus duration.
+    */
+  private val VideoSampleFrames = 4
+
+  /** REAL video decode for AVI/MJPEG, JDK-only — the video twin of
+    * `decodeWav` (same RIFF container family) composed with
+    * `decodeImage`'s ImageIO path (an MJPEG frame IS a baseline JPEG).
+    *
+    * Walks the outer RIFF 'AVI ' chunk list: 'hdrl' gives the true
+    * width/height ('avih') and frame rate ('strh' dwRate/dwScale for
+    * the 'vids' stream); 'movi' holds the frame chunks ('00dc'/'00db'
+    * for stream 0). Decodes `VideoSampleFrames` evenly-spaced frames
+    * via ImageIO and returns their mean Rec.601 luma as the temporal
+    * feature track. Returns None for anything that is not a well-formed
+    * AVI whose sampled frames decode (H.264-in-MP4 etc. stays out of
+    * reach without a native codec — that fallback is the remaining,
+    * documented stub path), so callers fall back instead of failing
+    * the batch.
+    */
+  private[multimodal] def decodeAvi(
+      payload: Array[Byte]): Option[(Int, Int, Double, Long, Array[Float])] = {
+    def u8(i: Int): Int     = payload(i) & 0xff
+    def le16(i: Int): Int   = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long  = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+      var width     = 0
+      var height    = 0
+      var fps       = 0.0
+      var usPerFrm  = 0L
+      val frameOffs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (offset, size)
+
+      // Walk one chunk run [from, to); LISTs recurse one level at a
+      // time (hdrl → strl, movi → frame chunks) — AVI nesting is fixed
+      // and shallow, so explicit recursion stays bounded.
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var pos = from
+        while (pos + 8 <= to) {
+          val id   = tag(pos)
+          val size = le32(pos + 4).toInt
+          val body = pos + 8
+          if (size < 0 || body + size > to) return
+          id match {
+            case "LIST" if size >= 4 =>
+              val sub = tag(body)
+              if (sub == "hdrl" || sub == "strl" || sub == "movi" || sub == "rec ")
+                walk(body + 4, body + size, inMovi || sub == "movi")
+            case "avih" if size >= 40 =>
+              usPerFrm = le32(body)
+              width = le32(body + 32).toInt
+              height = le32(body + 36).toInt
+            case "strh" if size >= 28 && tag(body) == "vids" =>
+              val scale = le32(body + 20)
+              val rate  = le32(body + 24)
+              if (scale > 0 && rate > 0) fps = rate.toDouble / scale.toDouble
+            case c if inMovi && (c == "00dc" || c == "00db") && size > 0 =>
+              frameOffs += ((body, size))
+            case _ => ()
+          }
+          pos = body + size + (size & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, payload.length, inMovi = false)
+
+      if (fps == 0.0 && usPerFrm > 0) fps = 1e6 / usPerFrm.toDouble
+      val n = frameOffs.length
+      if (width <= 0 || height <= 0 || fps <= 0.0 || n == 0) return None
+      // k evenly-spaced sample frames → mean luma each (cell-center
+      // sampling rule shared with decodeImage's 4×4 spatial grid)
+      val k     = math.min(VideoSampleFrames, n)
+      val track = new Array[Float](k)
+      var s     = 0
+      while (s < k) {
+        val (off, len) = frameOffs(s * n / k + math.min(n / (2 * k), n - 1 - s * n / k))
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(java.util.Arrays.copyOfRange(payload, off, off + len)))
+        if (img == null) return None
+        var sum = 0L
+        var i   = 0
+        val w   = img.getWidth
+        val h   = img.getHeight
+        while (i < 16) {
+          val gx  = math.min((i % 4) * w / 4 + w / 8, w - 1)
+          val gy  = math.min((i / 4) * h / 4 + h / 8, h - 1)
+          val rgb = img.getRGB(gx, gy)
+          sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          i += 1
+        }
+        track(s) = sum / 16f / 255f
+        s += 1
+      }
+      Some((width, height, fps, n.toLong, track))
+    } catch { case _: Exception => None }
+  }
+
+  /** AVI/MJPEG encoder (frames = ready JPEG byte arrays) — the writer
+    * twin of `decodeAvi`, used to build real video fixtures and prove
+    * the round trip, exactly like `encodeWavPcm16` for audio.
+    */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val buf = java.nio.ByteBuffer.allocate(8 + body.length + pad).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(id.getBytes(ascii)).putInt(body.length).put(body)
+      buf.array()
+    }
+    def list(subtype: String, parts: Seq[Array[Byte]]): Array[Byte] =
+      chunk("LIST", subtype.getBytes(ascii) ++ parts.flatten)
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1000000 / fps)     // dwMicroSecPerFrame
+      b.putInt(0).putInt(0)       // dwMaxBytesPerSec, dwPaddingGranularity
+      b.putInt(0x10)              // dwFlags: AVIF_HASINDEX off, interleaved off
+      b.putInt(frames.length)     // dwTotalFrames
+      b.putInt(0).putInt(1)       // dwInitialFrames, dwStreams
+      b.putInt(0)                 // dwSuggestedBufferSize
+      b.putInt(width).putInt(height)
+      b.array() // trailing dwReserved[4] stays zero
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes(ascii)).put("MJPG".getBytes(ascii))
+      b.putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
+      b.putInt(1).putInt(fps)                       // dwScale, dwRate → fps
+      b.putInt(0).putInt(frames.length)             // dwStart, dwLength
+      b.array()
+    }
+    val strf = { // BITMAPINFOHEADER
+      val b = java.nio.ByteBuffer.allocate(40).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(width).putInt(height)
+      b.putShort(1).putShort(24) // planes, bit count
+      b.put("MJPG".getBytes(ascii))
+      b.putInt(width * height * 3)
+      b.array()
+    }
+    val hdrl = list("hdrl", Seq(chunk("avih", avih), list("strl", Seq(chunk("strh", strh), chunk("strf", strf)))))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)))
+    val body = "AVI ".getBytes(ascii) ++ hdrl ++ movi
+    val out  = java.nio.ByteBuffer.allocate(8 + body.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(ascii)).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** Partition-parallel video decode over a media table: real container
+    * geometry + luma track for every row `decodeAvi` accepts (rows that
+    * do not parse as AVI/MJPEG are dropped — the caller's signal to
+    * route them through `decodeFeatures`' stub path instead). Same
+    * mapPartitions batch shape as `decodeFeatures`.
+    */
+  def decodeVideoFeatures(media: DataFrame): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("format"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, fmt, bytes) =>
+        decodeAvi(bytes).map { case (w, h, fps, frames, track) =>
+          VideoFeatures(id, fmt, w, h, fps, frames, frames * 1000.0 / fps, track)
+        }
+      })
+  }
+
   /** Partition-parallel audio decode over a media table: real header
     * fields + RMS grid for every row `decodeWav` accepts (rows that do
     * not parse as PCM WAV are dropped — the caller's signal to route
@@ -213,9 +395,9 @@ object Multimodal {
       })
   }
 
-  /** STUB codec for the formats the JDK cannot decode (video — a real
-    * implementation would call an ffmpeg-equivalent here; images decode
-    * via ImageIO above, WAV audio via `decodeWav`).
+  /** STUB codec for the formats the JDK cannot decode (H.264/MP4-class
+    * video needs a native codec; images decode via ImageIO, WAV audio
+    * via `decodeWav`, AVI/MJPEG video via `decodeAvi`).
     * Deterministic fake: 8 floats folded from the payload bytes.
     */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
@@ -232,8 +414,9 @@ object Multimodal {
     * rides along column-pruned), then stream each partition through the
     * codec once. Image formats go through the real ImageIO decode
     * (true dims + pixel features), wav through the real RIFF/PCM parse
-    * (RMS energy grid, no dims); undecodable payloads and video fall
-    * back to the byte-fold stub with no dims.
+    * (RMS energy grid, no dims), avi through the real RIFF/MJPEG walk
+    * (true dims + luma track); undecodable payloads and native-codec
+    * video fall back to the byte-fold stub with no dims.
     */
   def decodeFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -250,6 +433,8 @@ object Multimodal {
               decodeImage(bytes).map { case (w, h, feats) => MediaFeatures(id, fmt, feats, Some(w), Some(h)) }
             else if (f == "wav")
               decodeWav(bytes).map { case (_, _, _, _, grid) => MediaFeatures(id, fmt, grid, None, None) }
+            else if (f == "avi")
+              decodeAvi(bytes).map { case (w, h, _, _, track) => MediaFeatures(id, fmt, track, Some(w), Some(h)) }
             else None
           decoded.getOrElse(MediaFeatures(id, fmt, decodeStub(bytes), None, None))
         }

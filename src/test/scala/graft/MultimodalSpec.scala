@@ -104,6 +104,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.features.forall(g => math.abs(g - math.sqrt(0.5).toFloat) < 1e-3f))
   }
 
+  // Solid-gray baseline-JPEG frame bytes for AVI fixtures.
+  private def jpegFrame(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g   = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray)); g.fillRect(0, 0, w, h); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("decodeAvi really decodes AVI/MJPEG payloads (RIFF walk + per-frame ImageIO)") {
+    // 8 frames at 4 fps, 32×24, luma ramping dark → bright: the
+    // sampled-frame track must come back monotonically increasing
+    val (w, h, fps) = (32, 24, 4)
+    val frames      = (0 until 8).map(i => jpegFrame(w, h, 16 + i * 28))
+    val avi         = Multimodal.encodeAviMjpeg(w, h, fps, frames)
+    val rows = Seq(
+      (40L, avi, "avi"),
+      (41L, "not a video".getBytes("UTF-8"), "avi") // undecodable → stub fallback
+    ).toDF("media_id", "payload", "format")
+
+    val video = Multimodal.decodeVideoFeatures(rows).collect()
+    assert(video.length == 1) // only the real AVI parses
+    val v = video.head
+    assert(v.media_id == 40L && v.width == w && v.height == h)
+    assert(math.abs(v.fps - fps) < 1e-9 && v.n_frames == 8 && math.abs(v.duration_ms - 2000.0) < 1e-9)
+    // 4 sampled frames spanning the ramp, strictly brightening; JPEG is
+    // lossy so compare with slack against the encoded gray levels
+    assert(v.features.length == 4)
+    assert(v.features.sliding(2).forall { case Array(a, b) => a < b })
+    assert(math.abs(v.features.head - 44 / 255f) < 0.05f)  // frame 1 (gray 44)
+    assert(math.abs(v.features.last - 212 / 255f) < 0.05f) // frame 7 (gray 212)
+
+    // decodeFeatures routes avi through the same real decode with dims...
+    val got = Multimodal.decodeFeatures(rows).collect().map(f => f.media_id -> f).toMap
+    assert(got(40L).features.sameElements(v.features))
+    assert(got(40L).width.contains(w) && got(40L).height.contains(h))
+    // ...and degrades bad bytes to the 8-float stub, not a failure
+    assert(got(41L).features.length == 8 && got(41L).width.isEmpty)
+  }
+
+  test("decodeAvi samples a bounded frame count and tolerates short videos") {
+    // 2-frame video: the track length is min(VideoSampleFrames, n)
+    val frames = Seq(jpegFrame(16, 16, 30), jpegFrame(16, 16, 200))
+    val avi    = Multimodal.encodeAviMjpeg(16, 16, 2, frames)
+    val rows   = Seq((50L, avi, "avi")).toDF("media_id", "payload", "format")
+    val v      = Multimodal.decodeVideoFeatures(rows).collect().head
+    assert(v.n_frames == 2 && v.features.length == 2)
+    assert(v.features(0) < v.features(1))
+    // truncated container (header only, no movi) → None, row dropped
+    val cut = java.util.Arrays.copyOfRange(avi, 0, 64)
+    assert(Multimodal.decodeVideoFeatures(
+      Seq((51L, cut, "avi")).toDF("media_id", "payload", "format")).collect().isEmpty)
+  }
+
   test("resizeStub decimates payloads deterministically") {
     val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
     assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0
