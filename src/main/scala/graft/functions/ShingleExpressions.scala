@@ -221,6 +221,55 @@ object ShingleOps {
     }
     new GenericArrayData(if (w == n) out else java.util.Arrays.copyOf(out, w))
   }
+
+  /** Java-regex default `\s`: space plus the 0x09–0x0D control run
+    * (\t \n \x0B \f \r). All ASCII, so a byte-level scan cannot split
+    * inside a multi-byte UTF-8 sequence.
+    */
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0d.toByte)
+
+  /** One-pass whitespace tokenizer (codegen entry point): emits each
+    * maximal non-whitespace byte run as a zero-copy slice of the
+    * input's backing buffer.
+    */
+  def tokenize(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    // count runs first so the output array allocates exactly once
+    val count = tokenCountBytes(b)
+    if (count == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](count.toInt)
+    var w   = 0
+    var i   = 0
+    while (i < n) {
+      while (i < n && isWs(b(i))) i += 1
+      val start = i
+      while (i < n && !isWs(b(i))) i += 1
+      if (i > start) {
+        out(w) = org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start)
+        w += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Allocation-free whitespace token count (codegen entry point). */
+  def tokenCount(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    tokenCountBytes(s.getBytes)
+
+  private def tokenCountBytes(b: Array[Byte]): Long = {
+    var c    = 0L
+    var i    = 0
+    var inTk = false
+    while (i < b.length) {
+      val ws = isWs(b(i))
+      if (!ws && !inTk) c += 1
+      inTk = !ws
+      i += 1
+    }
+    c
+  }
 }
 
 /** Per-row MinHash signature over a pre-hashed shingle-set column:
@@ -342,6 +391,63 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Whitespace tokenization of a string — the fused form of
+  * `filter(split(trim(c), "\\s+"), t => t =!= lit(""))`, the tokenizer
+  * under every text-analysis and shingle path. One pass over the UTF-8
+  * bytes emitting zero-copy slices of the input buffer, instead of a
+  * regex engine pass + split-array allocation + a second filter pass.
+  *
+  * Equivalence (spec-proven): Java's default `\s` is exactly
+  * `[ \t\n\x0B\f\r]` — six ASCII bytes, none of which can appear
+  * inside a multi-byte UTF-8 sequence (continuation bytes are >= 0x80),
+  * so maximal non-whitespace byte runs ARE the regex form's tokens;
+  * leading/trailing runs and the `trim` wash out in the empty-string
+  * filter. Unicode spaces (U+00A0 etc.) stay inside tokens in BOTH
+  * forms.
+  */
+case class TokenizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType                   = ArrayType(StringType, containsNull = false)
+  override def prettyName: String                   = "tokenize"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.tokenize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Whitespace token COUNT of a string — the fused form of
+  * `size(tokenize(c)).cast("long")` that counts non-whitespace runs
+  * without materializing the token array at all. Quality-score
+  * predicates (token budget, stopword/punct ratios) call this per
+  * document; at corpus scale the avoided allocation is one token
+  * array per row.
+  */
+case class TokenCountExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+  override def dataType: DataType                   = LongType
+  override def prettyName: String                   = "token_count"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.tokenCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
 
   /** Sorted-distinct 60-bit shingle hash set of a token-array column —
@@ -377,4 +483,16 @@ object ShingleExpressions {
   /** Per-row 60-bit SimHash of a token-array column (null when empty). */
   def simhash60(tokens: Column): Column =
     Bridge.column(Simhash60Expr(Bridge.expression(tokens)))
+
+  /** One-pass whitespace tokenizer — the fused
+    * `filter(split(trim(c), "\\s+"), _ =!= "")`.
+    */
+  def tokenize(c: Column): Column =
+    Bridge.column(TokenizeExpr(Bridge.expression(c)))
+
+  /** Allocation-free whitespace token count — the fused
+    * `size(tokenize(c)).cast("long")`.
+    */
+  def tokenCount(c: Column): Column =
+    Bridge.column(TokenCountExpr(Bridge.expression(c)))
 }

@@ -12,11 +12,20 @@ object TextAnalysis {
 
   /** Non-empty whitespace tokens of a trimmed string. */
   def tokens(c: Column): Column =
+    ShingleExpressions.tokenize(c)
+
+  /** Composable-built-ins twin of `tokens` (the oracle-shaped regex
+    * form) — kept as the equality baseline the native one-pass
+    * tokenizer is spec-checked against.
+    */
+  def tokensComposed(c: Column): Column =
     filter(split(trim(c), "\\s+"), t => t =!= lit(""))
 
-  /** Token count as long (BIGINT parity with SQL engines). */
+  /** Token count as long (BIGINT parity with SQL engines) — fused,
+    * counts whitespace runs without materializing the token array.
+    */
   def tokenCount(c: Column): Column =
-    size(tokens(c)).cast("long")
+    ShingleExpressions.tokenCount(c)
 
   /** Word n-gram shingles from an ALREADY-MATERIALIZED token-array
     * column. Callers must project `tokens(...)` into a named column

@@ -125,6 +125,28 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("native tokenize/tokenCount equal the regex twin on adversarial whitespace (5 seeds)") {
+    val wsPool = Vector(" ", "\t", "\n", "", "\f", "\r", "  ", " \t\r\n ")
+    val tkPool = Vector("ab", "Ω≈ç", "a b", "x", "émü", "1,2;3", "日本語", "a-b_c")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val rows = (0 until 200).map { i =>
+        val parts = Seq.fill(rnd.nextInt(12))(
+          if (rnd.nextBoolean()) tkPool(rnd.nextInt(tkPool.size)) else wsPool(rnd.nextInt(wsPool.size)))
+        (i.toLong, parts.mkString)
+      } ++ Seq((900L, ""), (901L, "   \t\n "), (902L, "solo"), (903L, null))
+      val df = rows.toDF("id", "text")
+      val both = df.select(
+        col("id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("nat"),
+        graft.functions.TextAnalysis.tokensComposed(col("text")).as("twin"),
+        graft.functions.TextAnalysis.tokenCount(col("text")).as("nat_n"))
+      val bad = both.filter(
+        !(col("nat") <=> col("twin")) || !(col("nat_n") <=> size(col("twin")).cast("long")))
+      assert(bad.isEmpty, s"seed=$seed: ${bad.collect().mkString(", ")}")
+    }
+  }
+
   test("collapseRuns: idempotent, order-preserving, never longer (5 seeds)") {
     import graft.operators.TrainingQueries
     for (seed <- 1 to 5) {
