@@ -521,14 +521,30 @@ object Dedup {
       k: Int,
       rowsPerBand: Int,
       carryCols: Seq[String] = Nil): DataFrame = {
-    val nBands = k / rowsPerBand
     // fused k-minima signature (MinhashSigExpr): one JVM pass per row
     // instead of k × |set| interpreted lambda hops; value-identical to
     // the composed form (spec-proven against the aggregated path)
     val sig = graft.functions.ShingleExpressions.minhashSignature(col("set"), k)
-    arrs
-      .filter(size(col("set")) > 0)
-      .withColumn("__sig_arr", sig)
+    bandsFromSigCol(
+      arrs.filter(size(col("set")) > 0).withColumn("__sig_arr", sig),
+      idCol, k, rowsPerBand, carryCols)
+  }
+
+  /** LSH band rows derived from an ALREADY-MATERIALIZED signature
+    * column `__sig_arr` (array<long>, length k). Split out of
+    * `rowMinhashBands` so callers that need the signature for more
+    * than banding (e.g. the d16 signature-agreement estimate) can
+    * persist ONE k-minima MD5 pass and derive bands from it, instead
+    * of paying the 16-MD5s-per-shingle sketch twice.
+    */
+  def bandsFromSigCol(
+      sigged: DataFrame,
+      idCol: String,
+      k: Int,
+      rowsPerBand: Int,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val nBands = k / rowsPerBand
+    sigged
       .select(
         (col(idCol) +: carryCols.map(col)) :+
           explode(

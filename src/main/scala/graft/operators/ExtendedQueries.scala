@@ -439,16 +439,20 @@ object ExtendedQueries {
   val d16_minhash_est: Q = (s, dir) => {
     val t    = Tables(s, dir)
     val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
-    // per-row fused signatures/bands (MinhashSigExpr) — the persisted
-    // shingle arrays feed bands, signatures AND verification sets with
-    // no explode and no aggregation before the candidate shuffle
-    val cand  = Dedup.lshCandidates(Dedup.rowMinhashBands(arrs, "doc_id", 16, 2), "doc_id")
-    val pairs = Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5)
-    val sigs = arrs
+    // ONE persisted k-minima signature pass (MinhashSigExpr is 16 MD5s
+    // per shingle — the single most expensive per-row step here) feeds
+    // BOTH the LSH bands and the signature-agreement estimate; the
+    // narrow (doc_id, 16×long) projection is cheap to cache and the
+    // runner clears it when the query returns (Caches.scala)
+    val sigDf = arrs
       .filter(size(col("set")) > 0)
       .select(
         col("doc_id"),
-        graft.functions.ShingleExpressions.minhashSignature(col("set"), 16).as("sig"))
+        graft.functions.ShingleExpressions.minhashSignature(col("set"), 16).as("__sig_arr"))
+      .persist()
+    val cand  = Dedup.lshCandidates(Dedup.bandsFromSigCol(sigDf, "doc_id", 16, 2), "doc_id")
+    val pairs = Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5)
+    val sigs  = sigDf.select(col("doc_id"), col("__sig_arr").as("sig"))
     pairs
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
