@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 
 /** Fused shingle-build + hash for the dedup hot path.
   *
@@ -270,6 +270,84 @@ object ShingleOps {
     }
     c
   }
+
+  /** Duplicate-occurrence statistics of a long array (codegen entry
+    * point): `[total, dup]` where `dup` sums the multiplicities of
+    * values that occur at least twice. Sort + one run-length scan over
+    * a copy of the row's own values — no per-value hash map.
+    */
+  def dupRunStats(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array(0L, 0L))
+    val a = arr.toLongArray() // fresh copy for every ArrayData impl
+    java.util.Arrays.sort(a)
+    var dup   = 0L
+    var i     = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length && a(j) == a(i)) j += 1
+      if (j - i >= 2) dup += (j - i)
+      i = j
+    }
+    new GenericArrayData(Array(n.toLong, dup))
+  }
+
+  /** Per-row token-frequency summary `[n_tokens, n_types, max_tf]` of
+    * a token array (codegen entry point) — the lambda-free reduction of
+    * `termCounts` for consumers that never need the term strings (d22's
+    * repetition metrics). Null elements are skipped like concat_ws.
+    */
+  def tfStats(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var total = 0L
+    var i     = 0
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      if (u != null) {
+        total += 1L
+        val cell = m.get(u)
+        if (cell == null) m.put(u, Array(1L)) else cell(0) += 1L
+      }
+      i += 1
+    }
+    var maxTf = 0L
+    val it    = m.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); if (c > maxTf) maxTf = c }
+    new GenericArrayData(Array(total, m.size().toLong, maxTf))
+  }
+
+  /** Per-row term-frequency table of a token array, sorted by term
+    * bytes (codegen entry point). One hash-map pass over the row's own
+    * tokens; null elements are skipped like concat_ws skips null
+    * arguments, so the expression stays total on any array<string>.
+    */
+  def termCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val u = toks.getUTF8String(i)
+      if (u != null) {
+        val cell = m.get(u)
+        if (cell == null) m.put(u, Array(1L)) else cell(0) += 1L
+      }
+      i += 1
+    }
+    val keys = m.keySet().toArray(new Array[org.apache.spark.unsafe.types.UTF8String](m.size()))
+    // UTF8String.compareTo is unsigned byte order — the same total
+    // order Spark's string sort uses, so downstream sorts agree
+    java.util.Arrays.sort(keys, java.util.Comparator.naturalOrder[org.apache.spark.unsafe.types.UTF8String]())
+    val out = new Array[AnyRef](keys.length)
+    i = 0
+    while (i < keys.length) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](keys(i), m.get(keys(i))(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Per-row MinHash signature over a pre-hashed shingle-set column:
@@ -448,6 +526,85 @@ case class TokenCountExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Duplicate-occurrence statistics of a long-array column —
+  * `[total, dup]` where `dup` sums the multiplicities of values
+  * occurring at least twice. The fused, doc-LOCAL form of the
+  * `explode(grams) → groupBy(doc, gram) → count → conditional sums`
+  * pipeline behind Gopher-style duplicate-n-gram fractions: a row's
+  * grams are a pure function of that row, so the whole statistic
+  * computes with no exchange at all.
+  */
+case class DupRunStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType                   = ArrayType(LongType, containsNull = false)
+  override def prettyName: String                   = "dup_run_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.dupRunStats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.dupRunStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row token-frequency summary `[n_tokens, n_types, max_tf]` of a
+  * token-array column — `termCounts` reduced in the same single pass
+  * for consumers that never materialize the per-term table (repetition
+  * / lexical-diversity metrics). Doc-local like `termCounts`: zero
+  * exchanges, zero higher-order-function lambdas.
+  */
+case class TfStatsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType                   = ArrayType(LongType, containsNull = false)
+  override def prettyName: String                   = "tf_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.tfStats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.tfStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row term-frequency table of a token array —
+  * `array<struct<term: string, tf: long>>` sorted by term bytes. The
+  * fused, doc-LOCAL form of the `explode(tokens) → groupBy(doc, term)
+  * → count` tf aggregation: every token of a document already sits in
+  * one row, so its tf table is a pure function of that row and needs
+  * no exchange at all. Downstream per-doc statistics (type counts,
+  * max-tf, top-k terms) then start from an embarrassingly parallel
+  * frame instead of a token-level shuffle.
+  */
+case class TermCountsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", StringType, nullable = false), StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.termCounts(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleOps.termCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ShingleExpressions {
 
   /** Sorted-distinct 60-bit shingle hash set of a token-array column —
@@ -495,4 +652,24 @@ object ShingleExpressions {
     */
   def tokenCount(c: Column): Column =
     Bridge.column(TokenCountExpr(Bridge.expression(c)))
+
+  /** Per-row term-frequency table, sorted by term — the fused,
+    * shuffle-free form of
+    * `transform(array_sort(array_distinct(tk)), x -> struct(x, size(filter(tk, y -> y = x))))`.
+    */
+  def termCounts(tokens: Column): Column =
+    Bridge.column(TermCountsExpr(Bridge.expression(tokens)))
+
+  /** Per-row token-frequency summary `[n_tokens, n_types, max_tf]` —
+    * the lambda-free fused form of reducing `termCounts(tokens)`.
+    */
+  def tfStats(tokens: Column): Column =
+    Bridge.column(TfStatsExpr(Bridge.expression(tokens)))
+
+  /** Per-row duplicate-gram statistics `[total, dup]` of a long array —
+    * the fused, shuffle-free form of the exploded per-gram count with
+    * conditional sums (d34's inner aggregation).
+    */
+  def dupRunStats(arr: Column): Column =
+    Bridge.column(DupRunStatsExpr(Bridge.expression(arr)))
 }

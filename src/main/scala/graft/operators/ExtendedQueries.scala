@@ -269,16 +269,24 @@ object ExtendedQueries {
     * two-level aggregation, partitioned by doc then reduced.
     */
   val d22_repetition: Q = (s, dir) => {
-    val t  = Tables(s, dir)
-    val tf = Ops.spread(t.documents, col("doc_id"))
-      .select(col("doc_id"), explode(graft.functions.TextAnalysis.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    tf.groupBy(col("doc_id"))
-      .agg(
-        sum(col("tf")).as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        max(col("tf")).as("max_tf"))
+    val t = Tables(s, dir)
+    // Fully doc-local (TfStatsExpr): token count, type count and max-tf
+    // come out of ONE hash-map pass over the row's own tokens, so the
+    // whole metric frame is embarrassingly parallel — ZERO shuffles
+    // before the presentation sort, where the exploded groupBy form
+    // paid a token-level exchange. Zero-token docs are dropped to match
+    // the exploded form (they produced no (doc, term) rows there).
+    Ops.spread(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"),
+        graft.functions.ShingleExpressions.tfStats(
+          graft.functions.TextAnalysis.tokens(col("text"))).as("st"))
+      .filter(col("st").getItem(0) > 0)
+      .select(
+        col("doc_id"),
+        col("st").getItem(0).as("n_tokens"),
+        col("st").getItem(1).as("n_types"),
+        col("st").getItem(2).as("max_tf"))
       .withColumn("ttr", col("n_types").cast("double") / col("n_tokens"))
       .withColumn("top_ratio", col("max_tf").cast("double") / col("n_tokens"))
       .orderBy(col("doc_id"))

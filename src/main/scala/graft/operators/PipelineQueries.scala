@@ -170,11 +170,19 @@ object PipelineQueries {
     * comparison is exact by construction).
     */
   val d11_top_terms: Q = (s, dir) => {
-    val t   = Tables(s, dir)
-    val tok = Ops.spread(t.documents, col("doc_id"))
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(col("tk")).as("term"))
-    val tf    = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val t = Tables(s, dir)
+    // tf is doc-LOCAL (TermCountsExpr): every token of a doc is already
+    // in its row, so the tf table needs no (doc, term) exchange at all
+    // — the only corpus-wide aggregations left are the df count and the
+    // per-doc ranking. The narrow (doc, term, tf) frame feeds both df
+    // and the rank join; persisting it avoids re-tokenizing the corpus
+    // for the second consumer (Caches.scoped drops it after the run).
+    val tf = Ops.spread(t.documents, col("doc_id"))
+      .select(
+        col("doc_id"),
+        explode(graft.functions.ShingleExpressions.termCounts(TextAnalysis.tokens(col("text")))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+      .persist()
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

@@ -33,38 +33,33 @@ object TrainingQueries {
 
   /** Per doc: total n-gram occurrences (n2/n3), occurrences belonging
     * to n-grams repeated within the doc (d2/d3), their fractions, and
-    * the Gopher-style flag. One narrow explode + two map-side-combined
-    * aggregations keyed by doc — no windows, no joins; the shuffle
-    * carries one row per distinct (doc, n, gram).
+    * the Gopher-style flag. A document's grams are a pure function of
+    * its own row, so the whole statistic is doc-LOCAL
+    * (DupRunStatsExpr): one sort + run-length scan per (doc, n) over
+    * the fused 60-bit gram hashes — ZERO shuffles before the
+    * presentation sort, where the exploded groupBy form paid a
+    * gram-level exchange. Grams are carried as their 60-bit content
+    * hash, the SAME sketch representation every other shingle pipeline
+    * uses (duplicate-count semantics are hash-collision-safe at the
+    * documented 2^-60 rate).
     */
   val d34_dup_ngrams: Q = (s, dir) => {
     val t    = Tables(s, dir)
     val se   = graft.functions.ShingleExpressions
-    val toks = t.documents.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
-    // grams carried as their 60-bit content hash — the SAME sketch
-    // representation every other shingle pipeline uses (8-byte shuffle
-    // keys instead of gram strings; duplicate-count semantics are
-    // hash-collision-safe at the documented 2^-60 rate), built by the
-    // fused native shingle hasher
-    val grams = toks
-      .select(
-        col("doc_id"),
-        explode(
-          concat(
-            transform(se.shingleHashes(col("t"), 2), h => struct(lit(2).as("n"), h.as("gram"))),
-            transform(se.shingleHashes(col("t"), 3), h => struct(lit(3).as("n"), h.as("gram"))))).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
     val frac2 = col("d2").cast("double") / col("n2")
     val frac3 = col("d3").cast("double") / col("n3")
-    grams
-      .groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("n") === 2, col("c"))).as("n2"),
-        sum(when(col("n") === 2 && col("c") >= 2, col("c")).otherwise(lit(0L))).as("d2"),
-        sum(when(col("n") === 3, col("c"))).as("n3"),
-        sum(when(col("n") === 3 && col("c") >= 2, col("c")).otherwise(lit(0L))).as("d3"))
+    graft.operators.Ops.spread(t.documents, col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        se.dupRunStats(se.shingleHashes(col("t"), 2)).as("s2"),
+        se.dupRunStats(se.shingleHashes(col("t"), 3)).as("s3"))
+      .select(
+        col("doc_id"),
+        col("s2").getItem(0).as("n2"),
+        col("s2").getItem(1).as("d2"),
+        col("s3").getItem(0).as("n3"),
+        col("s3").getItem(1).as("d3"))
       .filter(col("n2") > 0 && col("n3") > 0)
       .select(
         col("doc_id"),
@@ -408,28 +403,40 @@ object TrainingQueries {
   // ---------- d41: cross-source overlap matrix ----------
 
   /** Corpus data-card diagnostic: pairwise shingle overlap between
-    * sources — distinct 3-gram hash sets per source, one equi-join on
-    * the shingle hash (a.source < b.source), exact Jaccard per source
-    * pair. The join shuffles each distinct (source, shingle) once;
-    * output is |sources|² tiny. The corpus-level twin of d02's per-doc
-    * near-dup search.
+    * sources — exact Jaccard per source pair over distinct 3-gram hash
+    * sets. ONE shingle-keyed aggregation replaces the former
+    * distinct + self-join: `collect_set(source)` per shingle dedupes
+    * map-side AND bounds every posting row at |sources|, then source
+    * pairs expand group-locally (sorted set ⇒ src_a < src_b for free)
+    * into a |sources|²-keyed count. No shingle-keyed join remains, and
+    * the one wide exchange carries each distinct (shingle, source-set)
+    * row exactly once. The corpus-level twin of d02's per-doc near-dup
+    * search.
     */
   val d41_source_overlap: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val sh = t.documents
+    val grouped = graft.operators.Ops.spread(t.documents, col("doc_id"))
       .select(col("source"), TextAnalysis.tokens(col("text")).as("t"))
       // fused 3-gram hashes (ShingleHash60Expr); <3-token docs yield an
       // empty array which explode drops, same as the old when-guard
       .select(
         col("source"),
         explode(graft.functions.ShingleExpressions.shingleHashes(col("t"), 3)).as("s"))
-      .distinct()
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-    val a     = sh.select(col("source").as("src_a"), col("s"))
-    val b     = sh.select(col("source").as("src_b"), col("s"))
-    val inter = a
-      .join(b, Seq("s"))
-      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("s"))
+      .agg(array_sort(collect_set(col("source"))).as("ds"))
+      .persist()
+    val sizes = grouped
+      .select(explode(col("ds")).as("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+    val inter = grouped
+      .filter(size(col("ds")) >= 2)
+      // two-level explode (see Dedup.pairsWithinGroups): peak row size
+      // stays O(|sources|)
+      .select(posexplode(col("ds")).as(Seq("i", "src_a")), col("ds"))
+      .select(
+        col("src_a"),
+        explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(count(lit(1)).as("n_shared"))
     inter

@@ -147,6 +147,78 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("termCounts equals the exploded groupBy tf and the O(n²) twin (5 seeds)") {
+    val pool = Vector("aa", "bb", "Ω≈", "日本", "x", "a-b", "AA")
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val rows = (0 until 150).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(30))(pool(rnd.nextInt(pool.size))).mkString(" "))
+      } ++ Seq((900L, ""), (901L, "solo"), (902L, null))
+      val df = rows.toDF("doc_id", "text")
+        .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
+      val twin = expr(
+        "transform(array_sort(array_distinct(tk)), x -> struct(x AS term, CAST(size(filter(tk, y -> y = x)) AS BIGINT) AS tf))")
+      val bad = df
+        .select(
+          col("doc_id"),
+          graft.functions.ShingleExpressions.termCounts(col("tk")).as("nat"),
+          twin.as("tw"))
+        .filter(!(col("nat") <=> col("tw")))
+      assert(bad.isEmpty, s"seed=$seed: ${bad.collect().take(3).mkString(", ")}")
+      val viaNative = df
+        .select(col("doc_id"), explode(graft.functions.ShingleExpressions.termCounts(col("tk"))).as("tc"))
+        .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+        .as[(Long, String, Long)].collect().toSet
+      val viaGroupBy = df
+        .select(col("doc_id"), explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(viaNative == viaGroupBy, s"seed=$seed: exploded tf mismatch")
+      // tfStats is the lambda-free reduction of termCounts
+      val badStats = df
+        .select(
+          col("doc_id"),
+          graft.functions.ShingleExpressions.tfStats(col("tk")).as("st"),
+          graft.functions.ShingleExpressions.termCounts(col("tk")).as("tc"))
+        .filter(col("st").isNotNull && !(col("st") <=> array(
+          expr("aggregate(tc, 0L, (acc, x) -> acc + x.tf)"),
+          size(col("tc")).cast("long"),
+          coalesce(expr("array_max(transform(tc, x -> x.tf))"), lit(0L)))))
+      assert(badStats.isEmpty, s"seed=$seed: ${badStats.collect().take(3).mkString(", ")}")
+    }
+    // null elements are skipped like concat_ws skips null arguments
+    val tc = spark.range(1)
+      .select(graft.functions.ShingleExpressions.termCounts(
+        array(lit("a"), lit(null).cast("string"), lit("a"))).as("tc"))
+      .selectExpr("transform(tc, x -> concat(x.term, ':', x.tf))")
+      .as[Seq[String]].head()
+    assert(tc == Seq("a:2"))
+  }
+
+  test("dupRunStats equals the exploded per-gram count with conditional sums (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val rows = (0 until 200).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(40))(rnd.nextInt(12).toLong))
+      } :+ (900L, Seq.empty[Long]) :+ (901L, Seq(7L)) :+ (902L, Seq(7L, 7L, 7L))
+      val df = rows.toDF("id", "a")
+      val viaNative = df
+        .select(col("id"), graft.functions.ShingleExpressions.dupRunStats(col("a")).as("st"))
+        .select(col("id"), col("st").getItem(0).as("total"), col("st").getItem(1).as("dup"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val viaGroupBy = df
+        .select(col("id"), explode_outer(col("a")).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(col("g")).as("c"))
+        .groupBy(col("id"))
+        .agg(
+          sum(col("c")).as("total"),
+          sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup"))
+        .select(col("id"), coalesce(col("total"), lit(0L)), coalesce(col("dup"), lit(0L)))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(viaNative == viaGroupBy, s"seed=$seed")
+    }
+  }
+
   test("collapseRuns: idempotent, order-preserving, never longer (5 seeds)") {
     import graft.operators.TrainingQueries
     for (seed <- 1 to 5) {
