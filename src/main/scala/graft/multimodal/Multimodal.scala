@@ -441,10 +441,121 @@ object Multimodal {
       }
   }
 
+  /** REAL image resize, JDK-only: decode via ImageIO, scale to
+    * `max(1, dim / factor)` with bilinear interpolation, re-encode as
+    * PNG (lossless, pure-Java encoder). None when the payload is not a
+    * decodable image.
+    */
+  private[multimodal] def resizeImage(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))).map { img =>
+        val w   = math.max(1, img.getWidth / factor)
+        val h   = math.max(1, img.getHeight / factor)
+        val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g   = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL audio downsample, JDK-only: parse the RIFF/PCM chunks (same
+    * walk as `decodeWav`), keep every `factor`-th frame, divide the
+    * sample rate by `factor` (duration-preserving decimation), and
+    * rebuild a minimal 44-byte-header PCM WAV. None when the payload is
+    * not PCM WAV.
+    */
+  private[multimodal] def decimateWav(payload: Array[Byte], factor: Int): Option[Array[Byte]] = {
+    def u8(i: Int): Int    = payload(i) & 0xff
+    def le16(i: Int): Int  = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong | ((u8(i + 3) & 0xffL) << 24)
+    def tag(i: Int): String = new String(payload, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var pos                          = 12
+      var fmt: Option[(Int, Int, Int)] = None
+      var data: Option[(Int, Int)]     = None
+      while (pos + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+        val id   = tag(pos)
+        val size = le32(pos + 4).toInt
+        val body = pos + 8
+        if (size < 0 || body > payload.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            if (le16(body) != 1) return None // PCM only
+            fmt = Some((le16(body + 2), le32(body + 4).toInt, le16(body + 14)))
+          case "data" =>
+            data = Some((body, math.min(size, payload.length - body)))
+          case _ => ()
+        }
+        pos = body + size + (size & 1)
+      }
+      for {
+        (channels, rate, bits) <- fmt
+        if channels > 0 && rate > 0 && (bits == 8 || bits == 16) && factor >= 1
+        (off, len) <- data
+      } yield {
+        val frameBytes = channels * (bits / 8)
+        val nFrames    = len / frameBytes
+        val kept       = if (nFrames == 0) 0 else (nFrames + factor - 1) / factor
+        val newRate    = math.max(1, rate / factor)
+        val dataLen    = kept * frameBytes
+        val out        = java.nio.ByteBuffer
+          .allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        out.put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        out.putShort(1).putShort(channels.toShort).putInt(newRate)
+        out.putInt(newRate * frameBytes).putShort(frameBytes.toShort).putShort(bits.toShort)
+        out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var f = 0
+        while (f < kept) {
+          out.put(payload, off + f * factor * frameBytes, frameBytes)
+          f += 1
+        }
+        out.array()
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL resize/downsample: images re-encode at `1/factor` scale
+    * (ImageIO, always PNG out), PCM WAV decimates frames and sample
+    * rate by `factor` (duration-preserving), anything undecodable falls
+    * back to `resizeStub`'s byte decimation so the operator stays
+    * total. Same mapPartitions batch shape as `decodeFeatures`: the
+    * payload never enters a shuffle, codec work is partition-local.
+    */
+  def resizeMedia(media: DataFrame, factor: Int): Dataset[Media] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"), col("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        val f = fmt.toLowerCase
+        val resized =
+          if (ImageFormats.contains(f)) resizeImage(bytes, factor).map(b => (b, "png"))
+          else if (f == "wav") decimateWav(bytes, factor).map(b => (b, "wav"))
+          else None
+        val (out, outFmt) = resized.getOrElse {
+          val dec = Array.tabulate(if (bytes.isEmpty) 0 else (bytes.length + factor - 1) / factor)(i =>
+            bytes(i * factor))
+          (dec, fmt)
+        }
+        Media(id, out, outFmt, out.length.toLong)
+      })
+  }
+
   /** Resize/downsample stub: keep every `factor`-th byte of the payload
-    * (the byte-level stand-in for image resize / audio resample). Same
-    * mapPartitions batch shape as decode; a real implementation swaps
-    * the per-row function for a codec call.
+    * (the byte-level stand-in kept for payloads with no JDK codec —
+    * `resizeMedia` is the real path and falls back to this per row).
+    * Same mapPartitions batch shape as decode.
     */
   def resizeStub(media: DataFrame, factor: Int): Dataset[Media] = {
     val spark = media.sparkSession

@@ -159,6 +159,46 @@ class MultimodalSpec extends SparkTestBase {
       Seq((51L, cut, "avi")).toDF("media_id", "payload", "format")).collect().isEmpty)
   }
 
+  test("resizeMedia really rescales images and decimates PCM audio (JDK-only)") {
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val v = x * 255 / math.max(1, w - 1)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rate    = 8000
+    val samples = Array.tabulate[Short](rate)(i => if (i % 2 == 0) Short.MaxValue else 0)
+    val rows = Seq(
+      (40L, imageBytes(32, 16), "png"),
+      (41L, Multimodal.encodeWavPcm16(rate, 1, samples), "wav"),
+      (42L, "neither image nor audio".getBytes("UTF-8"), "mp4")
+    ).toDF("media_id", "payload", "format")
+    val out = Multimodal.resizeMedia(rows, factor = 4).collect().map(m => m.media_id -> m).toMap
+    val outDf = out.values.toSeq
+      .map(m => (m.media_id, m.payload, m.format))
+      .toDF("media_id", "payload", "format")
+    // image: REALLY re-decoded at 1/4 scale, PNG out
+    val img = Multimodal.decodeFeatures(outDf.filter($"media_id" === 40L)).collect().head
+    assert(out(40L).format == "png")
+    assert(img.width.contains(8) && img.height.contains(4))
+    // the gradient survives the rescale: left edge darker than right
+    assert(img.features(0) < img.features(3))
+    // audio: REALLY re-parsed — rate/4, every 4th frame, header intact
+    val wav = Multimodal.decodeAudioFeatures(outDf.filter($"media_id" === 41L)).collect().head
+    assert(out(41L).format == "wav")
+    assert(wav.sample_rate == rate / 4 && wav.channels == 1 && wav.bits_per_sample == 16)
+    assert(wav.n_frames == rate / 4)
+    // every kept frame is an even-index original sample = full scale
+    assert(wav.features.forall(g => math.abs(g - 1f) < 1e-3f))
+    // undecodable format falls back to byte decimation, stays total
+    assert(out(42L).n_bytes == (("neither image nor audio".length + 3) / 4).toLong)
+  }
+
   test("resizeStub decimates payloads deterministically") {
     val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
     assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0
