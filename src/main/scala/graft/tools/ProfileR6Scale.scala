@@ -64,7 +64,14 @@ object ProfileR6Scale {
     "d12_dedup_clusters" -> graft.operators.PipelineQueries.d12_dedup_clusters,
     "d29_cluster_best" -> graft.operators.CorpusQueries.d29_cluster_best,
     "e05_embed_neardup_lsh" -> graft.operators.ExtendedQueries.e05_embed_neardup_lsh,
-    "e08_semdedup" -> graft.operators.TrainingQueries.e08_semdedup)
+    "e08_semdedup" -> graft.operators.TrainingQueries.e08_semdedup,
+    // round-6 doc-local tf rewires: d22/d34 should be trivially linear
+    // (zero pre-sort shuffles), d11 linear in the tf frame, d41 linear
+    // with posting rows bounded at |sources|
+    "d11_top_terms" -> graft.operators.PipelineQueries.d11_top_terms,
+    "d22_repetition" -> graft.operators.ExtendedQueries.d22_repetition,
+    "d34_dup_ngrams" -> graft.operators.TrainingQueries.d34_dup_ngrams,
+    "d41_source_overlap" -> graft.operators.TrainingQueries.d41_source_overlap)
 
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_SHUFFLE scales the shuffle width with the probe's
@@ -88,14 +95,23 @@ object ProfileR6Scale {
     val base = Tables(spark, "/root/testdata/sf0.1")
     ms.foreach { m =>
       val dir = s"/tmp/graft_scale/m$m"
-      scaledDocs(base.documents, m)
-        .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      scaledEmbeddings(base.embeddings, m)
-        .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // SPARK_GRAFT_REUSE=1 keeps an existing amplified directory (the
+      // amplifier is deterministic, so reuse is safe across runs)
+      val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1") &&
+        new java.io.File(s"$dir/embeddings.parquet").exists()
+      if (!reuse) {
+        scaledDocs(base.documents, m)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        scaledEmbeddings(base.embeddings, m)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
       val nd = spark.read.parquet(s"$dir/documents.parquet").count()
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
       println(s"[scale] m=$m docs=$nd vecs=$ne")
-      queries.foreach { case (name, fn) =>
+      // SPARK_GRAFT_ONLY=d02_ngram_jaccard,... narrows the sweep when
+      // re-measuring one query under a config hypothesis
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
         graft.Caches.scoped(spark) {
           val t0 = System.nanoTime()
           val n  = fn(spark, dir).count()

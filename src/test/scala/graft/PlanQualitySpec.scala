@@ -53,6 +53,32 @@ class PlanQualitySpec extends SparkTestBase {
     "wp03_scd2_intervals" -> Set("KeyedWindow(RAW)"), // SCD2 validity intervals over one entity's history
   )
 
+  test("doc-local tf queries plan ZERO keyed exchanges (d22, d34)") {
+    // The round-6 claim pinned structurally: per-document statistics
+    // are pure functions of the row (TfStatsExpr / DupRunStatsExpr),
+    // so the only exchanges these plans may contain are the
+    // presentation orderBy's range partitioning and Ops.spread's
+    // derived-hash spread on single-split input — never one keyed on
+    // a RAW column attribute (a groupBy/join-induced shuffle).
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    for (name <- Seq("d22_repetition", "d34_dup_ngrams")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val nodes = plan.collect {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case n                        => n
+      }.flatMap(_.collect { case n => n })
+      def rawKeyed(e: ShuffleExchangeExec): Boolean = e.outputPartitioning match {
+        case h: HashPartitioning => h.expressions.exists(_.isInstanceOf[AttributeReference])
+        case _                   => false
+      }
+      val keyed = nodes.collect { case e: ShuffleExchangeExec if rawKeyed(e) => e }
+      assert(keyed.isEmpty, s"$name plans raw-column keyed exchanges:\n${keyed.mkString("\n")}")
+    }
+  }
+
   test("no query plans a scale anti-pattern outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val flags = PlanCheck.flagsOf(fn(spark, sfDir).queryExecution.executedPlan).toSet
