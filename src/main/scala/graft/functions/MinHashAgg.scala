@@ -25,10 +25,19 @@ class MinHashAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: Long): Array[Long] = {
+    // "i:" + decimal shingle is at most 3 + 20 bytes — always a single
+    // MD5 block, so build it straight in the Md5Short scratch buffer
+    // (no per-probe String or digest-array allocation)
     val dec = java.lang.Long.toString(shingle)
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val pre = MinHashAgg.prefixes(k)
+    val blk = Md5Short.buffer()
     var i   = 0
     while (i < k) {
-      val h = MinHashAgg.hash60(s"$i:$dec")
+      val p = pre(i)
+      System.arraycopy(p, 0, blk, 0, p.length)
+      System.arraycopy(dec, 0, blk, p.length, dec.length)
+      val h = Md5Short.first8(blk, p.length + dec.length) >>> 4
       if (h < buf(i)) buf(i) = h
       i += 1
     }
@@ -54,12 +63,29 @@ object MinHashAgg {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  // "0:", "1:", ... seed prefixes, rendered once per family size
+  private val seedPrefixes = new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private[functions] def prefixes(k: Int): Array[Array[Byte]] =
+    seedPrefixes.computeIfAbsent(
+      k,
+      kk => Array.tabulate(kk)(i => (i.toString + ":").getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+
   /** JVM-native twin of `Hashing.hash60` (top 60 bits of md5). */
   def hash60(s: String): Long =
     hash60Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Same, over raw UTF-8 bytes (codegen entry point: UTF8String.getBytes). */
+  /** Same, over raw UTF-8 bytes (codegen entry point: UTF8String.getBytes).
+    * Messages that fit one MD5 block take the single-compression
+    * `Md5Short` path (no MessageDigest bookkeeping, no digest alloc);
+    * longer ones stream through MessageDigest — identical bits either
+    * way (Md5ShortSpec).
+    */
   def hash60Bytes(utf8: Array[Byte]): Long = {
+    if (utf8.length <= Md5Short.MaxLen) {
+      val buf = Md5Short.buffer()
+      System.arraycopy(utf8, 0, buf, 0, utf8.length)
+      return Md5Short.first8(buf, utf8.length) >>> 4
+    }
     val d = digest.get()
     d.reset()
     val bytes = d.digest(utf8)

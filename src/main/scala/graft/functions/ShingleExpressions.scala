@@ -73,25 +73,56 @@ object ShingleOps {
     val m   = len - n + 1
     val out = new Array[Long](m)
     val d   = digest.get()
+    val blk = Md5Short.buffer()
     i = 0
     while (i < m) {
-      d.reset()
+      // short shingles (the common case for small-n word shingles) fit
+      // one MD5 block: assemble tokens + separators in the Md5Short
+      // scratch and run a single compression; longer shingles stream
+      // through MessageDigest — identical bits either way
+      var bytes = 0
       var j     = 0
-      var wrote = false
+      var toks  = 0
       while (j < n) {
         val t = tb(i + j)
-        if (t != null) {
-          if (wrote) d.update(Space)
-          d.update(t)
-          wrote = true
-        }
+        if (t != null) { bytes += t.length; toks += 1 }
         j += 1
       }
-      val h = d.digest()
-      var x = 0L
-      var b = 0
-      while (b < 8) { x = (x << 8) | (h(b) & 0xffL); b += 1 }
-      out(i) = x >>> 4
+      val total = bytes + (if (toks > 0) toks - 1 else 0)
+      if (total <= Md5Short.MaxLen) {
+        var p     = 0
+        var wrote = false
+        j = 0
+        while (j < n) {
+          val t = tb(i + j)
+          if (t != null) {
+            if (wrote) { blk(p) = Space; p += 1 }
+            System.arraycopy(t, 0, blk, p, t.length)
+            p += t.length
+            wrote = true
+          }
+          j += 1
+        }
+        out(i) = Md5Short.first8(blk, p) >>> 4
+      } else {
+        d.reset()
+        var wrote = false
+        j = 0
+        while (j < n) {
+          val t = tb(i + j)
+          if (t != null) {
+            if (wrote) d.update(Space)
+            d.update(t)
+            wrote = true
+          }
+          j += 1
+        }
+        val h = d.digest()
+        var x = 0L
+        var b = 0
+        while (b < 8) { x = (x << 8) | (h(b) & 0xffL); b += 1 }
+        out(i) = x >>> 4
+      }
       i += 1
     }
     if (!distinctSorted) return new GenericArrayData(out)
@@ -120,21 +151,20 @@ object ShingleOps {
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
     val pre = prefixes(k)
     val out = Array.fill(k)(Long.MaxValue)
-    val d   = digest.get()
+    // "i:" + decimal shingle ≤ 23 bytes — always one MD5 block, so each
+    // of the k × n probes is a single Md5Short compression (no
+    // MessageDigest bookkeeping, no 16-byte digest alloc per probe)
+    val blk = Md5Short.buffer()
     var j   = 0
     while (j < n) {
       val dec = java.lang.Long.toString(set.getLong(j))
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       var i = 0
       while (i < k) {
-        d.reset()
-        d.update(pre(i))
-        d.update(dec)
-        val h = d.digest()
-        var x = 0L
-        var b = 0
-        while (b < 8) { x = (x << 8) | (h(b) & 0xffL); b += 1 }
-        val v = x >>> 4
+        val p = pre(i)
+        System.arraycopy(p, 0, blk, 0, p.length)
+        System.arraycopy(dec, 0, blk, p.length, dec.length)
+        val v = Md5Short.first8(blk, p.length + dec.length) >>> 4
         if (v < out(i)) out(i) = v
         i += 1
       }
@@ -158,16 +188,12 @@ object ShingleOps {
       i += 1
     }
     val acc = new Array[Long](60)
-    val d   = digest.get()
     val it  = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      d.reset()
-      val hb = d.digest(e.getKey.getBytes)
-      var x  = 0L
-      var b  = 0
-      while (b < 8) { x = (x << 8) | (hb(b) & 0xffL); b += 1 }
-      val h = x >>> 4
+      // hash60Bytes takes the single-block Md5Short path for short
+      // tokens (the overwhelming case) and streams longer ones
+      val h = MinHashAgg.hash60Bytes(e.getKey.getBytes)
       val c = e.getValue()(0)
       var j = 0
       while (j < 60) {
