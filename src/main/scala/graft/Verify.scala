@@ -23,6 +23,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NOT vanish silently from the round's
+    // correctness artifact (round-6 lesson: 13 queries disappeared and
+    // the artifact read as all-pass). Record every failure in
+    // errors.json next to the result dumps and summarize loudly.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       // cache scope per query: builders persist shared subtrees; once
       // this query's write completes they are leaks (Caches.scoped)
@@ -31,6 +36,7 @@ object Verify {
           .parquet(s"$outDir/$name")
       }
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -49,6 +55,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val total = SparkEntry.queries.size
+    println(s"[verify] dumped ${total - failures.size}/$total queries; ${failures.size} failed" +
+      (if (failures.isEmpty) "" else s": ${failures.keys.mkString(", ")}"))
     spark.stop()
+    if (failures.nonEmpty) sys.exit(2)
   }
 }

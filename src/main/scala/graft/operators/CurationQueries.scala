@@ -42,7 +42,7 @@ object CurationQueries {
     */
   val st08_asof_forward: Q = (s, dir) => {
     val t  = Tables(s, dir)
-    val ev = t.events.withColumn("tus", expr("ts div 1000"))
+    val ev = t.events.withColumn("tus", Ops.tsMicros(t.events))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("tus"))
     val purchases = ev.filter(col("event_type") === "purchase")

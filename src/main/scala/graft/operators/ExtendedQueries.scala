@@ -81,7 +81,7 @@ object ExtendedQueries {
   val q45_islands: Q = (s, dir) => {
     val t = Tables(s, dir)
     val days = t.events
-      .select(col("user_id"), to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+      .select(col("user_id"), to_date(timestamp_micros(Ops.tsMicros(t.events))).as("day"))
       .distinct()
       .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
@@ -105,7 +105,7 @@ object ExtendedQueries {
     val t = Tables(s, dir)
     val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     t.events
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", Ops.tsMicros(t.events))
       .select(col("user_id"), col("event_id"), col("value"), col("tus").as("valid_from"))
       .withColumn("tus", col("valid_from"))
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
@@ -153,7 +153,7 @@ object ExtendedQueries {
     */
   val st07_funnel: Q = (s, dir) => {
     val t  = Tables(s, dir)
-    val e  = t.events.select(col("user_id"), col("event_type"), expr("ts div 1000").as("tus"))
+    val e  = t.events.select(col("user_id"), col("event_type"), Ops.tsMicros(t.events).as("tus"))
     val v = e.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
     val c = e.filter(col("event_type") === "click")
@@ -524,7 +524,7 @@ object ExtendedQueries {
     */
   val st05_range_join: Q = (s, dir) => {
     val t  = Tables(s, dir)
-    val ev = t.events.withColumn("tus", expr("ts div 1000"))
+    val ev = t.events.withColumn("tus", Ops.tsMicros(t.events))
     val errs = ev
       .filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("tus"))
@@ -549,7 +549,7 @@ object ExtendedQueries {
       col("ts"),
       col("event_id"),
       col("value"),
-      date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("hour"))
+      date_trunc("hour", timestamp_micros(Ops.tsMicros(t.events))).as("hour"))
     val wLast = Window.partitionBy(col("user_id"), col("hour")).orderBy(col("ts").desc, col("event_id").desc)
     val hourly = ev
       .withColumn("rn", row_number().over(wLast))
@@ -650,7 +650,7 @@ object ExtendedQueries {
       .orderBy(col("tus"))
       .rangeBetween(-3600000000L, 0)
     t.events
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tus"), col("value"))
+      .select(col("user_id"), col("event_id"), Ops.tsMicros(t.events).as("tus"), col("value"))
       .withColumn("n_1h", count(lit(1)).over(w))
       .withColumn("sum_1h", sum(Ops.dec(col("value"))).over(w).cast("double"))
       .select(col("user_id"), col("event_id"), col("tus"), col("n_1h"), col("sum_1h"))

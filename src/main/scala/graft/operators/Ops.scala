@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Generic relational operators of the engine, re-expressing the
   * reference's Django-ORM query surface Spark-first.
@@ -45,6 +45,24 @@ object Ops {
   def spread(df: DataFrame, salt: Column): DataFrame =
     if (df.rdd.getNumPartitions > 1) df
     else df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, hash(salt))
+
+  /** Epoch-micros (long) view of an event-time column, tolerant of both
+    * ways a parquet event timestamp can surface in the scan:
+    *   - long epoch NANOS — timestamp[ns] physical type read under
+    *     spark.sql.legacy.parquet.nanosAsLong;
+    *   - TIMESTAMP / TIMESTAMP_NTZ — timestamp[us] physical type.
+    * The session timezone is pinned to UTC everywhere (Verify/Bench/
+    * tests), so the NTZ→LTZ cast agrees bit-for-bit with DuckDB's
+    * epoch_us() over the same file. All downstream event-time
+    * arithmetic (sessionization gaps, as-of bands, range frames) stays
+    * in integer micros so engine and oracle cannot diverge on timestamp
+    * rounding.
+    */
+  def tsMicros(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case LongType => expr(s"`$name` div 1000")
+      case _        => unix_micros(col(name).cast("timestamp"))
+    }
 
   /** Exact money cast: doubles carrying 2-decimal values → DECIMAL(18,2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -302,7 +302,7 @@ object PipelineQueries {
     val t = Tables(s, dir)
     t.events
       .select(
-        date_format(timestamp_micros(expr("ts div 1000")), "yyyy-MM-dd HH").as("hour"),
+        date_format(timestamp_micros(graft.operators.Ops.tsMicros(t.events)), "yyyy-MM-dd HH").as("hour"),
         col("event_type"),
         col("value"))
       .groupBy(col("hour"), col("event_type"))
@@ -331,7 +331,7 @@ object PipelineQueries {
     */
   val st04_asof_join: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val ev = t.events.withColumn("tus", expr("ts div 1000"))
+    val ev = t.events.withColumn("tus", graft.operators.Ops.tsMicros(t.events))
     val errors    = ev.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("tus"))
     val purchases = ev.filter(col("event_type") === "purchase")

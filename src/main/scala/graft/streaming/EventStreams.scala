@@ -53,7 +53,11 @@ case class TopNOut(hour_us: Long, event_type: String, n: Long, rank: Long)
   */
 object EventStreams {
 
-  /** events schema as read with spark.sql.legacy.parquet.nanosAsLong. */
+  /** events schema for the long-nanos fixture form (timestamp[ns]
+    * parquet read under spark.sql.legacy.parquet.nanosAsLong, and the
+    * in-memory test fixtures). Batch/streaming transforms below accept
+    * EITHER this shape or a native TIMESTAMP `ts` — see Ops.tsMicros.
+    */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // epoch nanos
@@ -63,9 +67,9 @@ object EventStreams {
     StructField("props", StringType),
   ))
 
-  /** long-nanos → TimestampType event time (micros truncation). */
+  /** event time as TimestampType, from long nanos or native timestamp. */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("event_time", timestamp_micros(graft.operators.Ops.tsMicros(events)))
 
   /** Tumbling 1-hour stats per event type (batch or streaming input). */
   def hourlyStats(events: DataFrame): DataFrame =
@@ -150,7 +154,7 @@ object EventStreams {
     */
   def sessionize(events: DataFrame, gapMicros: Long = 30L * 60 * 1000000L): DataFrame = {
     // all arithmetic in epoch micros so batch and oracle agree exactly
-    val withTus = events.withColumn("tus", expr("ts div 1000"))
+    val withTus = events.withColumn("tus", graft.operators.Ops.tsMicros(events))
     val byUser  = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
     withTus
       .withColumn("prev_tus", lag(col("tus"), 1).over(byUser))
@@ -181,7 +185,7 @@ object EventStreams {
     import spark.implicits._
     val typed = withEventTime(events)
       .withWatermark("event_time", "1 hour")
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", graft.operators.Ops.tsMicros(events))
       .select(col("event_id"), col("user_id"), col("tus"), col("value"), col("event_time"))
       .as[SessionEvent]
 
@@ -240,9 +244,10 @@ object EventStreams {
     val spark = events.sparkSession
     import spark.implicits._
     val hourUs = 3600L * 1000000L
+    val tus    = graft.operators.Ops.tsMicros(events)
     val typed = withEventTime(events)
       .withWatermark("event_time", watermark)
-      .withColumn("hour_us", expr(s"(ts div 1000) - pmod(ts div 1000, ${hourUs}L)"))
+      .withColumn("hour_us", tus - pmod(tus, lit(hourUs)))
       .select(col("hour_us"), col("event_type"), col("event_time"))
       .as[HourTypeEvent]
 
