@@ -35,7 +35,9 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
-      // events.parquet carries TIMESTAMP(NANOS); read as long nanos
+      // events.ts has shipped as timestamp[ns] (→ long nanos under this
+      // flag) and timestamp[us] (→ TIMESTAMP_NTZ, flag is a no-op);
+      // Ops.tsMicros adapts to whichever the scan yields
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     val spark =
       (if (noExt) builder
@@ -49,22 +51,39 @@ object Bench {
     // pass 1 absorbs JIT/codegen/footer reads AND still counts if it
     // was the quieter run — the min discards whichever pass caught
     // host contention (measured 2× run-to-run variance on shared CPU).
+    // a query that throws is reported as -1, never as its (tiny)
+    // time-to-fail: round 6 counted 13 broken queries as 0.09 s
+    // "speedups" and the bench total silently overstated the engine
+    val failed = scala.collection.mutable.TreeSet.empty[String]
     def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => failed += name; false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }.toMap
+    // 1-min load average before/after: timings from a contended host
+    // (round-6 lesson: a 2.4× uniform slowdown) carry their own
+    // evidence and can be discarded instead of overwriting good runs
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val load0 = loadAvg()
     val p1 = pass()
     val p2 = pass()
-    val results = ordered.map { case (name, _) => name -> math.min(p1(name), p2(name)) }
+    val load1 = loadAvg()
+    val results = ordered.map { case (name, _) =>
+      name -> (if (failed(name)) -1.0 else math.min(p1(name), p2(name)))
+    }
     def r3(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = r3(results.map(_._2).sum)
+    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"load":[${r3(load0)},${r3(load1)}],"queries":$qs}"""
     // belt-and-braces: the driver captures a bounded log tail, which
     // truncated this line in round 1 — persist the same JSON as a file
     // artifact too. Path is overridable, defaulting to the working
@@ -91,7 +110,7 @@ object Bench {
     // likely cause of every round's parsed:null) — this one survives
     // any tail over ~200 bytes
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size}}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}]}""")
     System.out.flush()
   }
 }

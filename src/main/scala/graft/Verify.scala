@@ -18,7 +18,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS); read as long nanos
+      // events.ts has shipped as timestamp[ns] (→ long nanos under this
+      // flag) and timestamp[us] (→ TIMESTAMP_NTZ, flag is a no-op);
+      // Ops.tsMicros adapts to whichever the scan yields
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

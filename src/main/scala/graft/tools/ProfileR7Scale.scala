@@ -1,0 +1,92 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus-size scaling probe for the EVENT-TIME family — the
+  * window/sessionization/as-of queries restored this round (they were
+  * broken by the testdata timestamp-type switch during round 6, so the
+  * round-6 ladder never covered them). Same methodology as
+  * ProfileR6Scale: amplify the sf0.1 base m×, run the AS-WIRED graded
+  * queries against the amplified directory, read scaling exponents off
+  * the timing ladder.
+  *
+  * Density-preserving amplification for events: copy i offsets
+  * `user_id` (and `event_id` for tie-break uniqueness) and leaves `ts`
+  * untouched. Every per-user time series is replicated EXACTLY — same
+  * gaps, same hourly grid, same error/purchase interleaving — so
+  * per-user windows, sessionization, as-of matches, range frames and
+  * islands all replicate m× with ZERO cross-copy interaction (users
+  * never interact across copies in any graded query). Key-space
+  * consequences by query family:
+  *   - per-user partitions (st02/st04/st06/q45/q51/wp03): partition
+  *     COUNT grows m×, per-partition size constant — the shape a real
+  *     cluster scales by adding executors;
+  *   - fixed-key aggregates (st01/st09: (hour, event_type)): key space
+  *     constant, per-key counts grow m× — probes map-side partial
+  *     aggregation (flat ≈ scan-bound is the pass);
+  *   - banded range join (st05): per-user candidate fan-out constant,
+  *     candidate mass m×.
+  *
+  * Usage: runMain graft.tools.ProfileR7Scale [m ...] (default 1 5 20 80)
+  *        SPARK_GRAFT_ONLY=name,... narrows; SPARK_GRAFT_REUSE=1 keeps
+  *        amplified dirs; SPARK_GRAFT_SHUFFLE sets shuffle width.
+  */
+object ProfileR7Scale {
+
+  def scaledEvents(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { i =>
+      if (i == 0) base
+      else
+        base
+          .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+    }.reduce(_ unionByName _)
+
+  private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "st01_event_hourly"    -> graft.operators.PipelineQueries.st01_event_hourly,
+    "st02_sessionize"      -> graft.operators.PipelineQueries.st02_sessionize,
+    "st04_asof_join"       -> graft.operators.PipelineQueries.st04_asof_join,
+    "st05_range_join"      -> graft.operators.ExtendedQueries.st05_range_join,
+    "st06_resample_ffill"  -> graft.operators.ExtendedQueries.st06_resample_ffill,
+    "st09_windowed_topn"   -> graft.operators.CurationQueries.st09_windowed_topn,
+    "q45_islands"          -> graft.operators.ExtendedQueries.q45_islands,
+    "q51_range_frame"      -> graft.operators.ExtendedQueries.q51_range_frame,
+    "q52_cohort_retention" -> graft.operators.CurationQueries.q52_cohort_retention,
+    "wp03_scd2_intervals"  -> graft.operators.ExtendedQueries.wp03_scd2_intervals)
+
+  def main(args: Array[String]): Unit = {
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ms   = if (args.isEmpty) Seq(1, 5, 20, 80) else args.map(_.toInt).toSeq
+    val base = Tables(spark, "/root/testdata/sf0.1")
+    ms.foreach { m =>
+      val dir = s"/tmp/graft_scale_ev/m$m"
+      val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1") &&
+        new java.io.File(s"$dir/events.parquet").exists()
+      if (!reuse)
+        scaledEvents(base.events, m)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val ne = spark.read.parquet(s"$dir/events.parquet").count()
+      println(s"[scale] m=$m events=$ne")
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
+        graft.Caches.scoped(spark) {
+          val t0 = System.nanoTime()
+          val n  = fn(spark, dir).count()
+          println(f"[scale] m=$m%-3d $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
