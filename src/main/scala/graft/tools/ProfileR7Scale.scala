@@ -96,3 +96,104 @@ object ProfileR7Scale {
     spark.stop()
   }
 }
+
+/** Relational-family scaling probe — completes the scale-evidence
+  * triptych (round 6: dedup/ANN; round 7: event-time; this: the
+  * TPC-H-ish join/agg/division surface).
+  *
+  * Amplification preserves referential structure: copy i offsets
+  * c_custkey / o_orderkey+o_custkey / l_orderkey, so every
+  * customer→orders→lineitem subtree replicates exactly m×, while
+  * part/supplier FKs are left UNCHANGED — dimension key spaces stay
+  * fixed and per-dimension-key fan-in grows m×, which is how a real
+  * catalog grows (facts accumulate, dimensions don't). Consequences:
+  *   - per-order groups (q16/q17/q18): group count m×, group size
+  *     constant — probes partial aggregation;
+  *   - per-customer windows/semis (q07/q22/q49/q11): key count m×;
+  *   - hot dimension keys (q11's brand bridge): per-brand rows m× —
+  *     probes the division under growing duplication;
+  *   - wp02 cascade: semi/anti chains replicate m×;
+  *   - q54: the decorrelated lineitem aggregate grows m× under a
+  *     constant-selectivity outer filter.
+  *
+  * Usage: runMain graft.tools.ProfileR7RelScale [m ...] (default 1 5 20 80)
+  */
+object ProfileR7RelScale {
+
+  private def off(c: String, i: Int, step: Long) = col(c) + lit(i * step)
+
+  def scaledCustomer(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { i =>
+      if (i == 0) base else base.withColumn("c_custkey", off("c_custkey", i, 10000000L))
+    }.reduce(_ unionByName _)
+
+  def scaledOrders(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { i =>
+      if (i == 0) base
+      else base
+        .withColumn("o_orderkey", off("o_orderkey", i, 10000000L))
+        .withColumn("o_custkey", off("o_custkey", i, 10000000L))
+    }.reduce(_ unionByName _)
+
+  def scaledLineitem(base: DataFrame, m: Int): DataFrame =
+    (0 until m).map { i =>
+      if (i == 0) base else base.withColumn("l_orderkey", off("l_orderkey", i, 10000000L))
+    }.reduce(_ unionByName _)
+
+  private val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q07_semi_join"      -> graft.operators.FilterJoinQueries.q07_semi_join,
+    "q11_division"       -> graft.operators.FilterJoinQueries.q11_division,
+    "q12_exclude"        -> graft.operators.FilterJoinQueries.q12_exclude,
+    "q16_count_distinct" -> graft.operators.AggQueries.q16_count_distinct,
+    "q17_having"         -> graft.operators.AggQueries.q17_having,
+    "q18_agg_equality"   -> graft.operators.AggQueries.q18_agg_equality,
+    "q22_latest_per_key" -> graft.operators.WindowQueries.q22_latest_per_key,
+    "q49_topk_group"     -> graft.operators.ExtendedQueries.q49_topk_group,
+    "q54_correlated_scalar" -> graft.operators.TrainingQueries.q54_correlated_scalar,
+    "wp02_softdelete_cascade" -> graft.operators.PipelineQueries.wp02_softdelete_cascade)
+
+  def main(args: Array[String]): Unit = {
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val ms   = if (args.isEmpty) Seq(1, 5, 20, 80) else args.map(_.toInt).toSeq
+    val base = Tables(spark, "/root/testdata/sf0.1")
+    ms.foreach { m =>
+      val dir = s"/tmp/graft_scale_rel/m$m"
+      val reuse = sys.env.get("SPARK_GRAFT_REUSE").contains("1") &&
+        new java.io.File(s"$dir/lineitem.parquet").exists()
+      if (!reuse) {
+        scaledCustomer(base.customer, m)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+        scaledOrders(base.orders, m)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+        scaledLineitem(base.lineitem, m)
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+        // dimensions pass through unamplified
+        base.part.write.mode("overwrite").parquet(s"$dir/part.parquet")
+        base.supplier.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+        base.nation.write.mode("overwrite").parquet(s"$dir/nation.parquet")
+        base.region.write.mode("overwrite").parquet(s"$dir/region.parquet")
+      }
+      val nl = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      println(s"[scale] m=$m lineitem=$nl")
+      val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
+        graft.Caches.scoped(spark) {
+          val t0 = System.nanoTime()
+          // full executed plan, same rationale as ProfileR7Scale
+          val n = fn(spark, dir).queryExecution.toRdd.count()
+          println(f"[scale] m=$m%-3d $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
+        }
+      }
+    }
+    spark.stop()
+  }
+}
