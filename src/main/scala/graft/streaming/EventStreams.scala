@@ -103,9 +103,16 @@ object EventStreams {
         col("n"),
         col("total"))
 
-  /** File-source streaming read of an events parquet directory. */
+  /** File-source streaming read of an events parquet directory. The
+    * required up-front schema is derived from the directory itself (one
+    * driver-side footer read) rather than pinned to `eventSchema`, so
+    * the stream types `ts` correctly for BOTH testdata generations
+    * (long nanos vs native timestamp) — a pinned LongType schema over
+    * timestamp[us] files would fail the scan. Downstream transforms
+    * are encoding-agnostic via Ops.tsMicros.
+    */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension. Stateless — the dim is (re)resolved per micro-batch and

@@ -17,6 +17,33 @@ class StreamingSpec extends SparkTestBase {
 
   private val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("file-source stream over the real events parquet matches batch hourlyStats") {
+    // the driver's events.parquet — whatever timestamp encoding this
+    // testdata generation shipped. readEventStream derives its required
+    // schema from the directory (a pinned long-nanos schema would fail
+    // the scan on timestamp[us] files), and the streaming aggregate
+    // must equal the batch one row-for-row.
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ev_stream").toFile
+    java.nio.file.Files.copy(src.toPath, new java.io.File(dir, "events.parquet").toPath)
+    val q = EventStreams
+      .hourlyStats(EventStreams.readEventStream(spark, dir.getAbsolutePath))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("file_hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly_out")
+        .select(col("hour_start"), col("event_type"), col("n"), col("total"))
+        .collect().toSet
+      val batch = EventStreams
+        .hourlyStats(spark.read.parquet(s"$sfDir/events.parquet"))
+        .select(col("hour_start"), col("event_type"), col("n"), col("total"))
+        .collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg equals batch on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq(
