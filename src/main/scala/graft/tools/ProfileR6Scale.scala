@@ -114,7 +114,12 @@ object ProfileR6Scale {
       queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
         graft.Caches.scoped(spark) {
           val t0 = System.nanoTime()
-          val n  = fn(spark, dir).count()
+          // full executed plan, not count(): count() lets Catalyst prune
+          // projection-only per-row work (d22/d34's computed metrics),
+          // understating exactly the doc-local family — same correction
+          // as ProfileR7Scale; join/agg-dominated queries are unaffected
+          // (their operators determine cardinality and survive pruning)
+          val n = fn(spark, dir).queryExecution.toRdd.count()
           println(f"[scale] m=$m%-3d $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs rows=$n")
         }
       }
