@@ -49,14 +49,35 @@ object AggQueries {
       (max(regexp_extract(col("c_name"), "#(\\d+)", 1).cast("long")) + 1L).as("next_id"))
   }
 
-  /** A4 — COUNT DISTINCT annotate per parent row. */
+  /** A4 — COUNT DISTINCT annotate per parent row (reference cost model:
+    * /root/reference/tantalus/forms.py:639-643, double count-distinct).
+    *
+    * NOT spelled `agg(countDistinct(a), countDistinct(b))`: Catalyst's
+    * distinct-aggregate rewrite Expands every input row once per
+    * distinct column — 2× rows into the shuffle here, multiplicative in
+    * the number of distinct aggs — and the r7 scale ladder measured it
+    * super-linear (e=1.13 at m=20→80). Instead each distinct count is
+    * its own pre-deduplicating aggregation: dedup on (key, col) with
+    * map-side partial aggregation, then count per key — two LINEAR
+    * shuffles per column, no Expand, correct for any group cardinality
+    * (no per-group set memory). The two one-row-per-key frames then
+    * join on the key with no extra exchange (both sides leave their
+    * final aggregate hash-partitioned by `l_orderkey`). The full-outer
+    * join + fill(0) preserves countDistinct's NULL semantics (a key
+    * whose column is all-NULL still appears, counting 0).
+    */
   val q16_count_distinct: Q = (s, dir) => {
     val t = Tables(s, dir)
-    t.lineitem
-      .groupBy(col("l_orderkey"))
-      .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(col("l_partkey")).as("n_part"))
+    def perKey(c: String, alias: String) =
+      t.lineitem
+        .filter(col(c).isNotNull)
+        .select(col("l_orderkey"), col(c))
+        .distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as(alias))
+    perKey("l_suppkey", "n_supp")
+      .join(perKey("l_partkey", "n_part"), Seq("l_orderkey"), "full")
+      .na.fill(0L, Seq("n_supp", "n_part"))
       .orderBy(col("l_orderkey"))
   }
 
@@ -74,13 +95,13 @@ object AggQueries {
     * /root/reference/tantalus/models.py:561-565): orders whose distinct
     * supplier count equals distinct part count.
     *
-    * Two `countDistinct`s in one agg make Catalyst Expand every input
-    * row once per distinct column (2× the shuffle) and run a two-stage
-    * distinct aggregate; with small bounded groups (≤7 lineitems per
-    * order), `size(collect_set(...))` computes both distinct counts in
-    * ONE pass with map-side partial sets — measured ~1.5× faster at
-    * sf0.1. For unbounded groups prefer the Expand form (set memory is
-    * O(group)).
+    * With small bounded groups (≤7 lineitems per order),
+    * `size(collect_set(...))` computes both distinct counts in ONE pass
+    * with map-side partial sets — measured ~1.5× faster at sf0.1, and
+    * measured linear (e=0.89) on the scale ladder. For unbounded groups
+    * (set memory is O(group)) use the q16 form instead: per-column
+    * pre-deduplicating aggregations joined on the key — linear, no
+    * Expand, no per-group memory.
     */
   val q18_agg_equality: Q = (s, dir) => {
     val t = Tables(s, dir)

@@ -88,6 +88,30 @@ class PlanQualitySpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unexpected plan anti-patterns:\n${offenders.mkString("\n")}")
   }
 
+  test("q16 exact countDistinct plans no Expand and matches the distinct-aggregate form") {
+    // Catalyst's distinct-aggregate rewrite Expands every input row
+    // once per distinct column — measured super-linear on the r7 scale
+    // ladder (e=1.13). q16 is the exact no-Expand form (per-column
+    // pre-dedup aggregations joined on key); this pins BOTH the plan
+    // shape and result equality with the canonical rewrite.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.ExpandExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val q16 = SparkEntry.queries("q16_count_distinct")(spark, sfDir)
+    val nodes = q16.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case n                        => n
+    }.flatMap(_.collect { case n => n })
+    assert(!nodes.exists(_.isInstanceOf[ExpandExec]), "q16 must not plan Expand")
+    val twin = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+    assert(q16.exceptAll(twin).isEmpty, "rows in q16 missing from the Expand twin")
+    assert(twin.exceptAll(q16).isEmpty, "rows in the Expand twin missing from q16")
+  }
+
   test("event-time arithmetic goes through Ops.tsMicros, never raw ts div") {
     // the events table's ts column has shipped as long nanos AND as a
     // native timestamp across testdata generations; raw `ts div 1000`
