@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Cache-lifetime discipline for long-lived sessions.
   *
@@ -32,4 +33,18 @@ object Caches {
   def scoped[A](spark: SparkSession)(body: => A): A =
     try body
     finally spark.catalog.clearCache()
+
+  /** Persist with explicit ownership: the FIRST builder to cache a
+    * given plan in the current scope owns it; later builders of the
+    * same plan reuse the registered cache instead of re-registering it
+    * (CacheManager would warn `Asked to cache already cached data` and
+    * keep the original anyway — this makes the reuse deliberate).
+    * `Dataset.storageLevel` consults CacheManager by normalized-plan
+    * equality, which is exactly the condition under which `persist()`
+    * would collide. Builders that persist shared subtrees (shingle
+    * arrays, sketch groups, tf frames) route through here; `scoped`
+    * remains the release side of the contract.
+    */
+  def persistOnce(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) df.persist() else df
 }

@@ -171,8 +171,8 @@ object Dedup {
     // verification join — persist them once (Spark-ML style caching of
     // the one narrow per-doc frame) or the whole sketch subtree
     // recomputes per consumer
-    val cArrs = shingleArrays(corpus, idCol, textCol, shingleN).persist()
-    val iArrs = shingleArrays(incoming, idCol, textCol, shingleN).persist()
+    val cArrs = shingleArrays(corpus, idCol, textCol, shingleN).transform(graft.Caches.persistOnce)
+    val iArrs = shingleArrays(incoming, idCol, textCol, shingleN).transform(graft.Caches.persistOnce)
     crossNearDupPairsFromArrays(cArrs, iArrs, idCol, k, rowsPerBand, threshold)
   }
 
@@ -819,7 +819,7 @@ object Dedup {
     val groups = h
       .groupBy(col("simhash"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
-      .persist()
+      .transform(graft.Caches.persistOnce)
     val hashPairs = simhashHashPairs(groups.select(col("simhash")), maxDist)
     // dist-0 doc pairs: all pairs within each identical-hash group
     val within = pairsWithinGroups(groups.select(col("ids").as("ds")))

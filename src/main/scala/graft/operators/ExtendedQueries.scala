@@ -360,12 +360,12 @@ object ExtendedQueries {
     // subtree both read the cached projection instead of re-scanning
     // the table (at 100 TB both subtrees are column-pruned scans, but a
     // composed run still pays the IO twice without this).
-    val base = t.documents.select(col("doc_id"), col("text"), col("source"), col("lang")).persist()
+    val base = t.documents.select(col("doc_id"), col("text"), col("source"), col("lang")).transform(graft.Caches.persistOnce)
     val kept = Dedup
       .exactDedup(base, "doc_id", "text")
       .filter(col("is_kept"))
       .filter(ta.tokenCount(col("text")) >= 10 && ta.punctRatio(col("text")) <= 0.1)
-    val arrs = Dedup.shingleArrays(base, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(base, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     val losers = Dedup
       .dedupComponents(Dedup.jaccardPairs(arrs, "doc_id", 0.5))
       .filter(!col("is_representative"))
@@ -435,7 +435,7 @@ object ExtendedQueries {
     */
   val d15_containment: Q = (s, dir) => {
     val t    = Tables(s, dir)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     Dedup.containmentPairs(arrs, "doc_id", 0.8).orderBy(col("id1"), col("id2"))
   }
 
@@ -446,7 +446,7 @@ object ExtendedQueries {
     */
   val d16_minhash_est: Q = (s, dir) => {
     val t    = Tables(s, dir)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     // ONE persisted k-minima signature pass (MinhashSigExpr is 16 MD5s
     // per shingle — the single most expensive per-row step here) feeds
     // BOTH the LSH bands and the signature-agreement estimate; the
@@ -457,7 +457,7 @@ object ExtendedQueries {
       .select(
         col("doc_id"),
         graft.functions.ShingleExpressions.minhashSignature(col("set"), 16).as("__sig_arr"))
-      .persist()
+      .transform(graft.Caches.persistOnce)
     val cand  = Dedup.lshCandidates(Dedup.bandsFromSigCol(sigDf, "doc_id", 16, 2), "doc_id")
     val pairs = Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5)
     val sigs  = sigDf.select(col("doc_id"), col("__sig_arr").as("sig"))

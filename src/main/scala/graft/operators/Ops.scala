@@ -57,11 +57,18 @@ object Ops {
     * arithmetic (sessionization gaps, as-of bands, range frames) stays
     * in integer micros so engine and oracle cannot diverge on timestamp
     * rounding.
+    *
+    * The nanos path uses FLOOR division (not `div`, which truncates
+    * toward zero): `unix_micros` floors, so a pre-epoch (negative)
+    * nanos value would otherwise diverge by 1µs between the two
+    * encodings. `x div 1000 - (x % 1000 < 0)` is exact for every long
+    * (no double round-trip) and stays inside whole-stage codegen.
     */
   def tsMicros(df: DataFrame, name: String = "ts"): Column =
     df.schema(name).dataType match {
-      case LongType => expr(s"`$name` div 1000")
-      case _        => unix_micros(col(name).cast("timestamp"))
+      case LongType =>
+        expr(s"`$name` div 1000 - (CASE WHEN `$name` % 1000 < 0 THEN 1 ELSE 0 END)")
+      case _ => unix_micros(col(name).cast("timestamp"))
     }
 
   /** Exact money cast: doubles carrying 2-decimal values → DECIMAL(18,2). */

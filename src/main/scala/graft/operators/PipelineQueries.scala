@@ -58,7 +58,7 @@ object PipelineQueries {
     */
   val d02_ngram_jaccard: Q = (s, dir) => {
     val t    = Tables(s, dir)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     Dedup.jaccardPairs(arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
 
@@ -72,7 +72,7 @@ object PipelineQueries {
     */
   val d44_jaccard_rarity: Q = (s, dir) => {
     val t    = Tables(s, dir)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     Dedup
       .verifyJaccard(Dedup.prefixCandidatesRarity(arrs, "doc_id", 0.5), arrs, "doc_id", 0.5)
       .orderBy(col("id1"), col("id2"))
@@ -88,7 +88,7 @@ object PipelineQueries {
     */
   val d03_minhash_lsh: Q = (s, dir) => {
     val t    = Tables(s, dir)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     val cand = Dedup.lshCandidates(Dedup.rowMinhashBands(arrs, "doc_id", 16, 2), "doc_id")
     Dedup.verifyJaccard(cand, arrs, "doc_id", 0.5).orderBy(col("id1"), col("id2"))
   }
@@ -158,7 +158,7 @@ object PipelineQueries {
     */
   val d12_dedup_clusters: Q = (s, dir) => {
     val t    = Tables(s, dir)
-    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).persist()
+    val arrs = Dedup.shingleArrays(t.documents, "doc_id", "text", 3).transform(graft.Caches.persistOnce)
     Dedup
       .dedupComponents(Dedup.jaccardPairs(arrs, "doc_id", 0.5))
       .orderBy(col("id"))
@@ -182,7 +182,7 @@ object PipelineQueries {
         col("doc_id"),
         explode(graft.functions.ShingleExpressions.termCounts(TextAnalysis.tokens(col("text")))).as("tc"))
       .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
-      .persist()
+      .transform(graft.Caches.persistOnce)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

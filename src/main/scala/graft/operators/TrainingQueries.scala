@@ -424,7 +424,7 @@ object TrainingQueries {
         explode(graft.functions.ShingleExpressions.shingleHashes(col("t"), 3)).as("s"))
       .groupBy(col("s"))
       .agg(array_sort(collect_set(col("source"))).as("ds"))
-      .persist()
+      .transform(graft.Caches.persistOnce)
     val sizes = grouped
       .select(explode(col("ds")).as("source"))
       .groupBy(col("source"))

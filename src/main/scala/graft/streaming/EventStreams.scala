@@ -110,9 +110,19 @@ object EventStreams {
     * (long nanos vs native timestamp) — a pinned LongType schema over
     * timestamp[us] files would fail the scan. Downstream transforms
     * are encoding-agnostic via Ops.tsMicros.
+    *
+    * When the directory is empty or not yet populated (the usual
+    * file-source deployment: start the stream first, files arrive
+    * later) the probe cannot infer anything, so we fall back to
+    * `eventSchema` — the stream starts and picks up files as they
+    * land, exactly as the pinned-schema version did.
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = scala.util.Try(spark.read.parquet(dir).schema)
+      .filter(_.nonEmpty)
+      .getOrElse(eventSchema)
+    spark.readStream.schema(schema).parquet(dir)
+  }
 
   /** Stream-static enrichment: join the event stream against a static
     * dimension. Stateless — the dim is (re)resolved per micro-batch and

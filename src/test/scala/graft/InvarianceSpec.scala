@@ -35,14 +35,16 @@ class InvarianceSpec extends SparkTestBase {
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
-    val fn    = SparkEntry.queries(name)
-    val base  = fingerprint(fn(spark, sfDir))
-    val again = fingerprint(fn(spark, sfDir))
+    val fn = SparkEntry.queries(name)
+    // each run scoped: a repeat run must RECOMPUTE, not read the prior
+    // run's cached subtrees (comparing a cache to itself proves nothing)
+    val base  = Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
+    val again = Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
     assert(base == again, s"$name not deterministic across runs")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "2")
-      val repartitioned = fingerprint(fn(spark, sfDir))
+      val repartitioned = Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
       assert(base == repartitioned, s"$name changed under different shuffle partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

@@ -81,7 +81,10 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("no query plans a scale anti-pattern outside the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val flags = PlanCheck.flagsOf(fn(spark, sfDir).queryExecution.executedPlan).toSet
+      // builders persist shared subtrees at BUILD time — scope each
+      // plan construction so the sweep doesn't accumulate cached blocks
+      val flags = Caches.scoped(spark)(
+        PlanCheck.flagsOf(fn(spark, sfDir).queryExecution.executedPlan).toSet)
       val extra = flags -- allowed.getOrElse(name, Set.empty)
       if (extra.nonEmpty) Some(s"$name: ${extra.mkString(",")}") else None
     }

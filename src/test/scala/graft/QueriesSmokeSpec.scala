@@ -11,8 +11,10 @@ class QueriesSmokeSpec extends SparkTestBase {
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
-      val df = fn(spark, sfDir)
-      val n  = df.count()
+      // scoped like the Verify/Bench mains: builder persists are
+      // released per query, so suites sharing the session never
+      // collide on identical cached plans
+      val n = Caches.scoped(spark)(fn(spark, sfDir).count())
       assert(n >= 0)
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
     }

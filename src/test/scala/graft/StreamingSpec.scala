@@ -172,6 +172,49 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeStream is correct under the RocksDB state store provider") {
+    // ARCHITECTURE.md names RocksDB as the cluster state-store backend
+    // (state larger than executor heap, incremental checkpoints); this
+    // runs the same sessionization contract against the real provider —
+    // config proof, not narrative. The provider class is read at query
+    // start from the session conf.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val min = 60L * 1000000000L
+    val stream = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val q = graft.streaming.EventStreams
+      .sessionizeStream(stream.toDF().toDF(cols: _*))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_rocksdb_out").start()
+    try {
+      val base = 1000 * min
+      stream.addData(Seq((1L, base, 7L, "a", 1.0, "{}"), (2L, base + 10 * min, 7L, "a", 2.0, "{}")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, base + 50 * min, 7L, "a", 3.0, "{}"))) // gap close in-stream
+      q.processAllAvailable()
+      stream.addData(Seq((9L, base + 500 * min, 8L, "a", 9.0, "{}")))
+      q.processAllAvailable()
+      stream.addData(Seq((10L, base + 900 * min, 8L, "a", 9.0, "{}"))) // fire timeouts
+      q.processAllAvailable()
+      // the query must actually be running on RocksDB, not a silent fallback
+      assert(q.lastProgress.stateOperators.nonEmpty)
+      val got = spark.table("sessions_rocksdb_out")
+        .select(col("user_id"), col("n_events"), col("total_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((7L, 2L, 3.0)))
+      assert(got.contains((7L, 1L, 3.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingExactDedup keeps first-seen docs across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, String, java.sql.Timestamp)]

@@ -43,6 +43,25 @@ class TsEncodingSpec extends SparkTestBase {
     assert(a.sameElements(c))
   }
 
+  test("tsMicros floors pre-epoch nanos like unix_micros does (no 1µs divergence)") {
+    // div truncates toward zero but unix_micros floors; the nanos path
+    // must floor too or negative timestamps diverge across encodings.
+    val negNanos = Seq(
+      (1L, -1500L, 7L, "view", 1.0, "{}"),   // -1.5µs → floor = -2µs
+      (2L, -1000L, 7L, "view", 1.0, "{}"),   // exact  → -1µs
+      (3L, -999L, 7L, "view", 1.0, "{}"),    // -0.999µs → floor = -1µs
+      (4L, 1500L, 7L, "view", 1.0, "{}"),    // +1.5µs → 1µs
+    ).toDF(cols: _*)
+    val got = negNanos.select(operators.Ops.tsMicros(negNanos).as("tus"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-2L, -1L, -1L, 1L))
+    val viaTs = negNanos
+      .withColumn("ts", timestamp_micros(operators.Ops.tsMicros(negNanos)).cast(TimestampNTZType))
+    val got2 = viaTs.select(operators.Ops.tsMicros(viaTs).as("tus"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got2 == got)
+  }
+
   test("tsMicros picks the long path only for LongType") {
     assert(nanosDf.schema("ts").dataType == LongType)
     assert(ntzDf.schema("ts").dataType == TimestampNTZType)
