@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * bit depth, frame count + an 8-cell RMS energy grid) and for
   * AVI/MJPEG video (JDK-only RIFF container walk + per-frame ImageIO
   * decode: true dims, fps, frame count + a sampled-frame luma track).
-  * Only codecs with no JDK decode path (H.264/MP4 and friends) fall
-  * back to a deterministic byte-fold STUB with the same batch shape,
-  * so swapping in a native codec is a one-function change.
+  * MP3 gets a REAL header-level parse (ID3v2 skip + Layer III frame
+  * walk: true sample rate, channels, frame count, duration, VBR
+  * bitrate profile) — samples stay undecoded, as no JDK MP3 decoder
+  * exists. Only codecs with no JDK decode path at all (H.264/MP4 and
+  * friends) fall back to a deterministic byte-fold STUB with the same
+  * batch shape, so swapping in a native codec is a one-function change.
   *
   * Scale notes: payload columns are large — keep them OUT of shuffles.
   * `decodeFeatures` repartitions by a hash of the id only (narrow
@@ -193,6 +196,141 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(buf.putShort)
     buf.array()
+  }
+
+  /** MPEG-1/2/2.5 Layer III bitrate table, kbps by (versionIsV1, index).
+    * Index 0 is "free format" and 15 is invalid — both rejected.
+    */
+  private val Mp3BitratesV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3BitratesV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0)
+  private val Mp3RatesV1  = Array(44100, 48000, 32000, 0)
+  private val Mp3RatesV2  = Array(22050, 24000, 16000, 0)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000, 0)
+
+  /** REAL MP3 header parse, JDK-only — header fields only, no audio
+    * decode (there is no JDK MP3 decoder; the PCM path stays WAV).
+    * Skips a leading ID3v2 tag (syncsafe 28-bit size), then walks the
+    * MPEG Layer III frame sequence: each 4-byte frame header gives
+    * version, bitrate, sample rate and channel mode, and the frame
+    * length formula (144 × bitrate / rate + padding; 72 for the
+    * halved-sample-rate MPEG-2/2.5 versions) advances to the next
+    * frame — so frame COUNT, true duration, and the per-frame bitrate
+    * sequence (the VBR profile) come out of pure byte arithmetic.
+    * Returns sample rate, channels, frame count, duration ms, and an
+    * 8-cell mean-bitrate grid (kbps/320 — the compressed-audio analog
+    * of decodeWav's RMS energy grid; flat for CBR, shaped for VBR).
+    * None for anything that is not a walkable Layer III stream, so
+    * callers fall back instead of failing the batch.
+    */
+  private[multimodal] def decodeMp3(
+      payload: Array[Byte]): Option[(Int, Int, Long, Double, Array[Float])] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    try {
+      if (payload.length < 4) return None
+      // ID3v2: "ID3" + ver(2) + flags(1) + 4-byte syncsafe size
+      var pos =
+        if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' && payload(2) == '3') {
+          val size = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+          if (size < 0 || 10 + size > payload.length) return None
+          10 + size
+        } else 0
+      var rate     = 0
+      var channels = 0
+      var frames   = 0L
+      var samplesPerFrame = 0
+      val kbpsSeq  = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var walking  = true
+      while (walking && pos + 4 <= payload.length) {
+        val b1 = u8(pos); val b2 = u8(pos + 1)
+        // frame sync: 11 set bits
+        if (b1 != 0xff || (b2 & 0xe0) != 0xe0) {
+          // ID3v1 trailer or junk after the last frame ends the walk;
+          // junk BEFORE any frame means "not an MP3"
+          walking = false
+          if (frames == 0) return None
+        } else {
+          val version = (b2 >> 3) & 3 // 3=V1, 2=V2, 0=V2.5, 1=reserved
+          val layer   = (b2 >> 1) & 3 // 1=Layer III
+          if (version == 1 || layer != 1) return None
+          val b3      = u8(pos + 2)
+          val brIdx   = (b3 >> 4) & 0xf
+          val srIdx   = (b3 >> 2) & 3
+          val padding = (b3 >> 1) & 1
+          val kbps    = (if (version == 3) Mp3BitratesV1 else Mp3BitratesV2)(brIdx)
+          val sr = version match {
+            case 3 => Mp3RatesV1(srIdx)
+            case 2 => Mp3RatesV2(srIdx)
+            case _ => Mp3RatesV25(srIdx)
+          }
+          if (kbps == 0 || sr == 0) return None
+          if (frames == 0) {
+            rate = sr
+            channels = if (((u8(pos + 3) >> 6) & 3) == 3) 1 else 2 // 3 = mono
+            samplesPerFrame = if (version == 3) 1152 else 576
+          } else if (sr != rate) return None // rate must not change mid-stream
+          val frameLen =
+            (if (version == 3) 144000 else 72000) * kbps / sr + padding
+          if (frameLen < 4 || pos + frameLen > payload.length) {
+            walking = false
+            if (frames == 0) return None
+          } else {
+            kbpsSeq += kbps
+            frames += 1
+            pos += frameLen
+          }
+        }
+      }
+      val cells = 8
+      val sum   = new Array[Long](cells)
+      val cnt   = new Array[Int](cells)
+      var i     = 0
+      while (i < kbpsSeq.length) {
+        val c = math.min((i.toLong * cells / frames).toInt, cells - 1)
+        sum(c) += kbpsSeq(i); cnt(c) += 1
+        i += 1
+      }
+      val grid = Array.tabulate(cells)(c =>
+        if (cnt(c) == 0) 0f else (sum(c).toDouble / cnt(c) / 320.0).toFloat)
+      Some((rate, channels, frames, frames * samplesPerFrame * 1000.0 / rate, grid))
+    } catch { case _: Exception => None }
+  }
+
+  /** MP3 frame-stream encoder (header-valid frames, zero-filled
+    * bodies) — the writer twin of `decodeMp3`, used to build fixtures
+    * that exercise the ID3 skip and the VBR frame walk, exactly like
+    * `encodeWavPcm16`/`encodeAviMjpeg` for the other codecs. Emits an
+    * empty ID3v2 tag of `id3Pad` bytes followed by one MPEG-1 Layer III
+    * frame per `bitratesKbps` element (each must be a table bitrate).
+    */
+  def encodeMp3Frames(
+      sampleRate: Int,
+      mono: Boolean,
+      bitratesKbps: Seq[Int],
+      id3Pad: Int = 0): Array[Byte] = {
+    val srIdx = Mp3RatesV1.indexOf(sampleRate)
+    require(srIdx >= 0 && srIdx < 3, s"not an MPEG-1 sample rate: $sampleRate")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Pad > 0) {
+      out.write(Array[Byte]('I', 'D', '3', 4, 0, 0))
+      out.write(Array[Byte](
+        ((id3Pad >> 21) & 0x7f).toByte, ((id3Pad >> 14) & 0x7f).toByte,
+        ((id3Pad >> 7) & 0x7f).toByte, (id3Pad & 0x7f).toByte))
+      out.write(new Array[Byte](id3Pad))
+    }
+    bitratesKbps.foreach { kbps =>
+      val brIdx = Mp3BitratesV1.indexOf(kbps)
+      require(brIdx > 0 && brIdx < 15, s"not an MPEG-1 L3 bitrate: $kbps")
+      val len = 144000 * kbps / sampleRate // padding bit 0
+      val frame = new Array[Byte](len)
+      frame(0) = 0xff.toByte
+      frame(1) = 0xfb.toByte // V1, Layer III, no CRC
+      frame(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      frame(3) = (if (mono) 0xc0 else 0x00).toByte
+      out.write(frame)
+    }
+    out.toByteArray
   }
 
   /** Decoded video facts: true container geometry plus a per-sampled-
@@ -389,9 +527,17 @@ object Multimodal {
       .select(col("media_id"), col("format"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, fmt, bytes) =>
-        decodeWav(bytes).map { case (rate, ch, bits, frames, grid) =>
-          AudioFeatures(id, fmt, rate, ch, bits, frames, frames * 1000.0 / rate, grid)
-        }
+        // WAV first (PCM, bits>0); MP3 header walk as the compressed
+        // fallback (bits_per_sample = 0 marks a compressed stream —
+        // frame count/duration/bitrate grid are real, samples are not
+        // decoded: no JDK MP3 decoder exists)
+        decodeWav(bytes)
+          .map { case (rate, ch, bits, frames, grid) =>
+            AudioFeatures(id, fmt, rate, ch, bits, frames, frames * 1000.0 / rate, grid)
+          }
+          .orElse(decodeMp3(bytes).map { case (rate, ch, frames, durMs, grid) =>
+            AudioFeatures(id, fmt, rate, ch, 0, frames, durMs, grid)
+          })
       })
   }
 
@@ -433,6 +579,8 @@ object Multimodal {
               decodeImage(bytes).map { case (w, h, feats) => MediaFeatures(id, fmt, feats, Some(w), Some(h)) }
             else if (f == "wav")
               decodeWav(bytes).map { case (_, _, _, _, grid) => MediaFeatures(id, fmt, grid, None, None) }
+            else if (f == "mp3")
+              decodeMp3(bytes).map { case (_, _, _, _, grid) => MediaFeatures(id, fmt, grid, None, None) }
             else if (f == "avi")
               decodeAvi(bytes).map { case (w, h, _, _, track) => MediaFeatures(id, fmt, track, Some(w), Some(h)) }
             else None

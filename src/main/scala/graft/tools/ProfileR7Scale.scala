@@ -31,9 +31,47 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.ProfileR7Scale [m ...] (default 1 5 20 80)
   *        SPARK_GRAFT_ONLY=name,... narrows; SPARK_GRAFT_REUSE=1 keeps
-  *        amplified dirs; SPARK_GRAFT_SHUFFLE sets shuffle width.
+  *        amplified dirs; SPARK_GRAFT_SHUFFLE sets shuffle width;
+  *        SPARK_GRAFT_AQE_WIDTH=1 runs in ENGINE-DEFAULT width mode
+  *        (Graft.session's wide-start + AQE-coalesce policy) and
+  *        asserts the policy is active — the deployment-guidance check
+  *        the round-7 review asked for.
   */
 object ProfileR7Scale {
+
+  /** Probe session. Default: pinned shuffle width (the controlled
+    * variable of the e / e@256 ladder columns). Engine-default mode
+    * (SPARK_GRAFT_AQE_WIDTH=1): Graft.session's shuffle-width policy —
+    * wide initialPartitionNum + 16m advisory size — with a readback
+    * assert, so the ladder itself verifies the deployed config encodes
+    * the q45/q51 lesson rather than trusting the session factory.
+    */
+  private[tools] def probeSession(shuffle: String): SparkSession = {
+    val aqeWidth = sys.env.get("SPARK_GRAFT_AQE_WIDTH").contains("1")
+    val b = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = (if (aqeWidth)
+      b.config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          (32 * shuffle.toInt).toString)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    else b).getOrCreate()
+    if (aqeWidth) {
+      val init = spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+      val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val adv  = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean && init >= 8 * base,
+        s"engine width policy inactive: initialPartitionNum=$init vs shuffle=$base")
+      assert(adv.replaceAll("[^0-9]", "").toLong <= 16,
+        s"advisory partition size not window-sort-sized: $adv")
+      println(s"[scale] engine-default width mode: initial=$init advisory=$adv base=$base")
+    }
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
 
   def scaledEvents(base: DataFrame, m: Int): DataFrame =
     (0 until m).map { i =>
@@ -58,14 +96,7 @@ object ProfileR7Scale {
 
   def main(args: Array[String]): Unit = {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark   = probeSession(shuffle)
 
     val ms   = if (args.isEmpty) Seq(1, 5, 20, 80) else args.map(_.toInt).toSeq
     val base = Tables(spark, "/root/testdata/sf0.1")
@@ -154,14 +185,7 @@ object ProfileR7RelScale {
 
   def main(args: Array[String]): Unit = {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark   = ProfileR7Scale.probeSession(shuffle)
 
     val ms   = if (args.isEmpty) Seq(1, 5, 20, 80) else args.map(_.toInt).toSeq
     val base = Tables(spark, "/root/testdata/sf0.1")

@@ -199,6 +199,47 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(42L).n_bytes == (("neither image nor audio".length + 3) / 4).toLong)
   }
 
+  test("decodeMp3 walks ID3v2 + Layer III frames (header-only parse)") {
+    // VBR stream: 6 frames stepping up the bitrate table, 100-byte ID3 tag
+    val vbr = Multimodal.encodeMp3Frames(
+      44100, mono = false, Seq(96, 96, 128, 128, 192, 192), id3Pad = 100)
+    val rows = Seq(
+      (50L, vbr, "mp3"),
+      (51L, Multimodal.encodeMp3Frames(32000, mono = true, Seq.fill(4)(64)), "mp3"),
+      (52L, "not audio at all".getBytes("UTF-8"), "mp3"))
+      .toDF("media_id", "payload", "format")
+    val got = Multimodal.decodeAudioFeatures(rows).collect().map(a => a.media_id -> a).toMap
+    // true header facts: rate, stereo, frame count, MPEG-1 duration
+    assert(got(50L).sample_rate == 44100 && got(50L).channels == 2)
+    assert(got(50L).n_frames == 6 && got(50L).bits_per_sample == 0) // compressed marker
+    assert(math.abs(got(50L).duration_ms - 6 * 1152 * 1000.0 / 44100) < 1e-9)
+    // the VBR profile survives: first cells at 96 kbps, last occupied
+    // cell (frame 5 → cell 5*8/6 = 6) at 192
+    assert(math.abs(got(50L).features.head - 96f / 320f) < 1e-6)
+    assert(math.abs(got(50L).features(6) - 192f / 320f) < 1e-6)
+    assert(got(51L).sample_rate == 32000 && got(51L).channels == 1 && got(51L).n_frames == 4)
+    // junk is dropped by the audio path (undecodable → not emitted)
+    assert(!got.contains(52L))
+    // ...and falls back to the stub through decodeFeatures
+    val feats = Multimodal.decodeFeatures(rows).collect().map(f => f.media_id -> f).toMap
+    assert(feats(50L).features.length == 8 && feats(50L).width.isEmpty)
+    assert(math.abs(feats(50L).features.head - 96f / 320f) < 1e-6)
+    assert(feats(52L).features.length == 8) // byte-fold stub shape
+  }
+
+  test("decodeMp3 rejects truncated/rate-shifting streams gracefully") {
+    val ok = Multimodal.encodeMp3Frames(44100, mono = true, Seq(128, 128))
+    // truncate inside the second frame: walk stops, first frame counts
+    val truncated = ok.take(ok.length - 10)
+    val got = Multimodal.decodeAudioFeatures(
+      Seq((60L, truncated, "mp3")).toDF("media_id", "payload", "format")).collect()
+    assert(got.length == 1 && got.head.n_frames == 1)
+    // an ID3 tag whose declared size runs past the payload → None
+    val badId3 = Multimodal.encodeMp3Frames(44100, mono = true, Seq(128), id3Pad = 50).take(20)
+    assert(Multimodal.decodeAudioFeatures(
+      Seq((61L, badId3, "mp3")).toDF("media_id", "payload", "format")).collect().isEmpty)
+  }
+
   test("resizeStub decimates payloads deterministically") {
     val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
     assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0
