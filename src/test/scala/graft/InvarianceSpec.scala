@@ -49,6 +49,45 @@ class InvarianceSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("the width-policy confs are semantics-free: advisory size and initial width") {
+    // The round-8 deployment dial (Graft.session's wide-start + AQE
+    // coalesce policy, and the advisory-size override for
+    // memory-amplifying operators) must be pure provisioning: results
+    // bit-identical at any setting. Pin it on the two queries the dial
+    // exists for — the densifier (st06) and the set-aggregation
+    // buffer (q18) — plus a windowed retention query.
+    val dialNames = Seq("st06_resample_ffill", "q18_agg_equality", "q52_cohort_retention")
+    val advKey    = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val initKey   = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    val prevAdv   = spark.conf.getOption(advKey)
+    val prevInit  = spark.conf.getOption(initKey)
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    for (name <- dialNames) {
+      val fn   = SparkEntry.queries(name)
+      val base = Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
+      try {
+        spark.conf.set(advKey, "1m")
+        spark.conf.set(initKey, "64")
+        val dialed = Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
+        assert(base == dialed, s"$name changed under the advisory/width dial")
+      } finally { restore(advKey, prevAdv); restore(initKey, prevInit) }
+    }
+  }
+
+  test("Graft.session ships the shuffle-width policy (wide start + window-sort advisory)") {
+    // SparkTestBase builds this session THROUGH Graft.session, so the
+    // factory's round-8 defaults must be visible here: shuffles start
+    // 32x wider than the base width (AQE coalesces down -> width
+    // follows data) and the coalesce target is sized for window-sort
+    // task memory, not the 64m scan-side default.
+    val init = spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+    val base = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+    assert(init == 32 * base, s"initialPartitionNum=$init, expected ${32 * base}")
+    assert(spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") == "16m")
+  }
+
   test("decimal money sum is partition-count invariant on a skewed frame") {
     import spark.implicits._
     val df = (1 to 10000).map(i => ("k", i / 100.0)).toDF("k", "v")
