@@ -76,16 +76,13 @@ object ProfileR6Scale {
   def main(args: Array[String]): Unit = {
     // SPARK_GRAFT_SHUFFLE scales the shuffle width with the probe's
     // multiplier — on a real cluster partition count grows with data;
-    // pinning 32 at m=80 would measure single-JVM spill, not the plan
+    // pinning 32 at m=80 would measure single-JVM spill, not the plan.
+    // SPARK_GRAFT_AQE_WIDTH=1 instead runs the shared engine-default
+    // width mode (wide-start + AQE coalesce, policy-active assert) so
+    // this family's ladder carries the same e@auto column as the
+    // event-time and relational ones.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = ProfileR7Scale.probeSession(shuffle)
     if (args.headOption.contains("skew")) {
       spark.sparkContext.setLogLevel("INFO") // surface OptimizeSkewedJoin decisions
       skewAudit(spark); spark.stop(); return
