@@ -73,10 +73,58 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // ~2 s CPU+IO micro-probe, run before AND after the passes: the
+    // round-8 lesson is that hypervisor throttling (the box's two
+    // IO-price "epochs") is INVISIBLE in /proc/loadavg — a calm-looking
+    // window can still price IO 5-10x. A fixed arithmetic kernel and a
+    // fixed 64 MB fsync'd write+read make every artifact self-labeling:
+    // the raw ms land in the JSON for cross-round comparison, and the
+    // label trips when either probe exceeds 2.5x its fast-regime anchor
+    // (overridable for other host classes via SPARK_GRAFT_PROBE_CPU_MS /
+    // SPARK_GRAFT_PROBE_IO_MS).
+    def probe(): (Long, Long) = {
+      var acc = 0L; var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) { acc = acc * 6364136223846793005L + i; i += 1 }
+      val cpuMs = (System.nanoTime() - t0) / 1000000
+      var ioMs = -1L
+      try {
+        val f   = java.io.File.createTempFile("graft_probe", ".bin")
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, (acc & 0x7f).toByte) // data-dependent: keeps the cpu loop live
+        val t1  = System.nanoTime()
+        val out = new java.io.FileOutputStream(f)
+        var j = 0; while (j < 64) { out.write(buf); j += 1 }
+        out.getFD.sync(); out.close()
+        val in = new java.io.FileInputStream(f)
+        while (in.read(buf) > 0) {}
+        in.close(); f.delete()
+        ioMs = (System.nanoTime() - t1) / 1000000
+      } catch { case _: Throwable => () }
+      (cpuMs, ioMs)
+    }
+    // anchors measured on this host class in the fast regime (round 9,
+    // 3 standalone-JVM replicates: cpu 603/621/626, io 171/205/188) —
+    // the cpu kernel is a serial imul dependency chain, so its calm
+    // value is latency-bound (~1.5 ns/iter) and load-insensitive while
+    // cores remain free; only genuine clock/hypervisor throttling moves it
+    val cpuAnchor = sys.env.getOrElse("SPARK_GRAFT_PROBE_CPU_MS", "620").toLong
+    val ioAnchor  = sys.env.getOrElse("SPARK_GRAFT_PROBE_IO_MS", "200").toLong
+    def slow(p: (Long, Long)): Boolean =
+      p._1 > (2.5 * cpuAnchor).toLong || (p._2 >= 0 && p._2 > (2.5 * ioAnchor).toLong)
+    val probe0 = probe()
     val load0 = loadAvg()
     val p1 = pass()
     val p2 = pass()
     val load1 = loadAvg()
+    val probe1 = probe()
+    val regimeLabel = (slow(probe0), slow(probe1)) match {
+      case (false, false) => "normal"
+      case (true, true)   => "throttled"
+      case _              => "mixed"
+    }
+    val regimeJson =
+      s"""{"cpu_ms":[${probe0._1},${probe1._1}],"io_ms":[${probe0._2},${probe1._2}],"label":"$regimeLabel"}"""
     val results = ordered.map { case (name, _) =>
       val valid = Seq(p1(name), p2(name)).filter(_ >= 0)
       name -> (if (valid.isEmpty) -1.0 else valid.min)
@@ -89,7 +137,7 @@ object Bench {
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"load":[${r3(load0)},${r3(load1)}],"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"load":[${r3(load0)},${r3(load1)}],"regime":$regimeJson,"queries":$qs}"""
     // belt-and-braces: the driver captures a bounded log tail, which
     // truncated this line in round 1 — persist the same JSON as a file
     // artifact too. Path is overridable, defaulting to the working
@@ -116,7 +164,7 @@ object Bench {
     // likely cause of every round's parsed:null) — this one survives
     // any tail over ~200 bytes
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}]}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}],"regime":$regimeJson}""")
     System.out.flush()
   }
 }

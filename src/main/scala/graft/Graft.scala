@@ -44,7 +44,27 @@ import org.apache.spark.sql.SparkSession
   * engine-default mode.
   */
 object Graft {
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+
+  private val AdvisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
+  /** Build the engine session.
+    *
+    * `advisoryMb` is the deployment dial for the AQE coalesce target
+    * (default 16 MB compressed — see the policy note above). The
+    * deployment rule, measured in round 8 across both of the host's
+    * IO-price regimes: for jobs dominated by memory-AMPLIFYING
+    * operators (window-sort densify like st06, large set-aggregation
+    * buffers like q18 — unsafe rows decompress 4–8× the shuffle
+    * bytes), divide the advisory by the operator's amplification
+    * factor; on slow-spill clusters 2 MB measured best-in-regime.
+    * Provisioning only — results are bit-identical at any setting
+    * (InvarianceSpec pins this); the dial reaching the intended
+    * exchanges is structurally asserted in PlanQualitySpec.
+    */
+  def session(
+      master: String = "local[*]",
+      shufflePartitions: Int = 32,
+      advisoryMb: Int = 16): SparkSession = {
     val s = SparkSession
       .builder()
       .master(master)
@@ -55,7 +75,7 @@ object Graft {
       .config(
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         (32 * shufflePartitions).toString)
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      .config(AdvisoryKey, s"${advisoryMb}m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos
@@ -63,5 +83,43 @@ object Graft {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  private val MinPartKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+
+  private[graft] def sizeToBytes(size: String): Long = {
+    val m = "(?i)^(\\d+)([kmg]?)$".r
+    size match {
+      case m(n, u) =>
+        n.toLong << (u.toLowerCase match {
+          case "k" => 10; case "m" => 20; case "g" => 30; case _ => 0
+        })
+      case _ => throw new IllegalArgumentException(s"bad size: $size")
+    }
+  }
+
+  /** Per-JOB advisory dial on a live session: runs `body` with the AQE
+    * coalesce target set to `size` (e.g. "2m" for an 8×-amplifying
+    * densify/set-agg job per the rule above), then restores the prior
+    * values. The advisory is a runtime SQL conf, so scoping it per job
+    * is safe — no session rebuild, no effect on concurrent sessions.
+    *
+    * When `size` is below AQE's coalesce floor
+    * (`coalescePartitions.minPartitionSize`, default 1m) the floor is
+    * lowered to `size` as well — otherwise the floor silently overrides
+    * the dial and the "target" is a fiction (found by the
+    * PlanQualitySpec width assert: a 4k advisory still coalesced to one
+    * partition until the floor moved).
+    */
+  def withAdvisory[T](spark: SparkSession, size: String)(body: => T): T = {
+    val prevAdv = spark.conf.getOption(AdvisoryKey)
+    val prevMin = spark.conf.getOption(MinPartKey)
+    spark.conf.set(AdvisoryKey, size)
+    if (sizeToBytes(size) < (1L << 20)) spark.conf.set(MinPartKey, size)
+    try body
+    finally {
+      prevAdv.fold(spark.conf.unset(AdvisoryKey))(spark.conf.set(AdvisoryKey, _))
+      prevMin.fold(spark.conf.unset(MinPartKey))(spark.conf.set(MinPartKey, _))
+    }
   }
 }

@@ -725,6 +725,81 @@ object ExtendedQueries {
       .orderBy(col("event_type"), col("q_idx"))
   }
 
+  // ---------- exact twins of the sketches (hash-checked oracles) ----------
+  //
+  // x01/x02/x03 are inherently `no_oracle` in the driver artifact (DuckDB
+  // cannot replicate Spark's HLL/KLL bits). These three twins pin the EXACT
+  // answers the sketches approximate, as ordinary hash-checked rows, so the
+  // artifact itself carries the sketch-vs-exact comparison; the numeric
+  // delta between each sketch and its twin is bounded in SketchAccuracySpec.
+  // At 100 TB you run the sketch, not the twin — exact distinct/quantiles
+  // need a full shuffle/sort of the key space, which is exactly the cost the
+  // mergeable sketches exist to avoid; the twins are the correctness anchor.
+
+  /** Exact twin of x01: per-type exact COUNT(DISTINCT user_id). */
+  val x01e_exact_distinct: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exact twin of x02: interpolated (type-7 / quantile_cont) quantiles,
+    * computed with an explicit rank-and-interpolate plan rather than
+    * Spark's `percentile`, so the oracle can evaluate the IDENTICAL
+    * IEEE expression `lo + (hi - lo) * (pos - floor(pos))` and the
+    * doubles hash-match bit-for-bit — engine-internal interpolation
+    * orderings are not portable, the formula is. The per-type sort is
+    * the inherent cost of exactness (cf. x02's mergeable sketch).
+    */
+  val x02e_exact_quantiles: Q = (s, dir) => {
+    import s.implicits._
+    val t = Tables(s, dir)
+    val ranked = t.events
+      .select(col("event_type"), col("value"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("value"))).cast("long"))
+    val ps = Seq((0L, 0.5), (1L, 0.9), (2L, 0.99)).toDF("q_idx", "p")
+    val bounds = ranked
+      .groupBy(col("event_type").as("et"))
+      .agg(max(col("rk")).as("n"))
+      .crossJoin(broadcast(ps))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo_rk", floor(col("pos")) + 1)
+      .withColumn("hi_rk", least(floor(col("pos")) + 2, col("n")))
+    ranked
+      .join(
+        broadcast(bounds),
+        col("event_type") === col("et") && (col("rk") === col("lo_rk") || col("rk") === col("hi_rk")))
+      .groupBy(col("event_type"), col("q_idx"), col("pos"))
+      .agg(
+        min(when(col("rk") === col("lo_rk"), col("value"))).as("lo"),
+        min(when(col("rk") === col("hi_rk"), col("value"))).as("hi"))
+      .select(
+        col("event_type"),
+        col("q_idx"),
+        (col("lo") + (col("hi") - col("lo")) * (col("pos") - floor(col("pos")).cast("double")))
+          .as("q_value"))
+      .orderBy(col("event_type"), col("q_idx"))
+  }
+
+  /** Exact twin of x03: per-source and corpus-level exact distinct
+    * content counts over the same hash60 key the sketches consume.
+    */
+  val x03e_exact_union: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val h = t.documents.select(col("source"), graft.functions.Hashing.hash60(col("text")).as("h"))
+    val per = h.groupBy(col("source")).agg(countDistinct(col("h")).as("n_distinct"))
+    val total = h
+      .agg(countDistinct(col("h")).as("n_distinct"))
+      .select(lit("__all__").as("source"), col("n_distinct"))
+    per.unionByName(total).orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q43_pivot"           -> q43_pivot,
     "q44_rank_funcs"      -> q44_rank_funcs,
@@ -752,6 +827,9 @@ object ExtendedQueries {
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
     "x03_sketch_union"    -> x03_sketch_union,
+    "x01e_exact_distinct" -> x01e_exact_distinct,
+    "x02e_exact_quantiles" -> x02e_exact_quantiles,
+    "x03e_exact_union"    -> x03e_exact_union,
     "d21_contamination"   -> d21_contamination,
     "d22_repetition"      -> d22_repetition,
     "d23_chunking"        -> d23_chunking,
@@ -762,6 +840,37 @@ object ExtendedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "x01e_exact_distinct" ->
+      """SELECT event_type,
+        |       COUNT(DISTINCT user_id) AS exact_users,
+        |       COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "x02e_exact_quantiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rk
+        |           FROM events),
+        |n AS (SELECT event_type AS et, MAX(rk) AS n FROM r GROUP BY 1),
+        |p AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)),
+        |                            (CAST(1 AS BIGINT), CAST(0.9 AS DOUBLE)),
+        |                            (CAST(2 AS BIGINT), CAST(0.99 AS DOUBLE))) AS t(q_idx, p)),
+        |b AS (SELECT n.et, p.q_idx, p.p * CAST(n.n - 1 AS DOUBLE) AS pos,
+        |             CAST(floor(p.p * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 1 AS lo_rk,
+        |             LEAST(CAST(floor(p.p * CAST(n.n - 1 AS DOUBLE)) AS BIGINT) + 2, n.n) AS hi_rk
+        |      FROM n CROSS JOIN p),
+        |j AS (SELECT r.event_type, b.q_idx, b.pos,
+        |             MIN(CASE WHEN r.rk = b.lo_rk THEN r.value END) AS lo,
+        |             MIN(CASE WHEN r.rk = b.hi_rk THEN r.value END) AS hi
+        |      FROM b JOIN r ON r.event_type = b.et AND r.rk IN (b.lo_rk, b.hi_rk)
+        |      GROUP BY 1, 2, 3)
+        |SELECT event_type, q_idx, lo + (hi - lo) * (pos - floor(pos)) AS q_value
+        |FROM j ORDER BY event_type, q_idx""".stripMargin,
+    "x03e_exact_union" ->
+      """WITH h AS (SELECT source, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+        |           FROM documents),
+        |per AS (SELECT source, COUNT(DISTINCT h) AS n_distinct FROM h GROUP BY 1
+        |        UNION ALL
+        |        SELECT '__all__' AS source, COUNT(DISTINCT h) AS n_distinct FROM h)
+        |SELECT source, n_distinct FROM per ORDER BY source""".stripMargin,
     "q43_pivot" ->
       """SELECT o_orderpriority,
         |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

@@ -58,6 +58,19 @@ object EventStreams {
     * in-memory test fixtures). Batch/streaming transforms below accept
     * EITHER this shape or a native TIMESTAMP `ts` — see Ops.tsMicros.
     */
+  /** events schema for the native-timestamp generation (timestamp[us]
+    * parquet, the driver testdata's encoding): identical to
+    * `eventSchema` except `ts` is TIMESTAMP. Pass as the
+    * `emptyDirFallback` of `readEventStream` when starting a stream on
+    * a not-yet-populated directory whose producers write native
+    * timestamps — with no files to probe, the encoding is a deployment
+    * fact the caller must declare.
+    */
+  lazy val eventSchemaTs: StructType = StructType(eventSchema.map {
+    case f if f.name == "ts" => f.copy(dataType = TimestampType)
+    case f                   => f
+  })
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // epoch nanos
@@ -114,13 +127,20 @@ object EventStreams {
     * When the directory is empty or not yet populated (the usual
     * file-source deployment: start the stream first, files arrive
     * later) the probe cannot infer anything, so we fall back to
-    * `eventSchema` — the stream starts and picks up files as they
-    * land, exactly as the pinned-schema version did.
+    * `emptyDirFallback` (default `eventSchema`, the long-nanos shape) —
+    * the stream starts and picks up files as they land. Producers that
+    * will land native-timestamp files into an empty directory pass
+    * `eventSchemaTs`; with zero files on disk the encoding cannot be
+    * probed, only declared. Both startup paths are pinned in
+    * StreamingSpec ("stream started on an EMPTY directory ...").
     */
-  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventStream(
+      spark: SparkSession,
+      dir: String,
+      emptyDirFallback: StructType = eventSchema): DataFrame = {
     val schema = scala.util.Try(spark.read.parquet(dir).schema)
       .filter(_.nonEmpty)
-      .getOrElse(eventSchema)
+      .getOrElse(emptyDirFallback)
     spark.readStream.schema(schema).parquet(dir)
   }
 

@@ -240,6 +240,73 @@ class MultimodalSpec extends SparkTestBase {
       Seq((61L, badId3, "mp3")).toDF("media_id", "payload", "format")).collect().isEmpty)
   }
 
+  test("decodeMp3 fuzz: randomized VBR streams round-trip against the encoder twin (5 seeds)") {
+    // The frame walk has enough branching (ID3 skip, VBR length table,
+    // truncation, trailer junk) to deserve randomized coverage beyond
+    // the fixed fixtures: generate random encoder-twin streams, mutate
+    // some (mid-frame truncation, ID3v1 trailer, junk), and check the
+    // decoded facts against a brute-force reference computed from the
+    // generation parameters.
+    import scala.util.Random
+    val rates    = Seq(44100, 48000, 32000) // MPEG-1 table
+    val bitrates = Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    def expectedGrid(kbps: Seq[Int]): Seq[Float] = {
+      val cells = 8
+      val sum   = new Array[Long](cells); val cnt = new Array[Int](cells)
+      for ((k, i) <- kbps.zipWithIndex) {
+        val c = math.min((i.toLong * cells / kbps.length).toInt, cells - 1)
+        sum(c) += k; cnt(c) += 1
+      }
+      (0 until cells).map(c => if (cnt(c) == 0) 0f else (sum(c).toDouble / cnt(c) / 320.0).toFloat)
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      // expected: media_id -> Some((rate, ch, frames, kbpsSeq)) or None (no row)
+      val cases = (0 until 40).map { i =>
+        val rate  = rates(rnd.nextInt(rates.size))
+        val mono  = rnd.nextBoolean()
+        val kbps  = Seq.fill(1 + rnd.nextInt(12))(bitrates(rnd.nextInt(bitrates.size)))
+        val pad   = if (rnd.nextBoolean()) 1 + rnd.nextInt(200) else 0
+        val full  = Multimodal.encodeMp3Frames(rate, mono, kbps, id3Pad = pad)
+        rnd.nextInt(4) match {
+          case 0 => // intact
+            (i.toLong, full, Some((rate, if (mono) 1 else 2, kbps)))
+          case 1 => // truncate inside the LAST frame: walk keeps the prefix
+            val lastLen = 144000 * kbps.last / rate
+            val cut     = 1 + rnd.nextInt(lastLen - 1)
+            val exp     = if (kbps.length == 1) None
+                          else Some((rate, if (mono) 1 else 2, kbps.dropRight(1)))
+            (i.toLong, full.dropRight(cut), exp)
+          case 2 => // ID3v1 trailer after the frames: walk stops cleanly
+            val trailer = "TAG".getBytes("US-ASCII") ++ Array.fill(125)(rnd.nextInt(256).toByte)
+            (i.toLong, full ++ trailer, Some((rate, if (mono) 1 else 2, kbps)))
+          case _ => // junk before any sync: not an MP3, row dropped
+            (i.toLong, "junk prefix, no sync".getBytes("US-ASCII") ++ full.take(40), None)
+        }
+      }
+      val got = Multimodal
+        .decodeAudioFeatures(
+          cases.map { case (id, bytes, _) => (id, bytes, "mp3") }.toDF("media_id", "payload", "format"))
+        .collect().map(a => a.media_id -> a).toMap
+      for ((id, _, exp) <- cases) exp match {
+        case None => assert(!got.contains(id), s"seed=$seed id=$id: expected no row")
+        case Some((rate, ch, kbps)) =>
+          val a = got.getOrElse(id, fail(s"seed=$seed id=$id: row missing"))
+          assert(a.sample_rate == rate && a.channels == ch, s"seed=$seed id=$id")
+          assert(a.n_frames == kbps.length.toLong, s"seed=$seed id=$id frames")
+          assert(a.bits_per_sample == 0, s"seed=$seed id=$id compressed marker")
+          assert(
+            math.abs(a.duration_ms - kbps.length * 1152 * 1000.0 / rate) < 1e-9,
+            s"seed=$seed id=$id duration")
+          val expFeat = expectedGrid(kbps)
+          assert(
+            a.features.length == 8 &&
+              a.features.toSeq.zip(expFeat).forall { case (g, e) => math.abs(g - e) < 1e-6f },
+            s"seed=$seed id=$id vbr grid: got=${a.features.toSeq} exp=$expFeat")
+      }
+    }
+  }
+
   test("resizeStub decimates payloads deterministically") {
     val out = Multimodal.resizeStub(media, 5).collect().map(m => m.media_id -> m.n_bytes).toMap
     assert(out == Map(0L -> 10L, 1L -> 1L, 2L -> 0L)) // ceil(50/5), ceil(3/5), 0

@@ -51,6 +51,11 @@ class PlanQualitySpec extends SparkTestBase {
     "st04_asof_join"     -> Set("KeyedWindow(RAW)"), // union-merge as-of: last() over one key's event stream
     "st08_asof_forward"  -> Set("KeyedWindow(RAW)"), // forward as-of twin of st04
     "wp03_scd2_intervals" -> Set("KeyedWindow(RAW)"), // SCD2 validity intervals over one entity's history
+    // exact-quantile twin: per-type rank IS the operator (exactness
+    // requires the per-type sort by definition — the scale path is
+    // x02's mergeable sketch; this query is its correctness anchor);
+    // the BNLJ is the broadcast 3-row quantile-probability table
+    "x02e_exact_quantiles" -> Set("KeyedWindow(RAW)", "BroadcastNestedLoopJoin"),
   )
 
   test("doc-local tf queries plan ZERO keyed exchanges (d22, d34)") {
@@ -113,6 +118,54 @@ class PlanQualitySpec extends SparkTestBase {
         countDistinct(col("l_partkey")).as("n_part"))
     assert(q16.exceptAll(twin).isEmpty, "rows in q16 missing from the Expand twin")
     assert(twin.exceptAll(q16).isEmpty, "rows in the Expand twin missing from q16")
+  }
+
+  test("the advisory dial reaches the densify/set-agg exchanges (per-job width recipe)") {
+    // Graft.withAdvisory is the per-job deployment recipe for
+    // memory-amplifying operators (divide the 16m default by the
+    // operator's unsafe-row amplification). This asserts the dial is
+    // not just a conf write: with a smaller coalesce target, the AQE
+    // final plan of the two shapes the dial exists for (st06 densify,
+    // q18 set-agg) must keep strictly MORE post-shuffle partitions
+    // than under the engine default — i.e. the intended stages really
+    // run at the dialed width. (Bit-identical results under the dial
+    // are pinned separately in InvarianceSpec.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec, ShuffleQueryStageExec}
+    // sf0.01, not the suite's sf0.001: the dialed stages' compressed
+    // shuffle bytes must exceed the dialed advisory (4k) for the test
+    // to observe a width difference; at sf0.001 they fit in one target
+    val dialDir = "/root/testdata/sf0.01"
+    // the AQE final plan nests its real subtrees inside QueryStageExec
+    // wrappers (leaves to TreeNode traversal) — descend explicitly
+    def expand(p: SparkPlan): Seq[SparkPlan] = p.flatMap {
+      case q: QueryStageExec        => Seq(q) ++ expand(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+      case n                        => Seq(n)
+    }
+    // a stage's final width is its AQERead's spec count when coalesced;
+    // a stage with NO read node ran UNCOALESCED at the initial wide
+    // width (AQE omits the read when merging wouldn't help) — reading
+    // "no read node" as width 1 inverts the meaning
+    def finalWidth(name: String): Int = Caches.scoped(spark) {
+      val df = SparkEntry.queries(name)(spark, dialDir)
+      df.collect()
+      val nodes         = expand(df.queryExecution.executedPlan)
+      val readChildren  = nodes.collect { case r: AQEShuffleReadExec => r.child }.toSet
+      val widths = nodes.collect {
+        case r: AQEShuffleReadExec => r.partitionSpecs.length
+        case s: ShuffleQueryStageExec if !readChildren.contains(s) =>
+          s.plan.outputPartitioning.numPartitions
+      }
+      if (widths.isEmpty) 1 else widths.max
+    }
+    for (name <- Seq("st06_resample_ffill", "q18_agg_equality")) {
+      val dialed  = Graft.withAdvisory(spark, "4k")(finalWidth(name))
+      val default = finalWidth(name)
+      assert(
+        dialed > default,
+        s"$name: advisory dial did not widen the stage (dialed=$dialed default=$default)")
+    }
   }
 
   test("event-time arithmetic goes through Ops.tsMicros, never raw ts div") {

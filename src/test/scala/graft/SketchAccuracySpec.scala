@@ -75,6 +75,57 @@ class SketchAccuracySpec extends SparkTestBase {
     assert(est("__all__") >= exactPer.values.max * 0.9)
   }
 
+  test("the registered exact twins pin the sketches (x01e/x02e/x03e vs x01/x02/x03)") {
+    // Round-9: the exact answers are no longer ad-hoc test arithmetic —
+    // they are REGISTERED, hash-checked driver queries (the oracle gate
+    // proves them against DuckDB), and this test carries the
+    // sketch-vs-exact delta between the registered pairs.
+    // x01 vs x01e: distinct estimate within the HLL envelope, and the
+    // exact co-columns (n_events) identical.
+    val a1 = SparkEntry.queries("x01_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users", "n_events").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val e1 = SparkEntry.queries("x01e_exact_distinct")(spark, sfDir)
+      .select("event_type", "exact_users", "n_events").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(a1.keySet == e1.keySet)
+    e1.foreach { case (k, (exact, nEv)) =>
+      assert(a1(k)._2 == nEv, s"x01/x01e $k: n_events disagree")
+      assert(math.abs(a1(k)._1 - exact).toDouble / exact <= 0.10, s"x01 vs twin $k")
+    }
+    // x02 vs x02e: the sketch value must sit within a ±2% empirical
+    // rank band of the exact interpolated quantile — the delta is a
+    // rank distance, the metric percentile_approx's guarantee speaks.
+    val a2 = SparkEntry.queries("x02_approx_quantiles")(spark, sfDir)
+      .select("event_type", "q_idx", "q_value").as[(String, Int, Double)].collect()
+      .map { case (et, qi, v) => (et, qi) -> v }.toMap
+    val e2 = SparkEntry.queries("x02e_exact_quantiles")(spark, sfDir)
+      .select("event_type", "q_idx", "q_value").as[(String, Long, Double)].collect()
+      .map { case (et, qi, v) => (et, qi.toInt) -> v }.toMap
+    assert(a2.keySet == e2.keySet)
+    val vals = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    e2.foreach { case ((et, qi), exactV) =>
+      val approxV  = a2((et, qi))
+      val lo       = math.min(approxV, exactV)
+      val hi       = math.max(approxV, exactV)
+      val between  = vals(et).count(v => lo < v && v < hi).toDouble / vals(et).length
+      assert(between <= 0.02, s"x02 vs twin ($et,$qi): rank gap $between between $approxV and $exactV")
+    }
+    // x03 vs x03e: per-source and corpus-level estimates within the
+    // DataSketches HLL envelope of the exact twin.
+    val a3 = SparkEntry.queries("x03_sketch_union")(spark, sfDir)
+      .select("source", "est_distinct").as[(String, Double)].collect().toMap
+    val e3 = SparkEntry.queries("x03e_exact_union")(spark, sfDir)
+      .select("source", "n_distinct").as[(String, Long)].collect().toMap
+    assert(a3.keySet == e3.keySet) // includes "__all__"
+    e3.foreach { case (src, n) =>
+      assert(math.abs(a3(src) - n) / n <= 0.10, s"x03 vs twin $src: est=${a3(src)} exact=$n")
+    }
+  }
+
   test("x01–x03 are bit-identical across repeated runs") {
     for (name <- Seq("x01_approx_distinct", "x02_approx_quantiles", "x03_sketch_union")) {
       val fn = SparkEntry.queries(name)

@@ -293,6 +293,70 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream started on an EMPTY directory picks up long-nanos files landing later") {
+    // The deployment pattern readEventStream's schema fallback exists
+    // for: the stream starts BEFORE any producer has written a file,
+    // then files land mid-stream and rows must flow.
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream").toFile
+    val sdf = EventStreams.readEventStream(spark, dir.getAbsolutePath)
+    assert(sdf.schema("ts").dataType == org.apache.spark.sql.types.LongType) // fallback engaged
+    val q = EventStreams
+      .hourlyStats(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("empty_start_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start_out").isEmpty) // started clean on zero files
+      val data = Seq(
+        ev(1, 10L * 1000000000L, "click", 1.0),
+        ev(2, 20L * 1000000000L, "click", 2.0),
+        ev(3, H + 5L, "view", 3.0)).toDF(cols: _*)
+      val staging = java.nio.file.Files.createTempDirectory("graft_stage").toFile
+      data.coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, new java.io.File(dir, "batch0.parquet").toPath)
+      q.processAllAvailable()
+      val streamed = spark.table("empty_start_out")
+        .select(col("hour_start"), col("event_type"), col("n"), col("total"))
+        .collect().toSet
+      val batch = EventStreams.hourlyStats(data)
+        .select(col("hour_start"), col("event_type"), col("n"), col("total"))
+        .collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stream started on an EMPTY directory with eventSchemaTs streams native-timestamp files") {
+    // Same startup pattern, other testdata generation: producers land
+    // timestamp[us] files (the driver's events.parquet) into a
+    // directory that was empty at stream start. The caller declares the
+    // encoding via the fallback; ts must type as TIMESTAMP end-to-end.
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_stream_ts").toFile
+    val sdf = EventStreams.readEventStream(spark, dir.getAbsolutePath, EventStreams.eventSchemaTs)
+    assert(sdf.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val q = EventStreams
+      .hourlyStats(sdf)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("empty_start_ts_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("empty_start_ts_out").isEmpty)
+      val src = new java.io.File(s"$sfDir/events.parquet")
+      java.nio.file.Files.copy(src.toPath, new java.io.File(dir, "events.parquet").toPath)
+      q.processAllAvailable()
+      val streamed = spark.table("empty_start_ts_out")
+        .select(col("hour_start"), col("event_type"), col("n"), col("total"))
+        .collect().toSet
+      val batch = EventStreams
+        .hourlyStats(spark.read.parquet(src.getAbsolutePath))
+        .select(col("hour_start"), col("event_type"), col("n"), col("total"))
+        .collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize splits on >30min gaps and aggregates per session") {
     val min = 60L * 1000000000L
     val data = Seq(
