@@ -72,6 +72,17 @@ class InvarianceSpec extends SparkTestBase {
         val dialed = Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
         assert(base == dialed, s"$name changed under the advisory/width dial")
       } finally { restore(advKey, prevAdv); restore(initKey, prevInit) }
+      // the round-9 job-scoped dial, including the sub-1m path that
+      // also lowers AQE's coalesce floor: still pure provisioning
+      val viaApi = Graft.withAdvisory(spark, "4k") {
+        Caches.scoped(spark)(fingerprint(fn(spark, sfDir)))
+      }
+      assert(viaApi == base, s"$name changed under Graft.withAdvisory(4k)")
+      assert(
+        spark.conf.getOption(advKey) == prevAdv &&
+          spark.conf.getOption("spark.sql.adaptive.coalescePartitions.minPartitionSize").forall(
+            _ != "4k"),
+        s"withAdvisory did not restore confs after $name")
     }
   }
 
