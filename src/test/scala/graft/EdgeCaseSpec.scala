@@ -144,6 +144,32 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(got == Set((1L, 1L, 7.0, 11L), (1L, 2L, 5.0, 10L), (2L, 1L, 1.0, 20L)))
   }
 
+  test("x02e rank-and-interpolate: n=1 groups collapse, 2-row groups interpolate bit-exactly") {
+    // the two boundary shapes of type-7 interpolation: a single-row
+    // group (pos=0, lo=hi, hi_rk clamped to n) must return its value at
+    // every p; a 2-row group must interpolate lo + (hi-lo)*p with the
+    // exact IEEE arithmetic the query and its DuckDB oracle share
+    val dir = java.nio.file.Files.createTempDirectory("graft_x02e_edge").toFile
+    Seq(
+      (1L, 0L, 1L, "a", 42.5, "{}"),
+      (2L, 0L, 1L, "b", 10.0, "{}"),
+      (3L, 0L, 2L, "b", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/events.parquet")
+    val got = SparkEntry.queries("x02e_exact_quantiles")(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    def interp(lo: Double, hi: Double, p: Double, n: Long): Double = {
+      val pos = p * (n - 1).toDouble
+      lo + (hi - lo) * (pos - math.floor(pos))
+    }
+    val exp = Seq(
+      ("a", 0L, 42.5), ("a", 1L, 42.5), ("a", 2L, 42.5),
+      ("b", 0L, interp(10.0, 20.0, 0.5, 2)),
+      ("b", 1L, interp(10.0, 20.0, 0.9, 2)),
+      ("b", 2L, interp(10.0, 20.0, 0.99, 2)))
+    assert(got == exp, s"got $got")
+  }
+
   test("asofJoin with no prior right rows keeps null matches") {
     val l = Seq((1L, 1L, 100L)).toDF("lid", "k", "lt")
     val r = Seq((9L, 1L, 200L)).toDF("rid", "k", "rt") // only AFTER the left row
