@@ -56,5 +56,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SemiJoinRewrite)
     e.injectOptimizerRule(_ => RangeJoinBanding)
+    // the native expression kernel, SQL-callable (graft_hash60, ...)
+    SqlFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import graft.functions.{ShingleExpressions, TextAnalysis, VectorExpressions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the native kernel (plans.SqlFunctions): every
+  * `graft_*` function must be value-identical to its Column-API twin,
+  * and literal-parameter misuse must fail with the named error, not a
+  * codegen crash.
+  */
+class SqlFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"$sfDir/documents.parquet")
+    .select(col("doc_id"), col("text"))
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def same(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val xs = a.collect().map(_.toString).sorted.toSeq
+    val ys = b.collect().map(_.toString).sorted.toSeq
+    assert(xs == ys, s"$what: SQL and Column API disagree")
+    assert(xs.nonEmpty, s"$what: empty comparison proves nothing")
+  }
+
+  test("scalar string/token functions match the Column API") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    same(
+      spark.sql("SELECT doc_id, graft_hash60(text) AS h FROM sqlfn_docs"),
+      docs.select(col("doc_id"), VectorExpressions.hash60(col("text")).as("h")),
+      "graft_hash60")
+    same(
+      spark.sql("SELECT doc_id, graft_tokenize(text) AS t FROM sqlfn_docs"),
+      docs.select(col("doc_id"), ShingleExpressions.tokenize(col("text")).as("t")),
+      "graft_tokenize")
+    same(
+      spark.sql("SELECT doc_id, graft_token_count(text) AS n FROM sqlfn_docs"),
+      docs.select(col("doc_id"), ShingleExpressions.tokenCount(col("text")).as("n")),
+      "graft_token_count")
+    same(
+      spark.sql("SELECT doc_id, graft_simhash60(graft_tokenize(text)) AS s FROM sqlfn_docs"),
+      docs.select(
+        col("doc_id"),
+        ShingleExpressions.simhash60(ShingleExpressions.tokenize(col("text"))).as("s")),
+      "graft_simhash60")
+    same(
+      spark.sql("SELECT doc_id, graft_collapse_runs(graft_tokenize(text)) AS c FROM sqlfn_docs"),
+      docs.select(
+        col("doc_id"),
+        ShingleExpressions.collapseRuns(ShingleExpressions.tokenize(col("text"))).as("c")),
+      "graft_collapse_runs")
+  }
+
+  test("shingle/minhash/tf functions with literal parameters match the Column API") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    val toks = TextAnalysis.tokens(col("text"))
+    same(
+      spark.sql("SELECT doc_id, graft_shingle_hash60(graft_tokenize(text), 3) AS s FROM sqlfn_docs"),
+      docs.select(col("doc_id"), ShingleExpressions.shingleHashSet(toks, 3).as("s")),
+      "graft_shingle_hash60")
+    same(
+      spark.sql("SELECT doc_id, graft_shingle_hashes(graft_tokenize(text), 3) AS s FROM sqlfn_docs"),
+      docs.select(col("doc_id"), ShingleExpressions.shingleHashes(toks, 3).as("s")),
+      "graft_shingle_hashes")
+    same(
+      spark.sql(
+        "SELECT doc_id, graft_minhash_sig(graft_shingle_hash60(graft_tokenize(text), 3), 8) AS m FROM sqlfn_docs"),
+      docs.select(
+        col("doc_id"),
+        ShingleExpressions.minhashSignature(ShingleExpressions.shingleHashSet(toks, 3), 8).as("m")),
+      "graft_minhash_sig")
+    same(
+      spark.sql("SELECT doc_id, graft_tf_stats(graft_tokenize(text)) AS f FROM sqlfn_docs"),
+      docs.select(col("doc_id"), ShingleExpressions.tfStats(toks).as("f")),
+      "graft_tf_stats")
+    same(
+      spark.sql("SELECT doc_id, graft_term_counts(graft_tokenize(text)) AS tc FROM sqlfn_docs"),
+      docs.select(col("doc_id"), ShingleExpressions.termCounts(toks).as("tc")),
+      "graft_term_counts")
+    same(
+      spark.sql(
+        "SELECT doc_id, graft_dup_run_stats(graft_shingle_hashes(graft_tokenize(text), 2)) AS d FROM sqlfn_docs"),
+      docs.select(
+        col("doc_id"),
+        ShingleExpressions.dupRunStats(ShingleExpressions.shingleHashes(toks, 2)).as("d")),
+      "graft_dup_run_stats")
+  }
+
+  test("intersect and dot-product kernels match the Column API") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    same(
+      spark.sql(
+        """SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       graft_sorted_intersect_count(graft_shingle_hash60(graft_tokenize(a.text), 3),
+          |                                    graft_shingle_hash60(graft_tokenize(b.text), 3)) AS o
+          |FROM sqlfn_docs a JOIN sqlfn_docs b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id < 20""".stripMargin),
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") < 20)
+        .select(
+          col("a.doc_id").as("id1"),
+          col("b.doc_id").as("id2"),
+          ShingleExpressions.sortedIntersectCount(
+            ShingleExpressions.shingleHashSet(TextAnalysis.tokens(col("a.text")), 3),
+            ShingleExpressions.shingleHashSet(TextAnalysis.tokens(col("b.text")), 3)).as("o")),
+      "graft_sorted_intersect_count")
+    embs.createOrReplaceTempView("sqlfn_embs")
+    same(
+      spark.sql(
+        """SELECT a.vec_id AS id1, b.vec_id AS id2,
+          |       graft_dot_product(a.embedding, b.embedding) AS dp
+          |FROM sqlfn_embs a JOIN sqlfn_embs b ON b.vec_id = a.vec_id + 1
+          |WHERE a.vec_id < 20""".stripMargin),
+      embs.as("a")
+        .join(embs.as("b"), col("b.vec_id") === col("a.vec_id") + 1)
+        .filter(col("a.vec_id") < 20)
+        .select(
+          col("a.vec_id").as("id1"),
+          col("b.vec_id").as("id2"),
+          VectorExpressions.dotProduct(col("a.embedding"), col("b.embedding")).as("dp")),
+      "graft_dot_product")
+  }
+
+  test("non-literal codegen parameters fail with the named error") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hash60(graft_tokenize(text), doc_id) FROM sqlfn_docs").collect()
+    }
+    assert(err.getMessage.contains("graft_shingle_hash60"), s"unexpected error: ${err.getMessage}")
+  }
+
+  test("the functions are documented (DESCRIBE FUNCTION)") {
+    val desc = spark.sql("DESCRIBE FUNCTION graft_hash60").collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("graft_hash60"))
+  }
+}
