@@ -22,3 +22,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val documents: DataFrame  = rd("documents")
   lazy val embeddings: DataFrame = rd("embeddings")
 }
+
+object Tables {
+
+  /** Every table the testdata directory ships. */
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register each table as a session temp view, so a pure `spark.sql`
+    * workflow — which with the `graft_*` kernel functions
+    * (plans.SqlFunctions) now covers the engine's full scalar surface —
+    * runs against the directory without touching the Scala API. Views
+    * are lazy parquet reads: scans still prune columns and push
+    * filters; only the names are eagerly bound.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n))
+}

@@ -131,6 +131,25 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(err.getMessage.contains("graft_shingle_hash60"), s"unexpected error: ${err.getMessage}")
   }
 
+  test("a pure-SQL workflow: registered views + kernel functions, zero Scala API") {
+    // the end-to-end shape a spark.sql-only user runs: exact content
+    // dedup accounting in one SQL statement over the registered views
+    Tables.registerViews(spark, sfDir)
+    val got = spark.sql(
+      """SELECT source, COUNT(DISTINCT graft_hash60(text)) AS n_distinct, COUNT(*) AS n_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+      .as[(String, Long, Long)].collect()
+    val twin = docs
+      .join(spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(VectorExpressions.hash60(col("text"))).as("n_distinct"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+      .as[(String, Long, Long)].collect()
+    assert(got.nonEmpty && got.toSeq == twin.toSeq)
+  }
+
   test("the functions are documented (DESCRIBE FUNCTION)") {
     val desc = spark.sql("DESCRIBE FUNCTION graft_hash60").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("graft_hash60"))
