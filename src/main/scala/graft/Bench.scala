@@ -159,12 +159,22 @@ object Bench {
     spark.stop()
     System.out.println(s"GRAFT_BENCH $line")
     System.out.println(line)
-    // a last SHORT summary line: if the capturer keeps only a small
-    // log tail, the ~3 KB full line above truncates mid-JSON (the
-    // likely cause of every round's parsed:null) — this one survives
-    // any tail over ~200 bytes
+    // Last line = the one the driver actually parses. Its tail capture is
+    // 2000 chars (measured from BENCH_r09.json), so the ~3.3 KB full line
+    // above always loses its head; this line must fit, complete, inside
+    // the tail alongside sbt's ~75-char "[success]" epilogue. Budget it:
+    //   - per-query map uses the SHORT id prefix (the token before the
+    //     first '_': "d01", "x02e", ... — unique across the inventory,
+    //     asserted in BenchSpec) at 2 decimals → ~1.5 KB;
+    //   - regime collapses to its label (probe raw ms live in the full
+    //     line and the BENCH_LOCAL.json file artifact).
+    // Net ~1.65 KB: the round artifact's `parsed` gains the per-query
+    // map instead of carrying it only as a truncated `tail` string.
+    def r2(v: Double): String = f"$v%.2f"
+    val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}],"regime":$regimeJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","queries":$shortQs}""")
     System.out.flush()
   }
 }

@@ -112,12 +112,18 @@ object Graft {
     * partition until the floor moved).
     */
   def withAdvisory[T](spark: SparkSession, size: String)(body: => T): T = {
+    // Validate BEFORE touching the conf: a size string our regex rejects
+    // (e.g. "16mb", "0.5m") must throw while the session is still pristine.
+    // Both sets also live inside the try so a failure between them cannot
+    // leave the session half-dialed with no restore.
+    val bytes = sizeToBytes(size)
     val prevAdv = spark.conf.getOption(AdvisoryKey)
     val prevMin = spark.conf.getOption(MinPartKey)
-    spark.conf.set(AdvisoryKey, size)
-    if (sizeToBytes(size) < (1L << 20)) spark.conf.set(MinPartKey, size)
-    try body
-    finally {
+    try {
+      spark.conf.set(AdvisoryKey, size)
+      if (bytes < (1L << 20)) spark.conf.set(MinPartKey, size)
+      body
+    } finally {
       prevAdv.fold(spark.conf.unset(AdvisoryKey))(spark.conf.set(AdvisoryKey, _))
       prevMin.fold(spark.conf.unset(MinPartKey))(spark.conf.set(MinPartKey, _))
     }

@@ -199,7 +199,13 @@ object Dedup {
     cand
       .join(iArrs.select(col(idCol).as("incoming_id"), col("set").as("set1"), col("n").as("n1")), "incoming_id")
       .join(cArrs.select(col(idCol).as("corpus_id"), col("set").as("set2"), col("n").as("n2")), "corpus_id")
-      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
+      // bounded merge (cf. verifyJaccard): -1 rows are provably below
+      // the jaccard floor, survivors carry the exact count
+      .withColumn(
+        "inter",
+        graft.functions.ShingleExpressions.sortedIntersectAtLeast(
+          col("set1"), col("set2"), ceil((col("n1") + col("n2")) * (threshold / (1.0 + threshold)))))
+      .filter(col("inter") >= 0)
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("incoming_id"), col("corpus_id"), col("jac"))
@@ -331,17 +337,29 @@ object Dedup {
   /** Prefix-filtered candidate pairs (complete for jaccard >= t) in the
     * arrays' own sorted-hash canonical order, with the PPJoin positional
     * refinement: a shared prefix shingle at ranks (r1, r2) can witness a
-    * qualifying pair only if the remaining-suffix upper bound
-    * `1 + min(n1-r1, n2-r2)` reaches the required overlap
-    * `ceil(t/(1+t) * (n1+n2))`; a qualifying pair always survives via
-    * its first shared prefix shingle in the common order, so the filter
-    * is lossless for ANY fixed total order. Using the order the arrays
-    * are already sorted in makes prefix extraction shuffle-free:
-    * slice + posexplode off the persisted `shingleArrays` frame, then
-    * ONE shuffle (the posting-list groupBy) produces candidates.
+    * qualifying pair only if `1 + min(n1-r1, n2-r2)` reaches the
+    * required overlap `alpha = ceil(t/(1+t) * (n1+n2))` — algebraically
+    * `r1 <= n1-alpha+1 AND r2 <= n2-alpha+1`, which is already the
+    * TIGHT per-pair prefix bound (the prefix lemma's exact form with
+    * the pair's own alpha, not the worst-case-partner plen), so neither
+    * PPJoin's shorter "index prefix" nor the accumulated multi-
+    * occurrence bound can prune further per occurrence. The accumulated
+    * per-pair form (collect all shared prefix ranks, bound overlap by
+    * `m + min(suffix)` at the m-th) WAS implemented and measured
+    * (tools/ProfileR10Ppjoin, round 10): it cuts candidates only 4.8%
+    * (hash order scatters shared shingles — nearly all false-positive
+    * pairs share exactly one prefix shingle) while replacing the slim
+    * `.distinct()` with a collect_list aggregation that ran 2-5x slower
+    * at the m80 rung — rejected; the verify-side bounded merge
+    * (`sortedIntersectAtLeast`) is where the sub-threshold mass gets
+    * cheap. A qualifying pair always survives via its first shared
+    * prefix shingle in the common order, so the filter is lossless for
+    * ANY fixed total order. Using the order the arrays are already
+    * sorted in makes prefix extraction shuffle-free: slice + posexplode
+    * off the persisted `shingleArrays` frame, then ONE shuffle (the
+    * posting-list groupBy) produces candidates.
     */
   def prefixCandidates(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
-    val frac = threshold / (1.0 + threshold)
     val prefix = arrs
       .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
       .select(col(idCol), col("n"), posexplode(slice(col("set"), lit(1), col("plen"))).as(Seq("p", "s")))
@@ -349,12 +367,25 @@ object Dedup {
     val grouped = prefix
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("rnk"), col("n")))).as("ds"))
+    positionalFilter(grouped, threshold)
+  }
+
+  /** Shared tail of the PPJoin candidate generators: posting groups →
+    * occurrence pairs → length + positional filters → distinct pairs.
+    * `grouped` rows are (s, ds: array<struct<id, rnk, n>>) with ranks in
+    * the family's canonical order; the bound only uses that both docs'
+    * prefix ranks increase with one shared total order, so it holds for
+    * the hash order AND the rarity order alike.
+    */
+  private def positionalFilter(grouped: DataFrame, threshold: Double): DataFrame = {
+    val frac = threshold / (1.0 + threshold)
     grouped
       .filter(size(col("ds")) >= 2)
       // two-level explode (see pairsWithinGroups): peak row size O(g)
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("b"))
       // length filter: jac >= t forces min(n1,n2) >= t * max(n1,n2)
+      // (inter <= min and inter >= t * union >= t * max) — lossless
       .filter(least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * threshold)
       // positional filter: remaining-suffix upper bound must reach the
       // required overlap ceil(t/(1+t) * (n1+n2))
@@ -390,23 +421,7 @@ object Dedup {
     val grouped = prefix
       .groupBy(col("s"))
       .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("rnk"), col("n")))).as("ds"))
-    val frac = threshold / (1.0 + threshold)
-    grouped
-      .filter(size(col("ds")) >= 2)
-      // two-level explode (see pairsWithinGroups): peak row size O(g)
-      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
-      .select(col("a"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("b"))
-      // length filter: jac >= t forces min(n1,n2) >= t * max(n1,n2)
-      // (inter <= min and inter >= t * union >= t * max) — lossless
-      .filter(least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * threshold)
-      // positional filter: remaining-suffix upper bound must reach the
-      // required overlap ceil(t/(1+t) * (n1+n2))
-      .filter(
-        lit(1) + least(
-          col("a.n") - col("a.rnk"),
-          col("b.n") - col("b.rnk")) >= ceil((col("a.n") + col("b.n")) * frac))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    positionalFilter(grouped, threshold)
   }
 
   /** Containment near-dup pairs (id1 < id2, cont >= threshold) where
@@ -444,7 +459,14 @@ object Dedup {
     cand
       .join(arrs.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
       .join(arrs.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
-      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
+      // cont >= t ⟺ inter >= ceil(t * min(n1, n2)) — same early-exit
+      // contract as verifyJaccard: -1 rows are provably sub-threshold,
+      // survivors carry the exact count
+      .withColumn(
+        "inter",
+        graft.functions.ShingleExpressions.sortedIntersectAtLeast(
+          col("set1"), col("set2"), ceil(least(col("n1"), col("n2")) * threshold)))
+      .filter(col("inter") >= 0)
       .withColumn("cont", col("inter").cast("double") / least(col("n1"), col("n2")))
       .filter(col("cont") >= threshold)
       .select(col("id1"), col("id2"), col("cont"))
@@ -473,10 +495,20 @@ object Dedup {
     */
   def verifyJaccard(cand: DataFrame, arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val sets = arrs.select(col(idCol), col("set"), col("n"))
+    val frac = threshold / (1.0 + threshold)
     cand
       .join(sets.select(col(idCol).as("id1"), col("set").as("set1"), col("n").as("n1")), "id1")
       .join(sets.select(col(idCol).as("id2"), col("set").as("set2"), col("n").as("n2")), "id2")
-      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
+      // jac >= t ⟺ inter >= ceil(t/(1+t) * (n1+n2)); the bounded merge
+      // aborts (-1) the moment a candidate provably can't reach that,
+      // cutting sub-threshold merges — the overwhelming majority of
+      // verify rows — to ~1/3 of the full two-pointer pass at t=0.5.
+      // Survivors complete the merge, so output rows are bit-identical.
+      .withColumn(
+        "inter",
+        graft.functions.ShingleExpressions.sortedIntersectAtLeast(
+          col("set1"), col("set2"), ceil((col("n1") + col("n2")) * frac)))
+      .filter(col("inter") >= 0)
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("id1"), col("id2"), col("jac"))
@@ -605,7 +637,13 @@ object Dedup {
       .join(
         corpusArrs.select(col(idCol).as("corpus_id"), col("set").as("set2"), col("n").as("n2")),
         "corpus_id")
-      .withColumn("inter", graft.functions.ShingleExpressions.sortedIntersectCount(col("set1"), col("set2")))
+      // bounded merge (cf. verifyJaccard): -1 rows are provably below
+      // the jaccard floor, survivors carry the exact count
+      .withColumn(
+        "inter",
+        graft.functions.ShingleExpressions.sortedIntersectAtLeast(
+          col("set1"), col("set2"), ceil((col("n1") + col("n2")) * (threshold / (1.0 + threshold)))))
+      .filter(col("inter") >= 0)
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
       .select(col("incoming_id"), col("corpus_id"), col("jac"))

@@ -226,6 +226,37 @@ object ShingleOps {
     c
   }
 
+  /** Threshold-aware two-pointer intersection count (codegen entry
+    * point): exact count when it can still reach `minRequired`, else
+    * -1 the moment `count-so-far + min(remaining_a, remaining_b)` —
+    * a true upper bound on the final count — falls below it. For a
+    * zero-overlap pair the abort fires within (na+nb) - 2*minRequired
+    * steps (each miss step lowers the bound by one), so verify-join
+    * merges over sub-threshold candidates — the overwhelming majority —
+    * do ~1/3 of the full merge at jaccard t=0.5 instead of all of it.
+    * Pairs that complete the merge return the EXACT count, so callers'
+    * surviving rows are bit-identical to `sortedIntersectCount`.
+    */
+  def sortedIntersectAtLeast(a: ArrayData, b: ArrayData, minRequired: Long): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i  = 0
+    var j  = 0
+    var c  = 0L
+    if ((if (na < nb) na else nb) < minRequired) return -1L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else {
+        if (x < y) i += 1 else j += 1
+        val rem = if (na - i < nb - j) na - i else nb - j
+        if (c + rem < minRequired) return -1L
+      }
+    }
+    c
+  }
+
   /** One-pass consecutive-duplicate collapse (codegen entry point).
     * Keeps index 0 unconditionally; keeps element i > 0 iff both it and
     * its predecessor are non-null AND differ (the lambda's three-valued
@@ -495,6 +526,35 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Threshold-aware variant of `SortedIntersectCountExpr` for verify
+  * joins with a similarity floor: exact overlap when `>= minRequired`
+  * is still reachable, -1 once the running upper bound
+  * `seen + min(remaining)` proves it is not. The verify filter drops
+  * -1 rows (they are provably sub-threshold), and every SURVIVING row
+  * completed the full merge, so the output is bit-identical to the
+  * unbounded expression — only dead candidates get cheaper.
+  */
+case class SortedIntersectAtLeastExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(LongType), ArrayType(LongType), LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sorted_intersect_at_least"
+
+  override def nullSafeEval(a: Any, b: Any, m: Any): Any =
+    ShingleOps.sortedIntersectAtLeast(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, m) => s"graft.functions.ShingleOps.sortedIntersectAtLeast($a, $b, $m)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Whitespace tokenization of a string — the fused form of
   * `filter(split(trim(c), "\\s+"), t => t =!= lit(""))`, the tokenizer
   * under every text-analysis and shingle path. One pass over the UTF-8
@@ -662,6 +722,14 @@ object ShingleExpressions {
     */
   def sortedIntersectCount(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Threshold-aware overlap count: exact when reachable, -1 once
+    * `seen + min(remaining)` proves `minRequired` is not — the
+    * early-exit form of `sortedIntersectCount` for verify joins.
+    */
+  def sortedIntersectAtLeast(a: Column, b: Column, minRequired: Column): Column =
+    Bridge.column(SortedIntersectAtLeastExpr(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(minRequired)))
 
   /** Per-row 60-bit SimHash of a token-array column (null when empty). */
   def simhash60(tokens: Column): Column =

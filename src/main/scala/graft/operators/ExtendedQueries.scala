@@ -760,6 +760,11 @@ object ExtendedQueries {
     val t = Tables(s, dir)
     val ranked = t.events
       .select(col("event_type"), col("value"))
+      // Null guard: Spark windows default NULLS FIRST, DuckDB's ORDER BY
+      // defaults NULLS LAST, and max(rk)=n counts null rows — a single NULL
+      // value would silently diverge the twin. Filter identically here and
+      // in the oracle so the plan is null-robust, not data-dependent.
+      .filter(col("value").isNotNull)
       .withColumn(
         "rk",
         row_number().over(Window.partitionBy(col("event_type")).orderBy(col("value"))).cast("long"))
@@ -848,7 +853,7 @@ object ExtendedQueries {
     "x02e_exact_quantiles" ->
       """WITH r AS (SELECT event_type, value,
         |                  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT) AS rk
-        |           FROM events),
+        |           FROM events WHERE value IS NOT NULL),
         |n AS (SELECT event_type AS et, MAX(rk) AS n FROM r GROUP BY 1),
         |p AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0.5 AS DOUBLE)),
         |                            (CAST(1 AS BIGINT), CAST(0.9 AS DOUBLE)),

@@ -24,6 +24,15 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("short query ids are unique (Bench's compact tail line keys on them)") {
+    // Bench's final stdout line — the one the driver's 2000-char tail
+    // capture actually parses — keys its per-query map on the id prefix
+    // before the first '_'. A collision would silently drop a timing.
+    val ids = SparkEntry.queries.keySet.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = ids.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"colliding short query ids: $dups")
+  }
+
   test("every query has an oracle (sketches exempt: no DuckDB-identical result exists)") {
     // approx sketches (HLL, t-digest-style quantiles) are engine-specific
     // by construction — the driver records a rows-only check for them
