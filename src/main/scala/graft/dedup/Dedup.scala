@@ -186,14 +186,48 @@ object Dedup {
       idCol: String,
       k: Int = 16,
       rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame =
+    crossNearDupPairsFromIndex(
+      corpusBandIndex(cArrs, idCol, k, rowsPerBand), cArrs, iArrs, idCol, k, rowsPerBand, threshold)
+
+  /** The corpus band index as a narrow writable frame (band, sig, id) —
+    * the artifact a long-lived incremental pipeline PERSISTS once and
+    * reuses every batch. Write it with
+    * `Layout.bucketize(idx, table, path, Seq("band", "sig"), buckets)`:
+    * the bucketed layout co-partitions the index by the band-join key,
+    * so each arriving batch's candidate join shuffles ONLY the batch —
+    * zero index-side exchange, proven by plan assert in LayoutSpec.
+    */
+  def corpusBandIndex(
+      cArrs: DataFrame,
+      idCol: String,
+      k: Int = 16,
+      rowsPerBand: Int = 2): DataFrame =
+    rowMinhashBands(cArrs, idCol, k, rowsPerBand)
+      .select(col("band"), col("sig"), col(idCol))
+
+  /** `crossNearDupPairsFromArrays` against a PRECOMPUTED corpus band
+    * index (typically `corpusBandIndex` persisted bucketed by
+    * (band, sig)): candidates come from (incoming bands ⋈ index), so
+    * neither the corpus text nor its signatures recompute per batch,
+    * and with a bucketed index the join has no index-side shuffle.
+    * `cArrs` supplies only the verification arrays (at scale: the
+    * persisted shingle-array frame, bucketed by id).
+    */
+  def crossNearDupPairsFromIndex(
+      bandIndex: DataFrame,
+      cArrs: DataFrame,
+      iArrs: DataFrame,
+      idCol: String,
+      k: Int = 16,
+      rowsPerBand: Int = 2,
       threshold: Double = 0.5): DataFrame = {
     // per-row fused signatures/bands (MinhashSigExpr) — value-identical
     // to lshBands∘minhashSignaturesAgg∘explodeShingles (spec-proven),
     // with no explode and no aggregation before the band join
-    def bands(arrs: DataFrame) = rowMinhashBands(arrs, idCol, k, rowsPerBand)
-    val cand = bands(iArrs)
+    val cand = rowMinhashBands(iArrs, idCol, k, rowsPerBand)
       .select(col("band"), col("sig"), col(idCol).as("incoming_id"))
-      .join(bands(cArrs).select(col("band"), col("sig"), col(idCol).as("corpus_id")), Seq("band", "sig"))
+      .join(bandIndex.select(col("band"), col("sig"), col(idCol).as("corpus_id")), Seq("band", "sig"))
       .select(col("incoming_id"), col("corpus_id"))
       .distinct()
     cand

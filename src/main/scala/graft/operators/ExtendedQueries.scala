@@ -678,9 +678,13 @@ object ExtendedQueries {
 
   // ---------- approx sketches (no SQL oracle: rows-only check) ----------
 
-  /** HyperLogLog++ distinct users per event type (exact count
-    * alongside for scale-sanity reading; the sketch is mergeable, so
-    * the same plan runs partial→final at any parallelism).
+  /** HyperLogLog++ distinct users per event type. The driver's gate can
+    * only rows-check this (sketch bits have no DuckDB twin), so the
+    * output is SELF-EVIDENCING: each row carries the exact distinct
+    * count and the relative error, making the artifact itself prove the
+    * estimate sits inside the rsd envelope. At 100 TB you drop the
+    * exact column (it costs the key shuffle the sketch exists to
+    * avoid); here it is the per-row accuracy witness.
     */
   val x01_approx_distinct: Q = (s, dir) => {
     val t = Tables(s, dir)
@@ -688,7 +692,11 @@ object ExtendedQueries {
       .groupBy(col("event_type"))
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n_events"))
+      .withColumn(
+        "rel_err",
+        abs(col("approx_users") - col("exact_users")).cast("double") / col("exact_users"))
       .orderBy(col("event_type"))
   }
 
@@ -712,16 +720,40 @@ object ExtendedQueries {
     val total = perSource
       .agg(hll_union_agg(col("sketch")).as("sk"))
       .select(lit("__all__").as("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
-    per.unionByName(total).orderBy(col("source"))
+    // self-evidencing (cf. x01): join the registered exact twin — the
+    // SAME 60-bit hashes counted exactly — so every estimate row carries
+    // its exact answer and relative error in the gate artifact itself
+    val exact = x03e_exact_union(s, dir)
+      .select(col("source"), col("n_distinct").as("exact_distinct"))
+    per
+      .unionByName(total)
+      .join(exact, Seq("source"))
+      .withColumn(
+        "rel_err",
+        abs(col("est_distinct") - col("exact_distinct")) / col("exact_distinct"))
+      .orderBy(col("source"))
   }
 
-  /** Mergeable approximate quantiles of order value per event type. */
+  /** Mergeable approximate quantiles of order value per event type,
+    * self-evidencing (cf. x01): each estimate row joins its registered
+    * exact-twin value (x02e's rank-and-interpolate quantile) so the
+    * gate artifact carries the sketch-vs-exact delta per (type, q).
+    * `rel_err` is null when the exact quantile is 0 — the absolute
+    * `delta` column is the witness there.
+    */
   val x02_approx_quantiles: Q = (s, dir) => {
     val t = Tables(s, dir)
-    t.events
+    val approx = t.events
       .groupBy(col("event_type"))
       .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
       .select(col("event_type"), posexplode(col("qs")).as(Seq("q_idx", "q_value")))
+      .select(col("event_type"), col("q_idx").cast("long").as("q_idx"), col("q_value"))
+    val exact = x02e_exact_quantiles(s, dir)
+      .select(col("event_type"), col("q_idx"), col("q_value").as("exact_value"))
+    approx
+      .join(exact, Seq("event_type", "q_idx"))
+      .withColumn("delta", col("q_value") - col("exact_value"))
+      .withColumn("rel_err", abs(col("delta")) / abs(nullif(col("exact_value"), lit(0.0))))
       .orderBy(col("event_type"), col("q_idx"))
   }
 

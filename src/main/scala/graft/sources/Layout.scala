@@ -22,11 +22,24 @@ object Layout {
       path: String,
       key: String,
       buckets: Int): Unit =
+    bucketize(df, table, path, Seq(key), buckets)
+
+  /** Composite-key form: bucket+sort by `keys` (e.g. the LSH corpus
+    * band index by (band, sig) — see Dedup.corpusBandIndex — so every
+    * batch's band join reads the index co-partitioned, no index-side
+    * exchange).
+    */
+  def bucketize(
+      df: DataFrame,
+      table: String,
+      path: String,
+      keys: Seq[String],
+      buckets: Int): Unit =
     df.write
       .mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)

@@ -61,4 +61,69 @@ class LayoutSpec extends SparkTestBase {
     val allFiles = spark.read.parquet(s"$dir/documents").inputFiles.length
     assert(numFiles < allFiles, s"scan read $numFiles of $allFiles files — no pruning")
   }
+
+  test("persisted corpus band index joins incoming batches with zero index-side shuffle") {
+    // The reuse proof for the cross-batch near-dup path (VERDICT r9 #4):
+    // the (band, sig, doc_id) index written ONCE, bucketed by the band
+    // join key, then an arriving batch's candidate join must shuffle
+    // only the batch — the persisted index side reads co-partitioned.
+    import graft.dedup.Dedup
+    val dir = Files.createTempDirectory("graft_bandidx").toString
+    val corpus = (1L to 200L)
+      .map(i => (i, s"corpus document number $i with shared base words and tail ${i % 7}"))
+      .toDF("doc_id", "text")
+    val incoming = (1000L to 1040L)
+      .map(i => (i, s"corpus document number ${i - 999} with shared base words and tail ${(i - 999) % 7}"))
+      .toDF("doc_id", "text")
+    val cArrs = Dedup.shingleArrays(corpus, "doc_id", "text").persist()
+    val iArrs = Dedup.shingleArrays(incoming, "doc_id", "text").persist()
+    Layout.bucketize(
+      Dedup.corpusBandIndex(cArrs, "doc_id"), "b_band_index", s"$dir/idx", Seq("band", "sig"), 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the exchange question to be answered by layout, not by
+    // broadcast (the test index is broadcast-sized; a 100 TB one is not)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = Layout.table(spark, "b_band_index")
+      val candJoin = Dedup
+        .rowMinhashBands(iArrs, "doc_id", 16, 2)
+        .select(col("band"), col("sig"), col("doc_id").as("incoming_id"))
+        .join(idx.select(col("band"), col("sig"), col("doc_id").as("corpus_id")), Seq("band", "sig"))
+      candJoin.collect()
+      // the executed plan must contain NO exchange between the bucketed
+      // index scan and the join: walk the join's index-side subtree
+      // (descending through AQE wrappers and query stages)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case q: QueryStageExec        => Seq(q) ++ expand(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      val plan  = candJoin.queryExecution.executedPlan
+      val joins = expand(plan).collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(joins.nonEmpty, s"expected a sort-merge band join:\n$plan")
+      val indexSide = joins.head.children.map(expand).find(_.exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.bucketSpec.nonEmpty
+        case _                                                    => false
+      })
+      assert(indexSide.nonEmpty, s"bucketed index scan not found under the join:\n$plan")
+      assert(
+        !indexSide.get.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"index side re-shuffled — bucket layout not used:\n$plan")
+      // and the full index-backed result equals the recomputed path
+      val fromIndex = Dedup
+        .crossNearDupPairsFromIndex(idx, cArrs, iArrs, "doc_id")
+        .select("incoming_id", "corpus_id", "jac").as[(Long, Long, Double)].collect().toSet
+      val recomputed = Dedup
+        .crossNearDupPairsFromArrays(cArrs, iArrs, "doc_id")
+        .select("incoming_id", "corpus_id", "jac").as[(Long, Long, Double)].collect().toSet
+      assert(fromIndex == recomputed, "persisted-index path diverged from recomputed path")
+      assert(fromIndex.nonEmpty) // the fixture plants real cross near-dups
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_band_index")
+      cArrs.unpersist(); iArrs.unpersist()
+    }
+  }
 }

@@ -30,7 +30,7 @@ class PlanQualitySpec extends SparkTestBase {
     "d19_oov_ratio"      -> Set("GlobalWindow(small)"),
     "d28_mixture_report" -> Set("GlobalWindow(small)"),
     "d38_bpe_merge"      -> Set("GlobalWindow(small)"),
-    "q21_pagination"     -> Set("GlobalWindow(small)", "GlobalWindowLimit(small)"),
+    "q21_pagination"     -> Set("GlobalWindow(small)"),
     // KeyedWindow(RAW): keyed windows over un-aggregated input. The
     // d29-class hazard is a DATA-DEPENDENT cluster/hash key whose hot
     // partitions grow with duplication (those are banned — exactDedup,
@@ -56,6 +56,10 @@ class PlanQualitySpec extends SparkTestBase {
     // x02's mergeable sketch; this query is its correctness anchor);
     // the BNLJ is the broadcast 3-row quantile-probability table
     "x02e_exact_quantiles" -> Set("KeyedWindow(RAW)", "BroadcastNestedLoopJoin"),
+    // x02 joins its exact twin in-row (round-10 self-evidencing delta
+    // columns), so it inherits the twin's two allowlisted shapes; the
+    // sketch-only production plan at 100 TB drops the twin join
+    "x02_approx_quantiles" -> Set("KeyedWindow(RAW)", "BroadcastNestedLoopJoin"),
   )
 
   test("doc-local tf queries plan ZERO keyed exchanges (d22, d34)") {
@@ -84,16 +88,31 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
-  test("no query plans a scale anti-pattern outside the allowlist") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+  test("plan anti-pattern flags match the allowlist EXACTLY across every query") {
+    // Two-sided (round-10 inversion of the one-way check): the sweep
+    // walks every registered query's physical plan, so
+    //   (a) any WindowExec without partitioning over un-aggregated
+    //       input — or any other RAW-class flag — fails immediately
+    //       unless its query is allowlisted with a written rationale
+    //       above (a future query cannot silently add a global sort);
+    //   (b) an allowlist entry whose plan no longer raises the flag
+    //       fails too — the allowlist cannot rot into a list of
+    //       grandfathered names that mask a reintroduced pattern.
+    val problems = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       // builders persist shared subtrees at BUILD time — scope each
       // plan construction so the sweep doesn't accumulate cached blocks
       val flags = Caches.scoped(spark)(
         PlanCheck.flagsOf(fn(spark, sfDir).queryExecution.executedPlan).toSet)
-      val extra = flags -- allowed.getOrElse(name, Set.empty)
-      if (extra.nonEmpty) Some(s"$name: ${extra.mkString(",")}") else None
+      val expected = allowed.getOrElse(name, Set.empty)
+      val extra    = flags -- expected
+      val stale    = expected -- flags
+      (if (extra.nonEmpty) Seq(s"$name: unexpected ${extra.mkString(",")}") else Nil) ++
+        (if (stale.nonEmpty) Seq(s"$name: stale allowlist ${stale.mkString(",")}") else Nil)
     }
-    assert(offenders.isEmpty, s"unexpected plan anti-patterns:\n${offenders.mkString("\n")}")
+    assert(problems.isEmpty, s"plan-flag drift:\n${problems.mkString("\n")}")
+    // and every allowlisted name must still be a registered query
+    val ghosts = allowed.keySet -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"allowlist entries for unregistered queries: $ghosts")
   }
 
   test("q16 exact countDistinct plans no Expand and matches the distinct-aggregate form") {
