@@ -81,6 +81,12 @@ object SqlFunctions {
       "graft_sorted_intersect_count(a, b) - two-pointer overlap count of sorted-distinct long arrays") { es =>
       arity("graft_sorted_intersect_count", 2, es); SortedIntersectCountExpr(es.head, es(1))
     },
+    fn(
+      "graft_sorted_intersect_at_least",
+      "graft_sorted_intersect_at_least(a, b, min) - exact overlap count, or -1 once `min` is provably unreachable (early-exit verify merge)") { es =>
+      arity("graft_sorted_intersect_at_least", 3, es)
+      SortedIntersectAtLeastExpr(es.head, es(1), es(2))
+    },
     fn("graft_collapse_runs", "graft_collapse_runs(arr) - collapse consecutive duplicate tokens") { es =>
       arity("graft_collapse_runs", 1, es); CollapseRunsExpr(es.head)
     },

@@ -123,6 +123,58 @@ class SqlFunctionsSpec extends SparkTestBase {
       "graft_dot_product")
   }
 
+  test("bounded intersect: exact above the floor, -1 only when provably below, SQL ≡ Column") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // direct kernel properties against the unbounded merge, random
+    // sorted-distinct arrays + adversarial shapes (empty, disjoint,
+    // identical, subset), every meaningful floor for each pair
+    val rnd = new scala.util.Random(11)
+    def arr(n: Int): Array[Long] =
+      Array.fill(n)(rnd.nextInt(300).toLong).distinct.sorted
+    val shapes: Seq[(Array[Long], Array[Long])] =
+      Seq(
+        (Array.empty[Long], Array.empty[Long]),
+        (Array.empty[Long], arr(10)),
+        (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),          // disjoint
+        (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),          // identical
+        (Array(1L, 2L, 3L, 4L, 5L), Array(2L, 4L))) ++   // subset
+        Seq.fill(40)((arr(1 + rnd.nextInt(40)), arr(1 + rnd.nextInt(40))))
+    shapes.foreach { case (a, b) =>
+      val exact = graft.functions.ShingleOps.sortedIntersectCount(
+        new GenericArrayData(a), new GenericArrayData(b))
+      (0L to (math.max(a.length, b.length) + 2).toLong).foreach { req =>
+        val got = graft.functions.ShingleOps.sortedIntersectAtLeast(
+          new GenericArrayData(a), new GenericArrayData(b), req)
+        if (exact >= req)
+          assert(got == exact, s"req=$req exact=$exact got=$got (must be exact when reachable)")
+        else
+          assert(got == -1L || got == exact,
+            s"req=$req exact=$exact got=$got (early exit may return -1, never a wrong count)")
+      }
+    }
+    // SQL surface ≡ Column API on real shingle sets
+    docs.createOrReplaceTempView("sqlfn_docs")
+    same(
+      spark.sql(
+        """SELECT a.doc_id AS id1, b.doc_id AS id2,
+          |       graft_sorted_intersect_at_least(graft_shingle_hash60(graft_tokenize(a.text), 3),
+          |                                       graft_shingle_hash60(graft_tokenize(b.text), 3),
+          |                                       5L) AS o
+          |FROM sqlfn_docs a JOIN sqlfn_docs b ON b.doc_id = a.doc_id + 1
+          |WHERE a.doc_id < 20""".stripMargin),
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .filter(col("a.doc_id") < 20)
+        .select(
+          col("a.doc_id").as("id1"),
+          col("b.doc_id").as("id2"),
+          ShingleExpressions.sortedIntersectAtLeast(
+            ShingleExpressions.shingleHashSet(TextAnalysis.tokens(col("a.text")), 3),
+            ShingleExpressions.shingleHashSet(TextAnalysis.tokens(col("b.text")), 3),
+            lit(5L)).as("o")),
+      "graft_sorted_intersect_at_least")
+  }
+
   test("non-literal codegen parameters fail with the named error") {
     docs.createOrReplaceTempView("sqlfn_docs")
     val err = intercept[Exception] {
