@@ -88,10 +88,69 @@ object SearchQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** BM25-style ranked retrieval over the documents corpus — the
+    * relevance-scored search a training-data pipeline uses to pull
+    * topical subsets (the reference's search is boolean icontains; this
+    * is the ranked upgrade). Okapi shape with two deliberate twists
+    * that make the result ORACLE-EXACT (bit-identical doubles, like
+    * x02e's interpolation):
+    *
+    *   - log-free idf surrogate `(N - df + 0.5) / (df + 0.5)` — the
+    *     argument of the classic `ln(1 + …)` idf, which is monotone in
+    *     it, so per-term weighting is RANK-EQUIVALENT while avoiding
+    *     transcendentals whose last bits differ across libm
+    *     implementations (ln is not portable bit-for-bit; +,*,/ are
+    *     IEEE-exact in both engines given identical inputs);
+    *   - a FIXED-ORDER term sum (s1 + s2 + s3, left-assoc in both
+    *     engines) — double addition is not associative, so the sum
+    *     order is part of the contract.
+    *
+    * Every input is an integer (tf, dl, N, df, sum_dl) and every double
+    * op appears in the same tree shape in the DuckDB oracle, so the
+    * driver gate hash-matches the scores bit-for-bit. Plan shape at
+    * scale: per-doc tf/dl are fused per-row array expressions (no
+    * explode, no shuffle), the corpus stats are ONE map-side-combined
+    * aggregation producing a single broadcast row, and the top-50 is a
+    * TakeOrderedAndProject — never a global sort.
+    */
+  val d45_bm25_search: Q = (s, dir) => {
+    val t     = Tables(s, dir)
+    val terms = Seq("vector", "spark", "merge")
+    def tf(term: String) =
+      size(filter(col("tk"), x => x === lit(term))).cast("long").as(s"tf_$term")
+    val scored = t.documents
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
+      .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++ terms.map(tf): _*)
+    val statCols =
+      Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+    val stats = scored.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def termScore(tm: String) = {
+      val tfd = col(s"tf_$tm").cast("double")
+      val dfc = col(s"df_$tm")
+      val idf = ((col("n_docs") - dfc) + lit(0.5)) / (dfc + lit(0.5))
+      val tfw = (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      idf * tfw
+    }
+    scored
+      .crossJoin(broadcast(stats)) // one row: N, sum_dl, per-term df
+      .withColumn(
+        "score",
+        terms.map(termScore).reduceLeft(_ + _)) // fixed-order sum — part of the contract
+      .select(
+        Seq(col("doc_id"), col("dl")) ++ terms.map(tm => col(s"tf_$tm")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
     "q36_restricted_filters" -> q36_restricted_filters,
+    "d45_bm25_search" -> d45_bm25_search,
   )
 
   val oracles: Map[String, String] = Map(
@@ -117,5 +176,44 @@ object SearchQueries {
         |       ON o.o_orderkey = lc.l_orderkey
         |WHERE lower(concat_ws(' ', c.c_name, o.o_orderstatus, o.o_orderpriority)) LIKE '%urgent%'
         |ORDER BY n_parts DESC, o.o_orderkey LIMIT 50""".stripMargin,
+    // mirror of d45: identical IEEE expression tree, fixed-order term
+    // sum, integer-sourced doubles — scores hash-match bit-for-bit
+    "d45_bm25_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |         CAST(len(list_filter(tk, x -> x = 'spark'))  AS BIGINT) AS tf_spark,
+        |         CAST(len(list_filter(tk, x -> x = 'merge'))  AS BIGINT) AS tf_merge
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |         SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |         SUM(CASE WHEN tf_merge  > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM tf)
+        |SELECT doc_id, dl, tf_vector, tf_spark, tf_merge,
+        |       (((n_docs - df_vector) + 0.5) / (df_vector + 0.5))
+        |         * ((CAST(tf_vector AS DOUBLE) * 2.2)
+        |            / (CAST(tf_vector AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       + (((n_docs - df_spark) + 0.5) / (df_spark + 0.5))
+        |         * ((CAST(tf_spark AS DOUBLE) * 2.2)
+        |            / (CAST(tf_spark AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       + (((n_docs - df_merge) + 0.5) / (df_merge + 0.5))
+        |         * ((CAST(tf_merge AS DOUBLE) * 2.2)
+        |            / (CAST(tf_merge AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       AS score
+        |FROM tf, st
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
   )
 }

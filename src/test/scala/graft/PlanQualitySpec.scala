@@ -25,6 +25,7 @@ class PlanQualitySpec extends SparkTestBase {
     "d09_embed_neardup"  -> Set("BroadcastNestedLoopJoin"),
     // one-row totals frames cross-joined back (broadcast)
     "d37_temperature_mix" -> Set("BroadcastNestedLoopJoin"),
+    "d45_bm25_search"     -> Set("BroadcastNestedLoopJoin"), // one-row corpus-stats broadcast
     // bounded-input global windows: final ranking over already-
     // aggregated or already-truncated frames
     "d19_oov_ratio"      -> Set("GlobalWindow(small)"),
