@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text search and DataTables-style endpoint queries
@@ -113,18 +114,22 @@ object SearchQueries {
     * aggregation producing a single broadcast row, and the top-50 is a
     * TakeOrderedAndProject — never a global sort.
     */
-  val d45_bm25_search: Q = (s, dir) => {
-    val t     = Tables(s, dir)
-    val terms = Seq("vector", "spark", "merge")
+  private val bm25Terms = Seq("vector", "spark", "merge")
+
+  /** The BM25 scored frame shared by d45 (ranked list) and d46 (fusion
+    * arm): (doc_id, dl, tf_*, score) for every document.
+    */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
     def tf(term: String) =
       size(filter(col("tk"), x => x === lit(term))).cast("long").as(s"tf_$term")
     val scored = t.documents
       .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
-      .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++ terms.map(tf): _*)
+      .select(Seq(col("doc_id"), size(col("tk")).cast("long").as("dl")) ++ bm25Terms.map(tf): _*)
     val statCols =
       Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
-        terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
+        bm25Terms.map(tm => sum(when(col(s"tf_$tm") > 0, 1L).otherwise(0L)).as(s"df_$tm"))
     val stats = scored.agg(statCols.head, statCols.tail: _*)
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     def termScore(tm: String) = {
@@ -139,11 +144,49 @@ object SearchQueries {
       .crossJoin(broadcast(stats)) // one row: N, sum_dl, per-term df
       .withColumn(
         "score",
-        terms.map(termScore).reduceLeft(_ + _)) // fixed-order sum — part of the contract
+        bm25Terms.map(termScore).reduceLeft(_ + _)) // fixed-order sum — part of the contract
       .select(
-        Seq(col("doc_id"), col("dl")) ++ terms.map(tm => col(s"tf_$tm")) :+ col("score"): _*)
+        Seq(col("doc_id"), col("dl")) ++ bm25Terms.map(tm => col(s"tf_$tm")) :+ col("score"): _*)
+  }
+
+  val d45_bm25_search: Q = (s, dir) =>
+    bm25Scored(s, dir)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(50)
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 arm (d45's
+    * top-50) with an embedding-cosine arm (exact top-50 neighbors of
+    * query vector 0) — the standard way a curation pipeline combines
+    * lexical and semantic relevance without calibrating their
+    * incomparable score scales. `rrf = 1/(60 + r_text) + 1/(60 + r_vec)`
+    * over INTEGER ranks, a list absence contributing 0 — every double
+    * op from integer inputs in the same tree shape as the oracle, so
+    * the fusion hash-matches bit-for-bit (ranks match because both
+    * arms' orderings already hash-match: d45's scores and e01's cosine
+    * machinery). Scale shape: each arm is a distributed top-k
+    * (TakeOrderedAndProject / per-query WindowGroupLimit); the ranking
+    * windows run over the 50-row truncated frames, never the corpus.
+    */
+  val d46_hybrid_rrf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val text = d45_bm25_search(s, dir) // top-50, corpus-scale part is TakeOrdered
+      .withColumn(
+        "r_text",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long")) // 50-row frame: the global window reads bounded input
+      .select(col("doc_id").as("id"), col("r_text"))
+    val vec = graft.similarity.Knn
+      .bruteTopK(t.embeddings.filter(col("vec_id") === 0), t.embeddings, "vec_id", "embedding", 50)
+      .select(col("n_id").as("id"), col("rank").as("r_vec"))
+    text
+      .join(vec, Seq("id"), "full_outer")
+      .withColumn(
+        "rrf",
+        coalesce(lit(1.0) / (lit(60L) + col("r_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("r_vec")), lit(0.0)))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(20)
   }
 
   val queries: Map[String, Q] = Map(
@@ -151,6 +194,7 @@ object SearchQueries {
     "q32_datatables"  -> q32_datatables,
     "q36_restricted_filters" -> q36_restricted_filters,
     "d45_bm25_search" -> d45_bm25_search,
+    "d46_hybrid_rrf"  -> d46_hybrid_rrf,
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,5 +259,64 @@ object SearchQueries {
         |       AS score
         |FROM tf, st
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // mirror of d46: both arms' orderings hash-match (d45 scores, e01
+    // cosine machinery), so the integer ranks and the fixed-order RRF
+    // sum are bit-exact
+    "d46_hybrid_rrf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |         CAST(len(list_filter(tk, x -> x = 'spark'))  AS BIGINT) AS tf_spark,
+        |         CAST(len(list_filter(tk, x -> x = 'merge'))  AS BIGINT) AS tf_merge
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |         SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |         SUM(CASE WHEN tf_merge  > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id,
+        |       (((n_docs - df_vector) + 0.5) / (df_vector + 0.5))
+        |         * ((CAST(tf_vector AS DOUBLE) * 2.2)
+        |            / (CAST(tf_vector AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       + (((n_docs - df_spark) + 0.5) / (df_spark + 0.5))
+        |         * ((CAST(tf_spark AS DOUBLE) * 2.2)
+        |            / (CAST(tf_spark AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       + (((n_docs - df_merge) + 0.5) / (df_merge + 0.5))
+        |         * ((CAST(tf_merge AS DOUBLE) * 2.2)
+        |            / (CAST(tf_merge AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       AS score
+        |  FROM tf, st),
+        |t50 AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |txt AS (SELECT doc_id AS id,
+        |               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_text
+        |        FROM t50),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |             list_reduce(list_transform(list_zip(q.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b) AS dot,
+        |             sqrt(list_reduce(list_transform(list_zip(q.v, q.v), s -> s[1] * s[2]), (a, b) -> a + b)) AS qn,
+        |             sqrt(list_reduce(list_transform(list_zip(c.v, c.v), s -> s[1] * s[2]), (a, b) -> a + b)) AS cn
+        |      FROM e q, e c WHERE q.vec_id = 0 AND c.vec_id <> q.vec_id),
+        |vec AS (SELECT n_id AS id,
+        |               CAST(row_number() OVER (ORDER BY dot / (qn * cn) DESC, n_id) AS BIGINT) AS r_vec
+        |        FROM p QUALIFY r_vec <= 50)
+        |SELECT id, t.r_text, v.r_vec,
+        |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.r_text), CAST(0.0 AS DOUBLE))
+        |     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), CAST(0.0 AS DOUBLE)) AS rrf
+        |FROM txt t FULL JOIN vec v USING (id)
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
   )
 }

@@ -26,6 +26,10 @@ class PlanQualitySpec extends SparkTestBase {
     // one-row totals frames cross-joined back (broadcast)
     "d37_temperature_mix" -> Set("BroadcastNestedLoopJoin"),
     "d45_bm25_search"     -> Set("BroadcastNestedLoopJoin"), // one-row corpus-stats broadcast
+    // d46: the BM25 arm's one-row stats broadcast + e01-style exact
+    // cosine arm (broadcast-one-query); the ranking window reads the
+    // TakeOrdered 50-row frame, not the corpus
+    "d46_hybrid_rrf"      -> Set("BroadcastNestedLoopJoin", "GlobalWindow(small)"),
     // bounded-input global windows: final ranking over already-
     // aggregated or already-truncated frames
     "d19_oov_ratio"      -> Set("GlobalWindow(small)"),
