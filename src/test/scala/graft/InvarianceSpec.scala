@@ -32,6 +32,8 @@ class InvarianceSpec extends SparkTestBase {
     "d42_adaptive_cutoff", // exact percentile thresholds
     "e05_embed_neardup_lsh", // centroid blocking + multi-probe pair dedup
     "e09_incremental_embed_dedup", // literal-centroid probe + stream-static join
+    "d45_bm25_search",    // integer-sourced double scoring (fixed-order term sum)
+    "d46_hybrid_rrf",     // rank fusion: integer ranks must survive repartitioning
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
