@@ -42,5 +42,15 @@ object Layout {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Append rows to an existing bucketed table (incremental index
+    * maintenance — e.g. adding an ingested batch's bands to the
+    * persisted corpus band index). Each insert writes its own bucket
+    * files under the table's spec, so reads stay co-partitioned and
+    * the zero-shuffle join property survives appends; no rewrite of
+    * the existing data. Column order is positional (`insertInto`).
+    */
+  def append(df: DataFrame, table: String): Unit =
+    df.write.mode("append").insertInto(table)
+
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }

@@ -120,6 +120,40 @@ class LayoutSpec extends SparkTestBase {
         .select("incoming_id", "corpus_id", "jac").as[(Long, Long, Double)].collect().toSet
       assert(fromIndex == recomputed, "persisted-index path diverged from recomputed path")
       assert(fromIndex.nonEmpty) // the fixture plants real cross near-dups
+
+      // Incremental maintenance: after ingesting the batch, APPEND its
+      // bands to the persisted index (no rewrite of existing files) —
+      // the grown index must equal the recomputed corpus∪batch index
+      // AND a later batch must still join it with zero index-side
+      // shuffle (appends write their own bucket files under the spec).
+      Layout.append(Dedup.corpusBandIndex(iArrs, "doc_id"), "b_band_index")
+      val grown = Layout.table(spark, "b_band_index")
+      val fromScratch = Dedup
+        .corpusBandIndex(cArrs.unionByName(iArrs), "doc_id")
+        .as[(Long, String, Long)].collect().toSet
+      assert(grown.as[(Long, String, Long)].collect().toSet == fromScratch,
+        "appended index diverged from the recomputed corpus∪batch index")
+      val batch2 = (2000L to 2010L)
+        .map(i => (i, s"corpus document number ${i - 1999} with shared base words and tail ${(i - 1999) % 7}"))
+        .toDF("doc_id", "text")
+      val b2Arrs = Dedup.shingleArrays(batch2, "doc_id", "text").persist()
+      val candJoin2 = Dedup
+        .rowMinhashBands(b2Arrs, "doc_id", 16, 2)
+        .select(col("band"), col("sig"), col("doc_id").as("incoming_id"))
+        .join(grown.select(col("band"), col("sig"), col("doc_id").as("corpus_id")), Seq("band", "sig"))
+      candJoin2.collect()
+      val joins2 = expand(candJoin2.queryExecution.executedPlan)
+        .collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(joins2.nonEmpty)
+      val indexSide2 = joins2.head.children.map(expand).find(_.exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.bucketSpec.nonEmpty
+        case _                                                    => false
+      })
+      assert(indexSide2.nonEmpty, "bucketed index scan not found after append")
+      assert(
+        !indexSide2.get.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        "index side re-shuffled after append — bucket layout lost")
+      b2Arrs.unpersist()
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_band_index")
