@@ -352,10 +352,12 @@ object Dedup {
   /** All unordered id pairs within each group of a grouped id-array
     * column `ds` (sorted): pairs are generated group-locally after ONE
     * shuffle of the index — no self-join, no second pass. Skew note: a
-    * group of g members emits g·(g-1)/2 pairs inside one row; for
-    * blocking keys with unbounded fan-in (not the case for rarity
-    * prefixes / LSH bands on real corpora) salt the key and two-stage
-    * the expansion.
+    * group of g members emits g·(g-1)/2 pairs inside one TASK (explode
+    * pipelines within the partition that holds the group row); keys
+    * with bounded fan-in (rarity prefixes, distinct-sketch band
+    * buckets) tolerate that, but blocking keys a duplicate FAMILY can
+    * saturate need `pairsWithinGroupsSalted`, which spreads one
+    * group's quadratic emission across the cluster.
     */
   private def pairsWithinGroups(grouped: DataFrame): DataFrame =
     grouped
@@ -367,6 +369,51 @@ object Dedup {
       .select(posexplode(col("ds")).as(Seq("i", "id1")), col("ds"))
       .select(col("id1"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("id2"))
       .distinct()
+
+  /** Salted two-stage form of `pairsWithinGroups` — identical output
+    * (DedupKnnSpec equality over random groups and chunk sizes), but a
+    * hot group's g²/2 pair emission is DISTRIBUTED: the sorted member
+    * array splits into ceil(g/chunk) consecutive chunks, every chunk
+    * pair (i <= j) becomes one bounded task row (<= 2·chunk ids), and a
+    * round-robin repartition spreads those task rows across the
+    * cluster before the explodes run. A group with 1M members under
+    * chunk=4096 yields ~30k independent tasks instead of one
+    * multi-week task; a group within one chunk degenerates to the
+    * original plan (single diagonal task). Chunks are consecutive
+    * slices of the SORTED array, so cross-chunk pairs inherit
+    * id1 < id2 for free and the output contract is unchanged.
+    */
+  def pairsWithinGroupsSalted(grouped: DataFrame, chunk: Int = 4096): DataFrame = {
+    val width = grouped.sparkSession.sessionState.conf.numShufflePartitions
+    val nc    = ceil(size(col("ds")).cast("double") / chunk).cast("int")
+    val tasks = grouped
+      .filter(size(col("ds")) >= 2)
+      .select(
+        col("ds"),
+        explode(
+          flatten(
+            transform(
+              sequence(lit(0), nc - 1),
+              i => transform(sequence(i, nc - 1), j => struct(i.as("i"), j.as("j")))))).as("ij"))
+      .select(
+        slice(col("ds"), col("ij.i") * chunk + 1, lit(chunk)).as("ca"),
+        slice(col("ds"), col("ij.j") * chunk + 1, lit(chunk)).as("cb"),
+        (col("ij.i") === col("ij.j")).as("diag"))
+      // round-robin: the whole point — one hot group's chunk-pair tasks
+      // land on different executors (a keyless exchange, so AQE keeps
+      // control of every later keyed shuffle and PlanCheck's pinned-
+      // layout flag stays silent)
+      .repartition(width)
+    val diag = tasks
+      .filter(col("diag"))
+      .select(posexplode(col("ca")).as(Seq("i", "id1")), col("ca"))
+      .select(col("id1"), explode(slice(col("ca"), col("i") + 2, greatest(size(col("ca")), lit(1)))).as("id2"))
+    val cross = tasks
+      .filter(!col("diag"))
+      .select(explode(col("ca")).as("id1"), col("cb"))
+      .select(col("id1"), explode(col("cb")).as("id2"))
+    diag.unionByName(cross).distinct()
+  }
 
   /** Prefix-filtered candidate pairs (complete for jaccard >= t) in the
     * arrays' own sorted-hash canonical order, with the PPJoin positional
@@ -684,10 +731,14 @@ object Dedup {
   }
 
   /** Candidate pairs = documents agreeing on at least one full band
-    * (group-local pair generation per (band, sig) bucket).
+    * (group-local pair generation per (band, sig) bucket). SALTED
+    * expansion: band buckets are exactly the blocking key a duplicate
+    * family saturates (identical documents agree on EVERY band, so one
+    * boilerplate family of g copies makes 8 buckets of size g), hence
+    * the chunked task spread rather than the plain group-local form.
     */
   def lshCandidates(bands: DataFrame, idCol: String): DataFrame =
-    pairsWithinGroups(
+    pairsWithinGroupsSalted(
       bands
         .groupBy(col("band"), col("sig"))
         .agg(array_sort(collect_list(col(idCol))).as("ds")))

@@ -484,4 +484,32 @@ class DedupKnnSpec extends SparkTestBase {
     assert((got(1L) intersect got(2L)).nonEmpty)
     assert((got(1L) intersect got(3L)).isEmpty)
   }
+
+  test("salted group-pair expansion equals the plain form for every chunking") {
+    // pairsWithinGroupsSalted spreads a hot group's quadratic pair
+    // emission across tasks; the output contract (id1 < id2, distinct,
+    // complete) must be IDENTICAL for any chunk size, including
+    // chunk >= g (degenerates to the plain single-task form) and
+    // chunk = 1 (every pair is its own cross task).
+    val rnd = new scala.util.Random(7)
+    val groups = (0 until 12).map { g =>
+      val n = 2 + rnd.nextInt(40)
+      (0 until n).map(_ => rnd.nextLong().abs % 1000).distinct.sorted.toArray
+    } :+ Array(42L) // singleton group must emit nothing
+    val grouped = groups.map(Tuple1(_)).toDF("ds")
+    def pairsOf(ids: Array[Long]) =
+      (for { i <- ids.indices; j <- (i + 1) until ids.length } yield (ids(i), ids(j))).toSet
+    val expected = groups.flatMap(pairsOf).toSet
+    for (chunk <- Seq(1, 3, 7, 64)) {
+      val got = Dedup.pairsWithinGroupsSalted(grouped, chunk)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"chunk=$chunk: salted pairs diverge from brute force")
+    }
+    // and the lshCandidates consumer (now salted) still finds the
+    // near-dup family on the standard fixture
+    val arrs = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+    val cand = Dedup.lshCandidates(Dedup.rowMinhashBands(arrs, "doc_id", 16, 2), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((1L, 4L)), "exact-dup pair must band-collide")
+  }
 }
