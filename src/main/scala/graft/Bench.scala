@@ -165,7 +165,7 @@ object Bench {
     // the tail alongside sbt's ~75-char "[success]" epilogue. Budget it:
     //   - per-query map uses the SHORT id prefix (the token before the
     //     first '_': "d01", "x02e", ... — unique across the inventory,
-    //     asserted in BenchSpec) at 2 decimals → ~1.5 KB;
+    //     asserted in QueriesSmokeSpec) at 2 decimals → ~1.5 KB;
     //   - regime collapses to its label (probe raw ms live in the full
     //     line and the BENCH_LOCAL.json file artifact).
     // Net ~1.65 KB: the round artifact's `parsed` gains the per-query

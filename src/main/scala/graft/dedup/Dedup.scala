@@ -19,6 +19,19 @@ object Dedup {
   def normalized(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Lossless early-exit floor for the bounded intersect merge
+    * (sortedIntersectAtLeast). `ceil(x * t)` in IEEE double arithmetic
+    * can overshoot the true integer bound by 1 when `x * t` rounds up
+    * past an integer (t = 0.2, 0.4, 0.67, 0.8, 0.9, ... — verified
+    * numerically), which would make the merge return -1 for pairs
+    * sitting EXACTLY on the threshold. Subtracting 1 makes the floor
+    * conservative at every threshold: a floor one too low only
+    * completes a few extra merges, and the exact jac/cont filter
+    * downstream restores tightness, so survivors stay bit-identical to
+    * the unbounded merge at ANY threshold, not just FP-lucky ones.
+    */
+  private def earlyExitFloor(x: Column): Column = ceil(x) - 1
+
   /** Exact dedup by normalized-content hash: every row annotated with
     * its content hash, duplicate-group size, and the kept representative
     * (min id). Filter `is_kept` to materialize the deduplicated corpus.
@@ -238,7 +251,8 @@ object Dedup {
       .withColumn(
         "inter",
         graft.functions.ShingleExpressions.sortedIntersectAtLeast(
-          col("set1"), col("set2"), ceil((col("n1") + col("n2")) * (threshold / (1.0 + threshold)))))
+          col("set1"), col("set2"),
+          earlyExitFloor((col("n1") + col("n2")) * (threshold / (1.0 + threshold)))))
       .filter(col("inter") >= 0)
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -442,7 +456,11 @@ object Dedup {
     */
   def prefixCandidates(arrs: DataFrame, idCol: String, threshold: Double): DataFrame = {
     val prefix = arrs
-      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 1).cast("int"))
+      // +2 not +1: the lemma's ⌈n·t⌉ must be the bound the downstream
+      // DOUBLE comparison (jac >= t) enforces, which FP rounding can put
+      // 1 below ceil(fp product) — one extra prefix element guarantees
+      // completeness at every threshold (cf. earlyExitFloor)
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold) + 2).cast("int"))
       .select(col(idCol), col("n"), posexplode(slice(col("set"), lit(1), col("plen"))).as(Seq("p", "s")))
       .select(col(idCol), col("s"), (col("p") + 1).as("rnk"), col("n"))
     val grouped = prefix
@@ -466,14 +484,18 @@ object Dedup {
       .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
       .select(col("a"), explode(slice(col("ds"), col("i") + 2, greatest(size(col("ds")), lit(1)))).as("b"))
       // length filter: jac >= t forces min(n1,n2) >= t * max(n1,n2)
-      // (inter <= min and inter >= t * union >= t * max) — lossless
-      .filter(least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * threshold)
+      // (inter <= min and inter >= t * union >= t * max) — the 0.5
+      // slack (sub-integer, so it admits no extra integer sizes in
+      // exact arithmetic) absorbs FP rounding of the product, keeping
+      // the filter lossless under the downstream DOUBLE comparison
+      .filter(least(col("a.n"), col("b.n")) >= greatest(col("a.n"), col("b.n")) * threshold - 0.5)
       // positional filter: remaining-suffix upper bound must reach the
-      // required overlap ceil(t/(1+t) * (n1+n2))
+      // required overlap ceil(t/(1+t) * (n1+n2)); -1 for the same
+      // FP-conservatism as earlyExitFloor — verify restores tightness
       .filter(
         lit(1) + least(
           col("a.n") - col("a.rnk"),
-          col("b.n") - col("b.rnk")) >= ceil((col("a.n") + col("b.n")) * frac))
+          col("b.n") - col("b.rnk")) >= ceil((col("a.n") + col("b.n")) * frac) - 1)
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
   }
@@ -496,7 +518,8 @@ object Dedup {
     val prefix = sh
       .join(freq, "s")
       .withColumn("rnk", row_number().over(byDocRarity))
-      .withColumn("plen", col("n") - ceil(col("n") * threshold) + 1)
+      // +2 for FP-conservatism — see prefixCandidates
+      .withColumn("plen", col("n") - ceil(col("n") * threshold) + 2)
       .filter(col("rnk") <= col("plen"))
       .select(col(idCol), col("s"), col("rnk"), col("n"))
     val grouped = prefix
@@ -526,7 +549,8 @@ object Dedup {
       .select(col(idCol), col("n"), posexplode(col("set")).as(Seq("p", "s")))
       .select(col(idCol), col("s"), (col("p") + 1).as("rnk"), col("n"))
     val prefix = ranked
-      .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
+      // +2 for FP-conservatism — see prefixCandidates
+      .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 2)
       .select(col(idCol).as("pid"), col("s"), col("n").as("pn"))
     val cand = prefix
       .join(ranked.select(col(idCol).as("fid"), col("s"), col("n").as("fn")), "s")
@@ -546,7 +570,7 @@ object Dedup {
       .withColumn(
         "inter",
         graft.functions.ShingleExpressions.sortedIntersectAtLeast(
-          col("set1"), col("set2"), ceil(least(col("n1"), col("n2")) * threshold)))
+          col("set1"), col("set2"), earlyExitFloor(least(col("n1"), col("n2")) * threshold)))
       .filter(col("inter") >= 0)
       .withColumn("cont", col("inter").cast("double") / least(col("n1"), col("n2")))
       .filter(col("cont") >= threshold)
@@ -588,7 +612,7 @@ object Dedup {
       .withColumn(
         "inter",
         graft.functions.ShingleExpressions.sortedIntersectAtLeast(
-          col("set1"), col("set2"), ceil((col("n1") + col("n2")) * frac)))
+          col("set1"), col("set2"), earlyExitFloor((col("n1") + col("n2")) * frac)))
       .filter(col("inter") >= 0)
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)
@@ -723,7 +747,8 @@ object Dedup {
       .withColumn(
         "inter",
         graft.functions.ShingleExpressions.sortedIntersectAtLeast(
-          col("set1"), col("set2"), ceil((col("n1") + col("n2")) * (threshold / (1.0 + threshold)))))
+          col("set1"), col("set2"),
+          earlyExitFloor((col("n1") + col("n2")) * (threshold / (1.0 + threshold)))))
       .filter(col("inter") >= 0)
       .withColumn("jac", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jac") >= threshold)

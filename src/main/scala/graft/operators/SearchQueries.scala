@@ -98,8 +98,11 @@ object SearchQueries {
     *
     *   - log-free idf surrogate `(N - df + 0.5) / (df + 0.5)` — the
     *     argument of the classic `ln(1 + …)` idf, which is monotone in
-    *     it, so per-term weighting is RANK-EQUIVALENT while avoiding
-    *     transcendentals whose last bits differ across libm
+    *     it, so each TERM's weighting is order-preserving in isolation;
+    *     the MULTI-TERM sum of surrogate weights defines its own
+    *     ranking rather than reproducing Okapi BM25's (a per-term
+    *     monotone transform does not commute with the sum). The payoff
+    *     is avoiding transcendentals whose last bits differ across libm
     *     implementations (ln is not portable bit-for-bit; +,*,/ are
     *     IEEE-exact in both engines given identical inputs);
     *   - a FIXED-ORDER term sum (s1 + s2 + s3, left-assoc in both

@@ -187,6 +187,39 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("verify merges keep exact-threshold pairs at FP-unfriendly thresholds") {
+    // ceil(x * t) in double arithmetic overshoots the true integer bound
+    // by 1 for these thresholds (ADVICE r10): a pair sitting EXACTLY on
+    // the threshold would be early-exited to -1 without the conservative
+    // earlyExitFloor. Each case constructs jaccard == inter/union == t
+    // bit-exactly (correctly-rounded division of small integers).
+    val cases = Seq((0.2, 1, 5), (0.4, 2, 5), (0.5, 1, 2), (0.67, 67, 100), (0.8, 4, 5), (0.9, 9, 10))
+    for ((t, i, u) <- cases) {
+      val extra = u - i
+      val a = extra / 2; val b = extra - a
+      val set1 = ((0L until i.toLong) ++ (1000L until (1000L + a))).sorted
+      val set2 = ((0L until i.toLong) ++ (2000L until (2000L + b))).sorted
+      val arrs = Seq((1L, set1, set1.size.toLong), (2L, set2, set2.size.toLong))
+        .toDF("doc_id", "set", "n")
+      val cand = Seq((1L, 2L)).toDF("id1", "id2")
+      val got = Dedup.verifyJaccard(cand, arrs, "doc_id", t)
+        .select("id1", "id2", "jac").as[(Long, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 2L, i.toDouble / u)),
+        s"t=$t inter=$i union=$u: pair at exactly the threshold must survive verifyJaccard")
+    }
+    // containment twin: cont == inter/min(n1,n2) == t bit-exactly
+    for ((t, i, m) <- Seq((0.2, 1, 5), (0.4, 2, 5), (0.67, 67, 100), (0.8, 4, 5), (0.9, 9, 10))) {
+      val small = ((0L until i.toLong) ++ (1000L until (1000L + (m - i)))).sorted
+      val big   = ((0L until i.toLong) ++ (2000L until (2000L + m + 3))).sorted
+      val arrs = Seq((1L, small, small.size.toLong), (2L, big, big.size.toLong))
+        .toDF("doc_id", "set", "n")
+      val got = Dedup.containmentPairs(arrs, "doc_id", t)
+        .select("id1", "id2", "cont").as[(Long, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 2L, i.toDouble / m)),
+        s"t=$t inter=$i min=$m: pair at exactly the threshold must survive containmentPairs")
+    }
+  }
+
   test("incrementalExactDedup: unseen-first-wins against the corpus") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
