@@ -1,0 +1,168 @@
+package graft.retrieval
+
+import graft.functions.{Hashing, TextAnalysis}
+import graft.sources.Layout
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted posting-list index for ad-hoc ranked retrieval — the
+  * production shape of d45's BM25-style search, which hardcodes its
+  * terms at plan time and re-scans the corpus for df/N stats per query.
+  * A curation user searches ad-hoc terms constantly; at 100 TB the only
+  * sane shape is write-once/read-many (the same trade
+  * `Dedup.corpusBandIndex` + `Layout.bucketize` already make for LSH):
+  *
+  *   - **postings table** `(term_h, term, doc_id, tf, dl)` — one row per
+  *     (document, distinct term), bucketed+sorted by `term_h` (8-byte
+  *     hash of the term, `Hashing.hash60`), so an arriving query's
+  *     term join reads the index co-partitioned: ZERO index-side
+  *     exchange (executed-plan assert in RetrievalSpec), only the tiny
+  *     terms frame moves. `dl` (doc length) rides denormalized on each
+  *     posting — the classic IR layout — so scoring never joins back to
+  *     the corpus.
+  *   - **stats table** `(n_docs, sum_dl)` — one PARTIAL row per
+  *     built/appended batch, summed at query time (O(#batches) rows).
+  *     Partial rows, not a maintained total, keep every index structure
+  *     APPEND-ONLY: `appendBatch` adds the batch's postings (new bucket
+  *     files under the same spec — co-partitioning survives, proven in
+  *     RetrievalSpec) and one stats row, never rewriting history.
+  *   - per-term **df is NOT persisted**: it is exactly the posting count
+  *     of the queried term, computed from the (already pruned) matched
+  *     postings at query time — so it needs no maintenance on append
+  *     and is always consistent with the postings themselves.
+  *
+  * Scoring reproduces d45's oracle-exact arithmetic bit-for-bit (the
+  * log-free idf surrogate, integer-sourced doubles, and a FIXED-ORDER
+  * term sum — here a rank-sorted left fold, which adds the same values
+  * in the same tree shape because absent terms contribute exact 0.0 and
+  * IEEE `x + 0.0 == x`). RetrievalSpec asserts the index path equals
+  * the full-scan d45 ranking on identical terms.
+  *
+  * Reference anchor: the reference's search surface is boolean
+  * icontains over a Django ORM (search_util/search_helper.py:8-49);
+  * ranked ad-hoc retrieval is the training-data-pipeline upgrade, and
+  * the index is what makes it serve interactive query rates.
+  */
+object Postings {
+
+  /** Posting rows for a document batch: one row per (doc, distinct
+    * term). One shuffle, keyed by (doc_id, term) — build-time only;
+    * every query thereafter reads the bucketed layout.
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(Hashing.hash60(col("term")).as("term_h"), col("term"), col("doc_id"), col("tf"), col("dl"))
+
+  /** One partial corpus-stats row for a document batch. Summed at query
+    * time; appended (not merged) on `appendBatch`, so the stats table is
+    * as append-only as the postings. Counts every non-null-text doc
+    * (even token-less ones), matching d45's full-scan N/sum_dl.
+    */
+  def statsRow(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(TextAnalysis.tokenCount(col(textCol)).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+
+  private def postingsTableName(name: String) = s"${name}_postings"
+  private def statsTableName(name: String)    = s"${name}_stats"
+
+  /** Build the index: postings bucketed+sorted by `term_h` at
+    * `path/postings`, stats as a plain appendable table at
+    * `path/stats`. Overwrites any previous build under `name`.
+    */
+  def writeIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      path: String,
+      buckets: Int): Unit = {
+    Layout.bucketize(
+      postings(docs, idCol, textCol), postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
+    statsRow(docs, idCol, textCol)
+      .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
+  }
+
+  /** Incremental maintenance: append a batch's postings (own bucket
+    * files under the existing spec — no rewrite, co-partitioning
+    * preserved) and its partial stats row. df needs no touch-up: it is
+    * derived from the postings at query time.
+    */
+  def appendBatch(docs: DataFrame, idCol: String, textCol: String, name: String): Unit = {
+    Layout.append(postings(docs, idCol, textCol), postingsTableName(name))
+    statsRow(docs, idCol, textCol).write.mode("append").insertInto(statsTableName(name))
+  }
+
+  def postingsTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(postingsTableName(name))
+  def statsTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(statsTableName(name))
+
+  def dropIndex(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")
+  }
+
+  /** Ad-hoc ranked retrieval over the persisted index: top-`k` docs
+    * (among docs matching >= 1 term) for an ARBITRARY terms list, by
+    * the same BM25-style score as d45.
+    *
+    * Plan shape: the terms frame (broadcast-sized by construction)
+    * hash-joins the postings on `term_h` — with the bucketed layout the
+    * index side never exchanges even when broadcast is off (SMJ reads
+    * the buckets co-partitioned; RetrievalSpec plan assert). Everything
+    * downstream of the join touches ONLY the queried terms' postings:
+    * df is a count over them, the corpus stats total is an O(#batches)
+    * broadcast row, per-doc scores group matched postings by doc, and
+    * the top-k is a TakeOrderedAndProject — the full corpus is never
+    * rescanned.
+    *
+    * Bit-exactness: contributions fold in query-term-rank order from an
+    * exact 0.0 (rank-sorted `aggregate`), which is the same IEEE tree
+    * as d45's fixed-order column sum because a zero-tf term's
+    * contribution there is exact 0.0 and `x + 0.0 == x`.
+    */
+  def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val termsDf = terms.zipWithIndex
+      .toDF("q_term", "trank")
+      .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"), col("trank"))
+    val tot = stats.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val matched = postings
+      .join(broadcast(termsDf), Seq("term_h"))
+      // 60-bit hash collision guard: the layout key is the hash, the
+      // semantic key is the term itself
+      .filter(col("term") === col("q_term"))
+      .select(col("term"), col("trank"), col("doc_id"), col("tf"), col("dl"))
+    // df(term) == posting count of that term (one posting per doc) —
+    // derived from the matched rows only, so it is exact after any
+    // append without persisted-stat maintenance
+    val dfs = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfd   = col("tf").cast("double")
+    val idf   = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val tfw = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    matched
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(tot)) // one row: N, sum_dl
+      .withColumn("contrib", idf * tfw)
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        array_sort(collect_list(struct(col("trank"), col("contrib")))).as("cs"))
+      .withColumn(
+        "score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .select(col("doc_id"), col("dl"), col("n_matched"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import graft.retrieval.Postings
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The posting-list retrieval index (VERDICT r10 #1): equality with the
+  * full-scan ranking, zero index-side shuffle, append maintenance.
+  */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf = Tables(spark, sfDir).documents
+
+  /** Independent brute-force ranking in plain Scala doubles — same
+    * IEEE tree as the engine (term-rank-ordered left fold from 0.0).
+    */
+  private def bruteTopK(
+      docs: Seq[(Long, String)],
+      terms: Seq[String],
+      k: Int): Seq[(Long, Long, Long, Double)] = {
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tokenized = docs.map { case (id, tx) => (id, toks(tx)) }
+    val nDocs  = tokenized.size.toLong
+    val sumDl  = tokenized.map(_._2.size.toLong).sum
+    val avgdl  = sumDl.toDouble / nDocs.toDouble
+    val dfm    = terms.map(tm => tm -> tokenized.count(_._2.contains(tm)).toLong).toMap
+    val scored = tokenized.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val present = terms.filter(tm => tk.contains(tm))
+      if (present.isEmpty) None
+      else {
+        val score = present.foldLeft(0.0) { (acc, tm) =>
+          val tf  = tk.count(_ == tm).toLong
+          val idf = ((nDocs - dfm(tm)) + 0.5) / (dfm(tm) + 0.5)
+          val tfw = (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+          acc + idf * tfw
+        }
+        Some((id, dl, present.size.toLong, score))
+      }
+    }
+    scored.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+  }
+
+  test("index-backed bm25 equals the full-scan d45 ranking on identical terms") {
+    val dir = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pix_a", dir, buckets = 8)
+      val fromIndex = Postings
+        .bm25TopK(
+          Postings.postingsTable(spark, "t_pix_a"), Postings.statsTable(spark, "t_pix_a"),
+          Seq("vector", "spark", "merge"), 50)
+        .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+      // d45's top-50 minus its zero-score tail == the index path (which
+      // by construction only ranks docs matching >= 1 term)
+      val fullScan = graft.operators.SearchQueries.d45_bm25_search(spark, sfDir)
+        .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+        .filter(_._2 > 0.0)
+      assert(fromIndex == fullScan, "index path diverged from the full-scan d45 ranking")
+      assert(fromIndex.nonEmpty)
+    } finally Postings.dropIndex(spark, "t_pix_a")
+  }
+
+  test("ad-hoc terms answer from the index and match plain-Scala brute force") {
+    val dir  = Files.createTempDirectory("graft_pix").toString
+    val docs = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pix_b", dir, buckets = 8)
+      val pt = Postings.postingsTable(spark, "t_pix_b")
+      val st = Postings.statsTable(spark, "t_pix_b")
+      for (terms <- Seq(Seq("join"), Seq("hash", "row"), Seq("batch", "scan", "sort", "the", "a"))) {
+        val got = Postings.bm25TopK(pt, st, terms, 25)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        assert(got == bruteTopK(docs, terms, 25), s"terms=$terms")
+      }
+      // a term absent from the corpus contributes nothing and breaks nothing
+      val withGhost = Postings.bm25TopK(pt, st, Seq("join", "zzz_not_a_term"), 25)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(withGhost == bruteTopK(docs, Seq("join", "zzz_not_a_term"), 25))
+    } finally Postings.dropIndex(spark, "t_pix_b")
+  }
+
+  test("query joins the posting index with zero index-side shuffle") {
+    val dir = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pix_c", dir, buckets = 8)
+      val q = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_pix_c"), Postings.statsTable(spark, "t_pix_c"),
+        Seq("scan", "filter"), 25)
+      q.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case qs: QueryStageExec       => Seq(qs) ++ expand(qs.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      val all = expand(q.queryExecution.executedPlan)
+      // the terms join must be a broadcast hash join whose streamed
+      // subtree is the BUCKETED postings scan with NO exchange anywhere
+      // between them — the index never moves, only the terms frame does
+      val bhjs = all.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      val idxJoin = bhjs.map { j =>
+        j -> j.children.map(expand).find(_.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.bucketSpec.nonEmpty
+          case _                                                    => false
+        })
+      }.collectFirst { case (j, Some(side)) => (j, side) }
+      assert(idxJoin.nonEmpty, s"no broadcast join over the bucketed postings scan:\n${q.queryExecution.executedPlan}")
+      assert(
+        !idxJoin.get._2.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"postings side shuffled before the terms join:\n${q.queryExecution.executedPlan}")
+    } finally Postings.dropIndex(spark, "t_pix_c")
+  }
+
+  test("append maintenance: grown index answers exactly like a from-scratch build") {
+    val dir   = Files.createTempDirectory("graft_pix").toString
+    val dir2  = Files.createTempDirectory("graft_pix").toString
+    val half1 = docsDf.filter(col("doc_id") % 2 === 0)
+    val half2 = docsDf.filter(col("doc_id") % 2 === 1)
+    try {
+      Postings.writeIndex(half1, "doc_id", "text", "t_pix_d", dir, buckets = 8)
+      Postings.appendBatch(half2, "doc_id", "text", "t_pix_d")
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pix_e", dir2, buckets = 8)
+      val terms = Seq("vector", "spark", "merge")
+      val grown = Postings
+        .bm25TopK(Postings.postingsTable(spark, "t_pix_d"), Postings.statsTable(spark, "t_pix_d"), terms, 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val fresh = Postings
+        .bm25TopK(Postings.postingsTable(spark, "t_pix_e"), Postings.statsTable(spark, "t_pix_e"), terms, 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      // df/N/sum_dl must all reflect the appended batch — df derives
+      // from the postings, N/sum_dl from the appended partial stats rows
+      assert(grown == fresh, "appended index diverged from the from-scratch build")
+      // and both equal the independent brute force
+      val docs = docsDf.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      assert(grown == bruteTopK(docs, terms, 50))
+      // the stats table holds one partial row per batch (append-only)
+      assert(Postings.statsTable(spark, "t_pix_d").count() == 2)
+    } finally {
+      Postings.dropIndex(spark, "t_pix_d")
+      Postings.dropIndex(spark, "t_pix_e")
+    }
+  }
+}
