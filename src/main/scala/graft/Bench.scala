@@ -112,23 +112,43 @@ object Bench {
     val ioAnchor  = sys.env.getOrElse("SPARK_GRAFT_PROBE_IO_MS", "200").toLong
     def slow(p: (Long, Long)): Boolean =
       p._1 > (2.5 * cpuAnchor).toLong || (p._2 >= 0 && p._2 > (2.5 * ioAnchor).toLong)
-    val probe0 = probe()
-    val load0 = loadAvg()
-    val p1 = pass()
-    val p2 = pass()
-    val load1 = loadAvg()
-    val probe1 = probe()
-    val regimeLabel = (slow(probe0), slow(probe1)) match {
-      case (false, false) => "normal"
-      case (true, true)   => "throttled"
-      case _              => "mixed"
+    // Regime-aware retry (VERDICT r10 #2: a round artifact must never
+    // silently carry box weather). Every pass is BRACKETED by probes —
+    // a pass is CLEAN only when both its surrounding probes read fast.
+    // After the 2 base passes, dirty passes are retried (up to
+    // SPARK_GRAFT_MAX_PASSES total) until 2 clean passes exist; the
+    // reported per-query min uses CLEAN passes ONLY whenever at least
+    // one exists, so a throttled pass can never contribute a timing to
+    // a clean artifact. The label now describes the passes USED:
+    // normal = >=2 clean, mixed = 1 clean (single-pass timings, noisier
+    // but unpolluted), throttled = 0 clean after all retries.
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "4").toInt
+    val loads     = scala.collection.mutable.ArrayBuffer(loadAvg())
+    val probes    = scala.collection.mutable.ArrayBuffer(probe())
+    val passes    = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
+    def cleanIdx  = (0 until passes.size).filter(i => !slow(probes(i)) && !slow(probes(i + 1)))
+    while (passes.size < 2 || (passes.size < maxPasses && cleanIdx.size < 2)) {
+      passes += pass()
+      probes += probe()
+      loads += loadAvg()
     }
+    val usedIdx = if (cleanIdx.nonEmpty) cleanIdx else passes.indices
+    val regimeLabel =
+      if (cleanIdx.size >= 2) "normal"
+      else if (cleanIdx.nonEmpty) "mixed"
+      else "throttled"
     val regimeJson =
-      s"""{"cpu_ms":[${probe0._1},${probe1._1}],"io_ms":[${probe0._2},${probe1._2}],"label":"$regimeLabel"}"""
+      s"""{"cpu_ms":[${probes.map(_._1).mkString(",")}],"io_ms":[${probes.map(_._2).mkString(",")}],"label":"$regimeLabel","clean_passes":${cleanIdx.size}}"""
     val results = ordered.map { case (name, _) =>
-      val valid = Seq(p1(name), p2(name)).filter(_ >= 0)
-      name -> (if (valid.isEmpty) -1.0 else valid.min)
+      // min over the USED (clean when possible) passes; a query that
+      // failed in every used pass falls back to any valid timing from
+      // the remaining passes (transient-failure policy) before -1
+      val used = usedIdx.map(i => passes(i)(name)).filter(_ >= 0)
+      val any  = passes.indices.map(i => passes(i)(name)).filter(_ >= 0)
+      name -> (if (used.nonEmpty) used.min else if (any.nonEmpty) any.min else -1.0)
     }
+    val load0 = loads.head
+    val load1 = loads.last
     val failed = scala.collection.immutable.TreeSet.from(
       results.collect { case (name, v) if v < 0 => name })
     def r3(v: Double): String = f"$v%.3f"
@@ -137,7 +157,7 @@ object Bench {
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":2,"agg":"min","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"load":[${r3(load0)},${r3(load1)}],"regime":$regimeJson,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"agg":"min_clean","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"load":[${loads.map(r3).mkString(",")}],"regime":$regimeJson,"queries":$qs}"""
     // belt-and-braces: the driver captures a bounded log tail, which
     // truncated this line in round 1 — persist the same JSON as a file
     // artifact too. Path is overridable, defaulting to the working
@@ -174,7 +194,7 @@ object Bench {
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":2,"agg":"min","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","queries":$shortQs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":${passes.size},"agg":"min_clean","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","queries":$shortQs}""")
     System.out.flush()
   }
 }

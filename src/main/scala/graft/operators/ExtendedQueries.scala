@@ -678,6 +678,30 @@ object ExtendedQueries {
 
   // ---------- approx sketches (no SQL oracle: rows-only check) ----------
 
+  /** Suite-scope memo of the tiny exact-twin RESULTS (x02e: 15 rows,
+    * x03e: 21 rows). The sketches' self-evidencing witness joins reuse
+    * these rows instead of recomputing the full exact plan inside the
+    * sketch query (VERDICT r10 #4: the suite was computing exact
+    * quantiles twice). The twin QUERIES themselves always compute
+    * honestly — they are the benchmark of exactness's cost; only the
+    * witness side of the sketch queries reads the memo. Keyed by sf
+    * dir (testdata directories are immutable within a process), and
+    * the memoized values are exactly the twin's rows, so the sketch
+    * queries' output hashes are unchanged.
+    */
+  private val twinMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.types.StructType, java.util.List[org.apache.spark.sql.Row])]()
+
+  private def memoTwin(s: SparkSession, dir: String, key: String, build: Q): DataFrame = {
+    val entry = twinMemo.computeIfAbsent(
+      s"$dir::$key",
+      _ => {
+        val df = build(s, dir)
+        (df.schema, java.util.Arrays.asList(df.collect(): _*))
+      })
+    s.createDataFrame(entry._2, entry._1)
+  }
+
   /** HyperLogLog++ distinct users per event type. The driver's gate can
     * only rows-check this (sketch bits have no DuckDB twin), so the
     * output is SELF-EVIDENCING: each row carries the exact distinct
@@ -722,8 +746,11 @@ object ExtendedQueries {
       .select(lit("__all__").as("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
     // self-evidencing (cf. x01): join the registered exact twin — the
     // SAME 60-bit hashes counted exactly — so every estimate row carries
-    // its exact answer and relative error in the gate artifact itself
-    val exact = x03e_exact_union(s, dir)
+    // its exact answer and relative error in the gate artifact itself.
+    // The twin's rows come from the suite-scope memo (computed at most
+    // once per sf dir), so this query's plan is sketch + a 21-row local
+    // relation — the 100 TB shape modulo the witness column.
+    val exact = memoTwin(s, dir, "x03e", x03e_exact_union)
       .select(col("source"), col("n_distinct").as("exact_distinct"))
     per
       .unionByName(total)
@@ -748,7 +775,10 @@ object ExtendedQueries {
       .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
       .select(col("event_type"), posexplode(col("qs")).as(Seq("q_idx", "q_value")))
       .select(col("event_type"), col("q_idx").cast("long").as("q_idx"), col("q_value"))
-    val exact = x02e_exact_quantiles(s, dir)
+    // witness rows from the suite-scope memo (computed at most once per
+    // sf dir) — the sketch query itself never re-runs the exact
+    // rank-and-interpolate plan (VERDICT r10 #4)
+    val exact = memoTwin(s, dir, "x02e", x02e_exact_quantiles)
       .select(col("event_type"), col("q_idx"), col("q_value").as("exact_value"))
     approx
       .join(exact, Seq("event_type", "q_idx"))

@@ -170,18 +170,22 @@ object SearchQueries {
     * (TakeOrderedAndProject / per-query WindowGroupLimit); the ranking
     * windows run over the 50-row truncated frames, never the corpus.
     */
-  val d46_hybrid_rrf: Q = (s, dir) => {
-    val t = Tables(s, dir)
-    val text = d45_bm25_search(s, dir) // top-50, corpus-scale part is TakeOrdered
+  /** The lexical arm both fusion queries share: d45's top-50 with its
+    * integer rank (the global window reads the 50-row truncated frame).
+    */
+  private def textArmRanked(s: SparkSession, dir: String): DataFrame =
+    d45_bm25_search(s, dir) // top-50, corpus-scale part is TakeOrdered
       .withColumn(
         "r_text",
         row_number()
           .over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long")) // 50-row frame: the global window reads bounded input
       .select(col("doc_id").as("id"), col("r_text"))
-    val vec = graft.similarity.Knn
-      .bruteTopK(t.embeddings.filter(col("vec_id") === 0), t.embeddings, "vec_id", "embedding", 50)
-      .select(col("n_id").as("id"), col("rank").as("r_vec"))
+
+  /** RRF fusion of a ranked text arm and a ranked vector arm —
+    * `1/(60 + r)` per present arm, fixed-order sum, top-20.
+    */
+  private def rrfFuse(text: DataFrame, vec: DataFrame): DataFrame =
     text
       .join(vec, Seq("id"), "full_outer")
       .withColumn(
@@ -190,6 +194,55 @@ object SearchQueries {
           coalesce(lit(1.0) / (lit(60L) + col("r_vec")), lit(0.0)))
       .orderBy(col("rrf").desc, col("id"))
       .limit(20)
+
+  val d46_hybrid_rrf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val vec = graft.similarity.Knn
+      .bruteTopK(t.embeddings.filter(col("vec_id") === 0), t.embeddings, "vec_id", "embedding", 50)
+      .select(col("n_id").as("id"), col("rank").as("r_vec"))
+    rrfFuse(textArmRanked(s, dir), vec)
+  }
+
+  /** d46 with the semantic arm production-shaped (VERDICT r10 #5): the
+    * vector arm searches a trained-centroid IVF index
+    * (`Knn.indexCorpus` — at scale: persisted, pre-partitioned by cell)
+    * with the query multi-probing its top-3 cells
+    * (`Knn.assignCellsMulti`), instead of `Knn.bruteTopK`'s full corpus
+    * scan. Per query the work drops to probes/K of the corpus (the
+    * candidates join is an equi-join on the cell key, broadcast probe
+    * set + one broadcast query row — nothing index-side shuffles), at
+    * the price of approximate top-50: probed-arm recall vs the exact
+    * arm is measured and floor-gated in RetrievalSpec (the e06
+    * pattern). Oracle-exact like d46: the oracle replicates the argmax
+    * cell assignment, the probe set, the candidate top-50, and the
+    * fused RRF with identical IEEE trees and tie-breaks.
+    */
+  val d48_hybrid_rrf_ivf: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    import graft.similarity.Knn
+    val e = t.embeddings
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val indexed = Knn.indexCorpus(t.embeddings, cents, "vec_id", "embedding") // (cell, n_id, nv, nn)
+    val q      = e.filter(col("vec_id") === 0)
+    val qCells = Knn.assignCellsMulti(q, cents, "vec_id", probes = 3).select(col("cell"))
+    val cand = indexed
+      .join(broadcast(qCells), Seq("cell"))
+      .crossJoin(broadcast(q.select(col("v").as("qv"), col("nrm").as("qn")))) // one row
+      .filter(col("n_id") =!= 0L)
+      .withColumn("cos", Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(col("n_id"), col("cos"))
+      .orderBy(col("cos").desc, col("n_id"))
+      .limit(50)
+    val vec = cand
+      .withColumn(
+        "r_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .select(col("n_id").as("id"), col("r_vec"))
+    rrfFuse(textArmRanked(s, dir), vec)
   }
 
   /** d47's ad-hoc terms — DIFFERENT from d45's compile-time set on
@@ -227,6 +280,7 @@ object SearchQueries {
     "d45_bm25_search" -> d45_bm25_search,
     "d46_hybrid_rrf"  -> d46_hybrid_rrf,
     "d47_indexed_search" -> d47_indexed_search,
+    "d48_hybrid_rrf_ivf" -> d48_hybrid_rrf_ivf,
   )
 
   val oracles: Map[String, String] = Map(
@@ -345,6 +399,83 @@ object SearchQueries {
         |vec AS (SELECT n_id AS id,
         |               CAST(row_number() OVER (ORDER BY dot / (qn * cn) DESC, n_id) AS BIGINT) AS r_vec
         |        FROM p QUALIFY r_vec <= 50)
+        |SELECT id, t.r_text, v.r_vec,
+        |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.r_text), CAST(0.0 AS DOUBLE))
+        |     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), CAST(0.0 AS DOUBLE)) AS rrf
+        |FROM txt t FULL JOIN vec v USING (id)
+        |ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+    // mirror of d48: d46's text arm + an IVF-probed vector arm — the
+    // oracle replicates the argmax cell assignment (first-8 centroids),
+    // the query's top-3 probe cells, the probed candidate top-50, and
+    // the RRF fusion with identical IEEE trees and tie-breaks
+    "d48_hybrid_rrf_ivf" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |         CAST(len(list_filter(tk, x -> x = 'spark'))  AS BIGINT) AS tf_spark,
+        |         CAST(len(list_filter(tk, x -> x = 'merge'))  AS BIGINT) AS tf_merge
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |         SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |         SUM(CASE WHEN tf_merge  > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM tf),
+        |sc AS (
+        |  SELECT doc_id,
+        |       (((n_docs - df_vector) + 0.5) / (df_vector + 0.5))
+        |         * ((CAST(tf_vector AS DOUBLE) * 2.2)
+        |            / (CAST(tf_vector AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       + (((n_docs - df_spark) + 0.5) / (df_spark + 0.5))
+        |         * ((CAST(tf_spark AS DOUBLE) * 2.2)
+        |            / (CAST(tf_spark AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       + (((n_docs - df_merge) + 0.5) / (df_merge + 0.5))
+        |         * ((CAST(tf_merge AS DOUBLE) * 2.2)
+        |            / (CAST(tf_merge AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |       AS score
+        |  FROM tf, st),
+        |t50 AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |txt AS (SELECT doc_id AS id,
+        |               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_text
+        |        FROM t50),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |             sqrt(list_reduce(list_transform(list_zip(v, v), s -> s[1] * s[2]), (a, b) -> a + b)) AS nrm
+        |      FROM e),
+        |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
+        |asg AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+        |          SELECT n.vec_id, n.v, n.nrm, c.c_id,
+        |                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+        |                   (list_reduce(list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]), (a, b) -> a + b)
+        |                    / (n.nrm * c.cn)) DESC, c.c_id) AS rn
+        |          FROM n, c) WHERE rn = 1),
+        |qv AS (SELECT v, nrm FROM n WHERE vec_id = 0),
+        |qc AS (SELECT c_id AS cell FROM (
+        |         SELECT c.c_id,
+        |                row_number() OVER (ORDER BY
+        |                  (list_reduce(list_transform(list_zip(q.v, c.cv), s -> s[1] * s[2]), (a, b) -> a + b)
+        |                   / (q.nrm * c.cn)) DESC, c.c_id) AS rn
+        |         FROM qv q, c) WHERE rn <= 3),
+        |cand AS (SELECT a.vec_id AS n_id,
+        |                (list_reduce(list_transform(list_zip(q.v, a.v), s -> s[1] * s[2]), (x, y) -> x + y)
+        |                 / (q.nrm * a.nrm)) AS cos
+        |         FROM asg a, qc, qv q
+        |         WHERE a.cell = qc.cell AND a.vec_id <> 0),
+        |vec AS (SELECT n_id AS id,
+        |               CAST(row_number() OVER (ORDER BY cos DESC, n_id) AS BIGINT) AS r_vec
+        |        FROM (SELECT * FROM cand ORDER BY cos DESC, n_id LIMIT 50))
         |SELECT id, t.r_text, v.r_vec,
         |       COALESCE(CAST(1.0 AS DOUBLE) / (60 + t.r_text), CAST(0.0 AS DOUBLE))
         |     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.r_vec), CAST(0.0 AS DOUBLE)) AS rrf

@@ -30,6 +30,15 @@ class PlanQualitySpec extends SparkTestBase {
     // cosine arm (broadcast-one-query); the ranking window reads the
     // TakeOrdered 50-row frame, not the corpus
     "d46_hybrid_rrf"      -> Set("BroadcastNestedLoopJoin", "GlobalWindow(small)"),
+    // d47: the posting index's one-row corpus-stats total (sum of the
+    // O(#batches) partial rows) cross-joined back broadcast — the index
+    // scan itself joins the terms frame hash-keyed, zero index-side
+    // shuffle (RetrievalSpec plan assert)
+    "d47_indexed_search"  -> Set("BroadcastNestedLoopJoin"),
+    // d48: d46's text arm (one-row stats broadcast) + the IVF arm's
+    // broadcast-one-query-row crossJoin; both ranking windows read
+    // TakeOrdered 50-row frames, not the corpus
+    "d48_hybrid_rrf_ivf"  -> Set("BroadcastNestedLoopJoin", "GlobalWindow(small)"),
     // bounded-input global windows: final ranking over already-
     // aggregated or already-truncated frames
     "d19_oov_ratio"      -> Set("GlobalWindow(small)"),
@@ -61,10 +70,9 @@ class PlanQualitySpec extends SparkTestBase {
     // x02's mergeable sketch; this query is its correctness anchor);
     // the BNLJ is the broadcast 3-row quantile-probability table
     "x02e_exact_quantiles" -> Set("KeyedWindow(RAW)", "BroadcastNestedLoopJoin"),
-    // x02 joins its exact twin in-row (round-10 self-evidencing delta
-    // columns), so it inherits the twin's two allowlisted shapes; the
-    // sketch-only production plan at 100 TB drops the twin join
-    "x02_approx_quantiles" -> Set("KeyedWindow(RAW)", "BroadcastNestedLoopJoin"),
+    // (x02_approx_quantiles carried the twin's two shapes in round 10;
+    // since round 11 its witness joins the twin's MEMOIZED rows — a
+    // local relation — so its plan is sketch-only and needs no entry)
   )
 
   test("doc-local tf queries plan ZERO keyed exchanges (d22, d34)") {

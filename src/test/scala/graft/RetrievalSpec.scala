@@ -116,6 +116,43 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_pix_c")
   }
 
+  test("d48's IVF-probed vector arm holds the e06-style recall floor") {
+    // Measured (ProfileR11Recall, r11): recall@50 of the probes=3/8-cell
+    // arm vs the exact brute top-50 is 0.66-0.88 per query at sf0.001
+    // AND sf0.01. Gate: min >= 0.6, mean >= 0.75 — d48's acceptance bar
+    // (VERDICT r10 #5); if the trade is retuned (probes/cells), remeasure
+    // before loosening.
+    import graft.similarity.Knn
+    val t = Tables(spark, sfDir)
+    val e = t.embeddings
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val indexed = Knn.indexCorpus(t.embeddings, cents, "vec_id", "embedding").persist()
+    try {
+      val recalls = (0L until 5L).map { qid =>
+        val q      = e.filter(col("vec_id") === qid)
+        val qCells = Knn.assignCellsMulti(q, cents, "vec_id", probes = 3).select(col("cell"))
+        val probed = indexed
+          .join(broadcast(qCells), Seq("cell"))
+          .crossJoin(broadcast(q.select(col("v").as("qv"), col("nrm").as("qn"))))
+          .filter(col("n_id") =!= qid)
+          .withColumn("cos", Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .orderBy(col("cos").desc, col("n_id"))
+          .limit(50)
+          .select("n_id").as[Long].collect().toSet
+        val exact = Knn
+          .bruteTopK(t.embeddings.filter(col("vec_id") === qid), t.embeddings, "vec_id", "embedding", 50)
+          .select("n_id").as[Long].collect().toSet
+        probed.intersect(exact).size.toDouble / exact.size
+      }
+      assert(recalls.min >= 0.6, s"probed-arm recall floor broken: $recalls")
+      assert(recalls.sum / recalls.size >= 0.75, s"probed-arm mean recall dropped: $recalls")
+    } finally indexed.unpersist()
+  }
+
   test("append maintenance: grown index answers exactly like a from-scratch build") {
     val dir   = Files.createTempDirectory("graft_pix").toString
     val dir2  = Files.createTempDirectory("graft_pix").toString
