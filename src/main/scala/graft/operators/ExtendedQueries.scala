@@ -724,6 +724,21 @@ object ExtendedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The PRODUCTION plan of x01 (VERDICT r10 #7): sketch only, no exact
+    * witness — the form a 100 TB run executes, benched as its own row
+    * so the artifact records both costs (x01 = witnessed, x01p = what
+    * you actually pay). rows-only gate like every sketch.
+    */
+  val x01p_approx_distinct_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    t.events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sketch COLUMNS as first-class data (Apache DataSketches HLL via
     * Spark's hll_sketch_agg): one distinct-content sketch per source,
     * stored as binary, then merged with hll_union_agg into the
@@ -759,6 +774,24 @@ object ExtendedQueries {
         "rel_err",
         abs(col("est_distinct") - col("exact_distinct")) / col("exact_distinct"))
       .orderBy(col("source"))
+  }
+
+  /** The PRODUCTION plan of x03 (VERDICT r10 #7): per-source sketches
+    * unioned into the corpus estimate, NO exact-twin witness join — the
+    * sketch-persist/union-in-milliseconds form a 100 TB run executes.
+    */
+  val x03p_sketch_union_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val perSource = t.documents
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(graft.functions.Hashing.hash60(col("text"))).as("sketch"))
+    val per = perSource.select(
+      col("source"),
+      hll_sketch_estimate(col("sketch")).as("est_distinct"))
+    val total = perSource
+      .agg(hll_union_agg(col("sketch")).as("sk"))
+      .select(lit("__all__").as("source"), hll_sketch_estimate(col("sk")).as("est_distinct"))
+    per.unionByName(total).orderBy(col("source"))
   }
 
   /** Mergeable approximate quantiles of order value per event type,
@@ -894,6 +927,8 @@ object ExtendedQueries {
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
     "x03_sketch_union"    -> x03_sketch_union,
+    "x01p_approx_distinct_prod" -> x01p_approx_distinct_prod,
+    "x03p_sketch_union_prod"    -> x03p_sketch_union_prod,
     "x01e_exact_distinct" -> x01e_exact_distinct,
     "x02e_exact_quantiles" -> x02e_exact_quantiles,
     "x03e_exact_union"    -> x03e_exact_union,

@@ -36,7 +36,11 @@ class QueriesSmokeSpec extends SparkTestBase {
   test("every query has an oracle (sketches exempt: no DuckDB-identical result exists)") {
     // approx sketches (HLL, t-digest-style quantiles) are engine-specific
     // by construction — the driver records a rows-only check for them
-    val sketchOnly = Set("x01_approx_distinct", "x02_approx_quantiles", "x03_sketch_union")
+    val sketchOnly = Set(
+      "x01_approx_distinct", "x02_approx_quantiles", "x03_sketch_union",
+      // production-shape sketch variants (r11): same estimator plans
+      // minus the exact-witness join — equally engine-specific
+      "x01p_approx_distinct_prod", "x03p_sketch_union_prod")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- sketchOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
