@@ -147,6 +147,18 @@ object Bench {
       val any  = passes.indices.map(i => passes(i)(name)).filter(_ >= 0)
       name -> (if (used.nonEmpty) used.min else if (any.nonEmpty) any.min else -1.0)
     }
+    // self-labeling for the fallback branch above: when a timing could
+    // only come from a pass OUTSIDE usedIdx (i.e. a dirty pass under a
+    // clean label), name the query in the artifact — the invariant
+    // "a throttled pass never contributes silently" stays literal
+    val dirtyFallback = scala.collection.immutable.TreeSet.from(
+      ordered.collect {
+        case (name, _)
+            if usedIdx.forall(i => passes(i)(name) < 0) &&
+              passes.indices.exists(i => passes(i)(name) >= 0) =>
+          name
+      })
+    val dirtyFallbackJson = dirtyFallback.map("\"" + _ + "\"").mkString("[", ",", "]")
     val load0 = loads.head
     val load1 = loads.last
     val failed = scala.collection.immutable.TreeSet.from(
@@ -157,7 +169,7 @@ object Bench {
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"agg":"min_clean","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"load":[${loads.map(r3).mkString(",")}],"regime":$regimeJson,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"agg":"min_clean","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"dirty_fallback":$dirtyFallbackJson,"load":[${loads.map(r3).mkString(",")}],"regime":$regimeJson,"queries":$qs}"""
     // belt-and-braces: the driver captures a bounded log tail, which
     // truncated this line in round 1 — persist the same JSON as a file
     // artifact too. Path is overridable, defaulting to the working
@@ -194,7 +206,7 @@ object Bench {
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":${passes.size},"agg":"min_clean","n_queries":${results.size},"n_failed":${failed.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","queries":$shortQs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":${passes.size},"agg":"min_clean","n_queries":${results.size},"n_failed":${failed.size},"n_dirty_fallback":${dirtyFallback.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","queries":$shortQs}""")
     System.out.flush()
   }
 }

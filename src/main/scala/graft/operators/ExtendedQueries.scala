@@ -693,8 +693,15 @@ object ExtendedQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (org.apache.spark.sql.types.StructType, java.util.List[org.apache.spark.sql.Row])]()
 
   private def memoTwin(s: SparkSession, dir: String, key: String, build: Q): DataFrame = {
+    // canonical path: "/x/sf0.1" and "/x/sf0.1/" must share an entry.
+    // The memo further assumes the dir's DATA is immutable for the
+    // process lifetime (true of the driver's testdata dirs); a dir
+    // regenerated in-place mid-session would serve stale witness rows.
+    val canon =
+      try new java.io.File(dir).getCanonicalPath
+      catch { case _: Throwable => dir }
     val entry = twinMemo.computeIfAbsent(
-      s"$dir::$key",
+      s"$canon::$key",
       _ => {
         val df = build(s, dir)
         (df.schema, java.util.Arrays.asList(df.collect(): _*))

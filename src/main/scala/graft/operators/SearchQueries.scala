@@ -250,6 +250,21 @@ object SearchQueries {
     */
   private val d47Terms = Seq("scan", "filter", "window", "batch")
 
+  /** JVM-exit cleanup for pid-suffixed index dirs: without it every
+    * gate/bench process leaves a dead copy of the index under /tmp.
+    * Deletion at shutdown is safe — the tables are only read by this
+    * process (the pid suffix is what guarantees that).
+    */
+  private val cleanupPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    cleanupPaths.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      try rm(new java.io.File(p)) catch { case _: Throwable => () }
+    }))
+  private def cleanupAtExit(path: String): Unit = { cleanupHook; cleanupPaths.add(path); () }
+
   /** Index-backed parameterized retrieval (the production shape of d45,
     * VERDICT r10 #1): build/refresh the persisted posting-list index
     * (bucketed by term hash — `retrieval.Postings`), then answer an
@@ -263,8 +278,15 @@ object SearchQueries {
     */
   val d47_indexed_search: Q = (s, dir) => {
     val sfName = new java.io.File(dir).getName
-    val name   = "graft_bm25_" + sfName.replaceAll("[^A-Za-z0-9]", "_")
-    val path   = s"/tmp/graft_fixtures/$sfName/d47_indexed_search"
+    // pid-suffixed table name AND path: two JVMs (gate + bench) running
+    // the same sf concurrently must not race on the overwrite — one
+    // would delete bucket files the other is mid-read on. Within one
+    // JVM passes run sequentially, so a stable per-process suffix is
+    // exactly the right granularity.
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_bm25_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d47_indexed_search_p$pid"
+    cleanupAtExit(path)
     val t      = Tables(s, dir)
     graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", name, path, buckets = 16)
     graft.retrieval.Postings.bm25TopK(

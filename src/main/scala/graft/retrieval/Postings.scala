@@ -131,7 +131,10 @@ object Postings {
   def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
-    val termsDf = terms.zipWithIndex
+    // dedupe (order-preserving): a duplicated query term would join the
+    // same posting twice — inflating n_matched and adding its
+    // contribution twice — which no full-scan formulation would do
+    val termsDf = terms.distinct.zipWithIndex
       .toDF("q_term", "trank")
       .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"), col("trank"))
     val tot = stats.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
