@@ -239,6 +239,53 @@ object CorpusQueries {
       .orderBy(col("lang"), col("rank"))
   }
 
+  // ---------- d51: collocation extraction (lift) ----------
+
+  /** Top-50 collocations by LIFT — bigram association strength
+    * normalized by the marginals: lift(w1,w2) = C12·B / (C1·C2) where
+    * C12 counts the bigram, C1/C2 the marginal first/second-slot
+    * counts, B the total bigram mass. Raw-count bigram stats (d30)
+    * surface what is FREQUENT; lift surfaces what CO-OCCURS more than
+    * the marginals predict — the phrase-mining / stopword-pair screen a
+    * curation pipeline runs before tokenizer or quality-LM training.
+    * (Rank-equivalent to PMI — log is monotone — but computed as ONE
+    * double division of exact integer products, so engine and oracle
+    * agree bit-for-bit with no transcendentals.)
+    *
+    * Scale shape: the token explode is the only wide stage and it
+    * partial-aggregates straight to the (w1, w2) count frame — at most
+    * |vocab|² rows regardless of corpus size. The marginals and total
+    * then DERIVE from that tiny frame (no second pass over the corpus)
+    * and join back broadcast. min-count filter (n_pair >= 5) mirrors
+    * the support threshold every collocation miner applies.
+    */
+  val d51_collocations: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val c12 = Ops.spread(t.documents, col("doc_id"))
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        explode(expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+          .as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val c1  = c12.groupBy(col("w1")).agg(sum(col("n_pair")).as("c1"))
+    val c2  = c12.groupBy(col("w2")).agg(sum(col("n_pair")).as("c2"))
+    val tot = c12.agg(sum(col("n_pair")).as("total"))
+    c12
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(c2), Seq("w2"))
+      .crossJoin(broadcast(tot)) // one row
+      .withColumn(
+        "lift",
+        (col("n_pair") * col("total")).cast("double") / (col("c1") * col("c2")).cast("double"))
+      .filter(col("n_pair") >= 5)
+      .select(col("w1"), col("w2"), col("n_pair"), col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   // ---------- d31: snapshot diff ----------
 
   /** Corpus snapshot diff by content hash: v_old (simulated prior
@@ -313,6 +360,7 @@ object CorpusQueries {
     "d29_cluster_best"   -> d29_cluster_best,
     "d30_bigram_stats"   -> d30_bigram_stats,
     "d31_snapshot_diff"  -> d31_snapshot_diff,
+    "d51_collocations"   -> d51_collocations,
   )
 
   val oracles: Map[String, String] = Map(
@@ -467,5 +515,25 @@ object CorpusQueries {
         |            ELSE 'unchanged' END AS status
         |FROM v_old FULL OUTER JOIN v_new ON v_old.doc_id = v_new.doc_id
         |ORDER BY doc_id""".stripMargin,
+    // lift = C12*B / (C1*C2): exact integer products, one double
+    // division — bit-exact across engines, rank-equivalent to PMI
+    "d51_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(tk)), i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+        |  FROM tk WHERE len(tk) >= 2),
+        |c12 AS (
+        |  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+        |  FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS c2 FROM c12 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS total FROM c12)
+        |SELECT w1, w2, n_pair,
+        |       CAST(n_pair * total AS DOUBLE) / CAST(c1.c1 * c2.c2 AS DOUBLE) AS lift
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+        |WHERE n_pair >= 5
+        |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
   )
 }

@@ -295,6 +295,53 @@ object SearchQueries {
       d47Terms, 50)
   }
 
+  /** Exact phrase search over a POSITIONAL posting index (the phrase/
+    * proximity capability the frequency index can't express): docs
+    * containing the consecutive token sequence, ranked by
+    * overlap-correct occurrence count. Like d47, the gated query
+    * includes the index build so the oracle checks the full round trip
+    * (positional write → bucketed read → array-shift adjacency); a
+    * production pipeline builds once. The phrase's term postings are
+    * the only index rows touched.
+    */
+  val d49_phrase_search: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_phrase_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d49_phrase_search_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writePositionalIndex(t.documents, "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.phraseTopK(
+      graft.retrieval.Postings.positionalTable(s, name), Seq("table", "hash"), 50)
+  }
+
+  /** Incremental index maintenance AT THE GATE (not just in
+    * RetrievalSpec): build the posting index on half the corpus, grow
+    * it with `appendBatch` over the other half, then answer from the
+    * grown index. The oracle is full-corpus SQL with no knowledge of
+    * the split — a hash match proves append-only maintenance (new
+    * bucket files + a partial stats row, nothing rewritten) reproduces
+    * from-scratch semantics exactly: df derives from the postings, N
+    * and sum_dl sum the per-batch partial rows.
+    */
+  val d50_index_append: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_append_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d50_index_append_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("group", "order", "row"), 50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -303,6 +350,8 @@ object SearchQueries {
     "d46_hybrid_rrf"  -> d46_hybrid_rrf,
     "d47_indexed_search" -> d47_indexed_search,
     "d48_hybrid_rrf_ivf" -> d48_hybrid_rrf_ivf,
+    "d49_phrase_search" -> d49_phrase_search,
+    "d50_index_append"  -> d50_index_append,
   )
 
   val oracles: Map[String, String] = Map(
@@ -552,6 +601,69 @@ object SearchQueries {
         |         + (((n_docs - df_batch) + 0.5) / (df_batch + 0.5))
         |           * ((CAST(tf_batch AS DOUBLE) * 2.2)
         |              / (CAST(tf_batch AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         AS score
+        |  FROM tf, st) s
+        |WHERE n_matched > 0
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // positional phrase semantics, overlap-correct: one row per token
+    // position, phrase occurrences = adjacent-position joins
+    "d49_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk) + 1), i -> {'pos': i, 'term': tk[i]})) AS e
+        |  FROM tk),
+        |p AS (SELECT doc_id, e.pos AS pos, e.term AS term FROM pos)
+        |SELECT a.doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_occ,
+        |       CAST(min(a.pos) AS BIGINT) AS first_pos
+        |FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.term = 'table' AND b.term = 'hash'
+        |GROUP BY a.doc_id
+        |ORDER BY n_occ DESC, a.doc_id LIMIT 50""".stripMargin,
+    // full-corpus SQL, blind to the build/append split — a hash match
+    // proves the grown index == a from-scratch build
+    "d50_index_append" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'group')) AS BIGINT) AS tf_group,
+        |         CAST(len(list_filter(tk, x -> x = 'order')) AS BIGINT) AS tf_order,
+        |         CAST(len(list_filter(tk, x -> x = 'row'))   AS BIGINT) AS tf_row
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf_group > 0 THEN 1 ELSE 0 END) AS df_group,
+        |         SUM(CASE WHEN tf_order > 0 THEN 1 ELSE 0 END) AS df_order,
+        |         SUM(CASE WHEN tf_row   > 0 THEN 1 ELSE 0 END) AS df_row
+        |  FROM tf)
+        |SELECT doc_id, dl, n_matched, score FROM (
+        |  SELECT doc_id, dl,
+        |         CAST((CASE WHEN tf_group > 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_order > 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_row   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |         (((n_docs - df_group) + 0.5) / (df_group + 0.5))
+        |           * ((CAST(tf_group AS DOUBLE) * 2.2)
+        |              / (CAST(tf_group AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         + (((n_docs - df_order) + 0.5) / (df_order + 0.5))
+        |           * ((CAST(tf_order AS DOUBLE) * 2.2)
+        |              / (CAST(tf_order AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         + (((n_docs - df_row) + 0.5) / (df_row + 0.5))
+        |           * ((CAST(tf_row AS DOUBLE) * 2.2)
+        |              / (CAST(tf_row AS DOUBLE)
         |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
         |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
         |         AS score

@@ -107,6 +107,107 @@ object Postings {
   def dropIndex(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${posTableName(name)}")
+  }
+
+  // ---------- positional index (phrase queries) ----------
+
+  private def posTableName(name: String) = s"${name}_pospostings"
+
+  /** POSITIONAL posting rows: one row per (doc, distinct term) carrying
+    * the SORTED 1-based position list of every occurrence — the classic
+    * IR layout for phrase/proximity queries. Same build shape as
+    * `postings` (one shuffle keyed by (doc_id, term), build-time only);
+    * the positions array replaces the bare tf (tf == size(positions),
+    * so this table strictly generalizes the frequency index).
+    */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"), posexplode(col("tk")).as(Seq("pos", "term")))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(sort_array(collect_list(col("pos") + 1)).as("positions"))
+      .select(
+        Hashing.hash60(col("term")).as("term_h"),
+        col("term"),
+        col("doc_id"),
+        col("positions"),
+        col("dl"))
+
+  /** Build the positional index under the same bucketing contract as the
+    * frequency index: bucketed+sorted by `term_h`, so a phrase's term
+    * lookups read co-partitioned with zero index-side exchange.
+    */
+  def writePositionalIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      path: String,
+      buckets: Int): Unit =
+    Layout.bucketize(
+      positionalPostings(docs, idCol, textCol), posTableName(name), s"$path/pospostings", Seq("term_h"), buckets)
+
+  /** Append a batch to the positional index — same append-only bucket
+    * contract as `appendBatch` (new bucket files under the existing
+    * spec, nothing rewritten).
+    */
+  def appendPositionalBatch(docs: DataFrame, idCol: String, textCol: String, name: String): Unit =
+    Layout.append(positionalPostings(docs, idCol, textCol), posTableName(name))
+
+  def positionalTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(posTableName(name))
+
+  /** Exact phrase search over the positional index: top-`k` docs
+    * containing the token sequence `phrase` consecutively, ranked by
+    * occurrence count. Occurrence counting is OVERLAP-CORRECT (a doc
+    * "a a a" contains phrase "a a" twice) — the substring/replace
+    * tricks a non-positional engine falls back on are not.
+    *
+    * Plan shape mirrors `bm25TopK`: the distinct phrase terms broadcast
+    * against the bucketed positional scan (zero index-side exchange —
+    * same RetrievalSpec-style assert applies), then ONE shuffle keyed
+    * by doc_id carrying at most |distinct terms| slim rows per matching
+    * doc. Adjacency itself is array arithmetic, never a per-position
+    * join: a phrase occurrence starting at p needs p+i in
+    * positions(term_i) for every offset i, so the start set is the
+    * intersection of the offset-SHIFTED position arrays — a fold of
+    * `array_intersect(acc, transform(positions_i, x -> x - i))`, all
+    * integer ops, bit-exact by construction. Duplicate terms in the
+    * phrase ("the same the") are legal: offsets key the fold, terms
+    * only key the (deduped) index lookup.
+    */
+  def phraseTopK(posPostings: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val spark = posPostings.sparkSession
+    import spark.implicits._
+    val termsDf = phrase.distinct
+      .toDF("q_term")
+      .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
+    val matched = posPostings
+      .join(broadcast(termsDf), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .select(col("doc_id"), col("term"), col("positions"))
+    val pmap = matched
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        map_from_entries(collect_list(struct(col("term"), col("positions")))).as("pm"))
+      .filter(col("n_terms") === phrase.distinct.size) // every phrase term present
+    val starts = phrase.zipWithIndex.tail.foldLeft(element_at(col("pm"), phrase.head)) {
+      case (acc, (tm, i)) =>
+        array_intersect(acc, transform(element_at(col("pm"), tm), x => x - i))
+    }
+    pmap
+      .withColumn("starts", starts)
+      .select(
+        col("doc_id"),
+        size(col("starts")).cast("long").as("n_occ"),
+        array_min(col("starts")).cast("long").as("first_pos"))
+      .filter(col("n_occ") > 0)
+      .orderBy(col("n_occ").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Ad-hoc ranked retrieval over the persisted index: top-`k` docs

@@ -39,6 +39,12 @@ class PlanQualitySpec extends SparkTestBase {
     // broadcast-one-query-row crossJoin; both ranking windows read
     // TakeOrdered 50-row frames, not the corpus
     "d48_hybrid_rrf_ivf"  -> Set("BroadcastNestedLoopJoin", "GlobalWindow(small)"),
+    // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
+    // the grown (built+appended) index still joins terms hash-keyed
+    "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),
+    // d51: the one-row bigram-total frame cross-joined back broadcast;
+    // marginals join the |vocab|^2-bounded count frame, never the corpus
+    "d51_collocations"    -> Set("BroadcastNestedLoopJoin"),
     // bounded-input global windows: final ranking over already-
     // aggregated or already-truncated frames
     "d19_oov_ratio"      -> Set("GlobalWindow(small)"),

@@ -153,6 +153,95 @@ class RetrievalSpec extends SparkTestBase {
     } finally indexed.unpersist()
   }
 
+  /** Independent overlap-correct phrase counter in plain Scala. */
+  private def brutePhrase(
+      docs: Seq[(Long, String)],
+      phrase: Seq[String],
+      k: Int): Seq[(Long, Long, Long)] = {
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val hits = docs.flatMap { case (id, tx) =>
+      val tk = toks(tx)
+      val starts = (0 to tk.size - phrase.size).filter(p => phrase.indices.forall(i => tk(p + i) == phrase(i)))
+      if (starts.isEmpty) None else Some((id, starts.size.toLong, (starts.min + 1).toLong))
+    }
+    hits.sortBy { case (id, n, _) => (-n, id) }.take(k)
+  }
+
+  test("phrase search: overlap-correct counts, k-term and duplicate-term phrases") {
+    val dir  = Files.createTempDirectory("graft_pix").toString
+    val docs = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    try {
+      Postings.writePositionalIndex(docsDf, "doc_id", "text", "t_pix_f", dir, buckets = 8)
+      val pt = Postings.positionalTable(spark, "t_pix_f")
+      for (phrase <- Seq(
+          Seq("table", "hash"),
+          Seq("merge", "group", "value"), // 3-term
+          Seq("a", "a"),                  // duplicate term: overlap-correct ("a a a" counts 2)
+          Seq("the", "zzz_not_a_term")))  // absent term: empty, not an error
+      {
+        val got = Postings.phraseTopK(pt, phrase, 25)
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(got == brutePhrase(docs, phrase, 25), s"phrase=$phrase")
+      }
+      // single-term phrase degenerates to "docs containing the term"
+      val one = Postings.phraseTopK(pt, Seq("join"), 25).as[(Long, Long, Long)].collect().toSeq
+      assert(one == brutePhrase(docs, Seq("join"), 25))
+    } finally Postings.dropIndex(spark, "t_pix_f")
+  }
+
+  test("positional append: grown positional index answers exactly like a from-scratch build") {
+    val dir  = Files.createTempDirectory("graft_pix").toString
+    val dir2 = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writePositionalIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_pix_g", dir, buckets = 8)
+      Postings.appendPositionalBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_g")
+      Postings.writePositionalIndex(docsDf, "doc_id", "text", "t_pix_h", dir2, buckets = 8)
+      val phrase = Seq("table", "hash")
+      val grown = Postings.phraseTopK(Postings.positionalTable(spark, "t_pix_g"), phrase, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+      val fresh = Postings.phraseTopK(Postings.positionalTable(spark, "t_pix_h"), phrase, 50)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(grown == fresh, "appended positional index diverged from the from-scratch build")
+      assert(grown.nonEmpty)
+    } finally {
+      Postings.dropIndex(spark, "t_pix_g")
+      Postings.dropIndex(spark, "t_pix_h")
+    }
+  }
+
+  test("phrase query joins the positional index with zero index-side shuffle") {
+    val dir = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writePositionalIndex(docsDf, "doc_id", "text", "t_pix_i", dir, buckets = 8)
+      val q = Postings.phraseTopK(Postings.positionalTable(spark, "t_pix_i"), Seq("table", "hash"), 25)
+      q.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case qs: QueryStageExec       => Seq(qs) ++ expand(qs.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      val all = expand(q.queryExecution.executedPlan)
+      val bhjs = all.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      val idxJoin = bhjs.map { j =>
+        j -> j.children.map(expand).find(_.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.bucketSpec.nonEmpty
+          case _                                                    => false
+        })
+      }.collectFirst { case (j, Some(side)) => (j, side) }
+      assert(idxJoin.nonEmpty, s"no broadcast join over the bucketed positional scan:\n${q.queryExecution.executedPlan}")
+      assert(
+        !idxJoin.get._2.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        s"positional side shuffled before the terms join:\n${q.queryExecution.executedPlan}")
+    } finally Postings.dropIndex(spark, "t_pix_i")
+  }
+
   test("append maintenance: grown index answers exactly like a from-scratch build") {
     val dir   = Files.createTempDirectory("graft_pix").toString
     val dir2  = Files.createTempDirectory("graft_pix").toString
