@@ -34,6 +34,9 @@ class InvarianceSpec extends SparkTestBase {
     "e09_incremental_embed_dedup", // literal-centroid probe + stream-static join
     "d45_bm25_search",    // integer-sourced double scoring (fixed-order term sum)
     "d46_hybrid_rrf",     // rank fusion: integer ranks must survive repartitioning
+    "d49_phrase_search",  // positional index round trip + array-shift adjacency
+    "d50_index_append",   // build+append must not depend on physical execution
+    "d51_collocations",   // integer-product lift: one double division, no float sums
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
