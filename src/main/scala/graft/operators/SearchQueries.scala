@@ -316,6 +316,62 @@ object SearchQueries {
       graft.retrieval.Postings.positionalTable(s, name), Seq("table", "hash"), 50)
   }
 
+  /** Once-per-process index builds for the `_prod` bench variants: the
+    * gated d47/d49 time the full write→read round trip every run; a
+    * production pipeline builds ONCE and amortizes (write-once/
+    * read-many is the index's entire reason to exist). The memo keys
+    * on (canonical dir, kind) — first touch builds, every later call
+    * answers from the persisted tables, so Bench's min-of-passes
+    * reports the amortized QUERY cost while the build cost stays
+    * visible in the round-trip queries. Oracle outputs are identical
+    * to the round-trip forms (same tables, same terms).
+    */
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureIndex(s: SparkSession, dir: String, kind: String)(
+      build: (String, String) => Unit): String =
+    indexMemo.computeIfAbsent(
+      {
+        val canon = try new java.io.File(dir).getCanonicalPath catch { case _: Throwable => dir }
+        s"$canon::$kind"
+      },
+      _ => {
+        val sfName = new java.io.File(dir).getName
+        val pid    = ProcessHandle.current().pid()
+        val name   = s"graft_${kind}_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+        val path   = s"/tmp/graft_fixtures/$sfName/${kind}_prod_p$pid"
+        cleanupAtExit(path)
+        build(name, path)
+        name
+      })
+
+  /** d47's production shape: answer the same ad-hoc terms from the
+    * already-persisted index (built once per process). This is the
+    * latency a curation user's SECOND-and-later searches pay — the
+    * number that justifies the index over d45's full scan.
+    */
+  val d47p_indexed_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      d47Terms, 50)
+  }
+
+  /** d49's production shape: phrase search over the already-persisted
+    * positional index.
+    */
+  val d49p_phrase_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "phraseprod") { (n, p) =>
+      graft.retrieval.Postings.writePositionalIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.phraseTopK(
+      graft.retrieval.Postings.positionalTable(s, name), Seq("table", "hash"), 50)
+  }
+
   /** Incremental index maintenance AT THE GATE (not just in
     * RetrievalSpec): build the posting index on half the corpus, grow
     * it with `appendBatch` over the other half, then answer from the
@@ -352,9 +408,17 @@ object SearchQueries {
     "d48_hybrid_rrf_ivf" -> d48_hybrid_rrf_ivf,
     "d49_phrase_search" -> d49_phrase_search,
     "d50_index_append"  -> d50_index_append,
+    "d47p_indexed_prod" -> d47p_indexed_prod,
+    "d49p_phrase_prod"  -> d49p_phrase_prod,
   )
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // the _prod variants answer from the persisted index but must give
+    // the exact same result as the round-trip forms — same oracle SQL
+    "d47p_indexed_prod" -> oraclesBase("d47_indexed_search"),
+    "d49p_phrase_prod"  -> oraclesBase("d49_phrase_search"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "q36_restricted_filters" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')

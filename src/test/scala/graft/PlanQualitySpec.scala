@@ -39,6 +39,8 @@ class PlanQualitySpec extends SparkTestBase {
     // broadcast-one-query-row crossJoin; both ranking windows read
     // TakeOrdered 50-row frames, not the corpus
     "d48_hybrid_rrf_ivf"  -> Set("BroadcastNestedLoopJoin", "GlobalWindow(small)"),
+    // d47p: same one-row stats broadcast as d47 (query-only prod form)
+    "d47p_indexed_prod"   -> Set("BroadcastNestedLoopJoin"),
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),
