@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Fused shingle-build + hash for the dedup hot path.
   *
@@ -237,6 +237,49 @@ object ShingleOps {
     * Pairs that complete the merge return the EXACT count, so callers'
     * surviving rows are bit-identical to `sortedIntersectCount`.
     */
+  /** Min |a_i - b_j| over sorted int arrays, two-pointer. -1 when either
+    * array is empty (never occurs on posting rows: a posting exists only
+    * for terms that occur).
+    */
+  def sortedMinAbsGap(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return -1L
+    var i    = 0
+    var j    = 0
+    var best = Long.MaxValue
+    while (i < na && j < nb) {
+      val d  = a.getInt(i).toLong - b.getInt(j).toLong
+      val ad = if (d < 0) -d else d
+      if (ad < best) best = ad
+      if (best == 0L) return 0L
+      if (d < 0) i += 1 else j += 1
+    }
+    best
+  }
+
+  /** Count of pairs (i, j) with |a_i - b_j| <= w over sorted int
+    * arrays. The [x-w, x+w] window over b only ever advances as x
+    * grows, so the sweep is O(|a|+|b|) however many pairs qualify.
+    */
+  def sortedPairsWithin(a: ArrayData, b: ArrayData, w: Long): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var lo = 0
+    var hi = 0
+    var c  = 0L
+    var i  = 0
+    while (i < na) {
+      val x = a.getInt(i).toLong
+      while (lo < nb && b.getInt(lo) < x - w) lo += 1
+      if (hi < lo) hi = lo
+      while (hi < nb && b.getInt(hi) <= x + w) hi += 1
+      c += (hi - lo)
+      i += 1
+    }
+    c
+  }
+
   def sortedIntersectAtLeast(a: ArrayData, b: ArrayData, minRequired: Long): Long = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -555,6 +598,58 @@ case class SortedIntersectAtLeastExpr(first: Expression, second: Expression, thi
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** Minimum |a_i - b_j| over two SORTED int arrays (posting position
+  * lists) — the proximity-search primitive. Two-pointer: O(|a|+|b|)
+  * and zero allocation where the composable form
+  * `array_min(flatten(transform(a, x -> transform(b, y -> abs(x-y)))))`
+  * is O(|a|·|b|) and materializes the product. Runs once per doc with
+  * all query terms present — the hot row count of a proximity ranker.
+  */
+case class SortedMinAbsGapExpr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def dataType: DataType                   = org.apache.spark.sql.types.LongType
+  override def prettyName: String                   = "sorted_min_abs_gap"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleOps.sortedMinAbsGap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleOps.sortedMinAbsGap($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of pairs (i, j) with |a_i - b_j| <= w over two SORTED int
+  * arrays — the "co-occurrences within a window" proximity score.
+  * Monotone two-window sweep: lo/hi only ever advance, so the count is
+  * O(|a|+|b|) regardless of how many pairs qualify, where the
+  * composable flatten-filter form is O(|a|·|b|).
+  */
+case class SortedPairsWithinExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[Bridge.AbstractType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType), LongType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sorted_pairs_within"
+
+  override def nullSafeEval(a: Any, b: Any, w: Any): Any =
+    ShingleOps.sortedPairsWithin(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], w.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, w) => s"graft.functions.ShingleOps.sortedPairsWithin($a, $b, $w)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Whitespace tokenization of a string — the fused form of
   * `filter(split(trim(c), "\\s+"), t => t =!= lit(""))`, the tokenizer
   * under every text-analysis and shingle path. One pass over the UTF-8
@@ -730,6 +825,15 @@ object ShingleExpressions {
   def sortedIntersectAtLeast(a: Column, b: Column, minRequired: Column): Column =
     Bridge.column(SortedIntersectAtLeastExpr(
       Bridge.expression(a), Bridge.expression(b), Bridge.expression(minRequired)))
+
+  /** Two-pointer min |a_i - b_j| over sorted int position arrays. */
+  def sortedMinAbsGap(a: Column, b: Column): Column =
+    Bridge.column(SortedMinAbsGapExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Monotone-sweep count of pairs within `w` over sorted int arrays. */
+  def sortedPairsWithin(a: Column, b: Column, w: Column): Column =
+    Bridge.column(SortedPairsWithinExpr(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(w)))
 
   /** Per-row 60-bit SimHash of a token-array column (null when empty). */
   def simhash60(tokens: Column): Column =

@@ -398,6 +398,22 @@ object SearchQueries {
       Seq("group", "order", "row"), 50)
   }
 
+  /** Proximity-ranked retrieval over the positional index (built once
+    * per process, shared with d49p): docs where 'vector' and 'merge'
+    * co-occur, ranked by pairs-within-3 density then closest gap. The
+    * scores are the codegen'd two-pointer kernels
+    * (`sorted_pairs_within` / `sorted_min_abs_gap`, O(|a|+|b|)) — the
+    * oracle computes the same integers the O(|a|·|b|) way.
+    */
+  val d52_proximity_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "phraseprod") { (n, p) =>
+      graft.retrieval.Postings.writePositionalIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.proximityTopK(
+      graft.retrieval.Postings.positionalTable(s, name), "vector", "merge", window = 3, k = 50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -410,6 +426,7 @@ object SearchQueries {
     "d50_index_append"  -> d50_index_append,
     "d47p_indexed_prod" -> d47p_indexed_prod,
     "d49p_phrase_prod"  -> d49p_phrase_prod,
+    "d52_proximity_search" -> d52_proximity_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -690,6 +707,29 @@ object SearchQueries {
         |WHERE a.term = 'table' AND b.term = 'hash'
         |GROUP BY a.doc_id
         |ORDER BY n_occ DESC, a.doc_id LIMIT 50""".stripMargin,
+    // proximity: same integers the quadratic way (flattened pair
+    // distances) — the engine computes them with O(|a|+|b|) kernels
+    "d52_proximity_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(tk) + 1), i -> {'pos': i, 'term': tk[i]})) AS e
+        |  FROM tk),
+        |p AS (SELECT doc_id, e.pos AS pos, e.term AS term FROM pos),
+        |pa AS (SELECT doc_id, list(pos ORDER BY pos) AS la FROM p WHERE term = 'vector' GROUP BY doc_id),
+        |pb AS (SELECT doc_id, list(pos ORDER BY pos) AS lb FROM p WHERE term = 'merge' GROUP BY doc_id),
+        |g AS (
+        |  SELECT pa.doc_id AS doc_id,
+        |         flatten(list_transform(la, x -> list_transform(lb, y -> abs(x - y)))) AS ds
+        |  FROM pa JOIN pb ON pa.doc_id = pb.doc_id)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(ds, d -> d <= 3)) AS BIGINT) AS n_near,
+        |       CAST(list_min(ds) AS BIGINT) AS min_gap
+        |FROM g
+        |ORDER BY n_near DESC, min_gap, doc_id LIMIT 50""".stripMargin,
     // full-corpus SQL, blind to the build/append split — a hash match
     // proves the grown index == a from-scratch build
     "d50_index_append" ->

@@ -178,6 +178,57 @@ object Postings {
     * phrase ("the same the") are legal: offsets key the fold, terms
     * only key the (deduped) index lookup.
     */
+  /** Proximity search over the positional index: top-`k` docs
+    * containing BOTH terms, ranked by co-occurrence density — `n_near`
+    * (occurrence pairs within `window` tokens, descending), then
+    * `min_gap` (closest pair, ascending), then doc_id. The
+    * sentence-/window-level "terms actually appear TOGETHER" signal
+    * that neither bag-of-words BM25 (any distance) nor exact phrase
+    * (distance exactly 1, fixed order) expresses.
+    *
+    * Same plan as `phraseTopK` up to the per-doc map; the scores are
+    * native two-pointer expressions over the sorted position arrays
+    * (`ShingleOps.sortedPairsWithin` / `sortedMinAbsGap`, both
+    * codegen'd O(|a|+|b|)) — the composable flatten-the-cross-product
+    * forms are O(|a|·|b|) per doc, which at 100 TB is the difference
+    * between a scan-bound and a compute-bound ranker. All-integer
+    * scores: bit-exact against any engine by construction.
+    */
+  def proximityTopK(
+      posPostings: DataFrame,
+      termA: String,
+      termB: String,
+      window: Int,
+      k: Int): DataFrame = {
+    require(termA != termB, "proximity terms must differ (a==b would pair positions with themselves)")
+    val spark = posPostings.sparkSession
+    import spark.implicits._
+    val termsDf = Seq(termA, termB)
+      .toDF("q_term")
+      .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
+    val matched = posPostings
+      .join(broadcast(termsDf), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .select(col("doc_id"), col("term"), col("positions"))
+    matched
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        map_from_entries(collect_list(struct(col("term"), col("positions")))).as("pm"))
+      .filter(col("n_terms") === 2)
+      .select(
+        col("doc_id"),
+        graft.functions.ShingleExpressions
+          .sortedPairsWithin(
+            element_at(col("pm"), termA), element_at(col("pm"), termB), lit(window.toLong))
+          .as("n_near"),
+        graft.functions.ShingleExpressions
+          .sortedMinAbsGap(element_at(col("pm"), termA), element_at(col("pm"), termB))
+          .as("min_gap"))
+      .orderBy(col("n_near").desc, col("min_gap"), col("doc_id"))
+      .limit(k)
+  }
+
   def phraseTopK(posPostings: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one term")
     val spark = posPostings.sparkSession

@@ -311,6 +311,30 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("proximity kernels equal quadratic reference over random sorted arrays (5 seeds)") {
+    import graft.functions.ShingleExpressions
+    for (seed <- 1 to 5) {
+      val rnd = new Random(seed)
+      val rows = (0 until 60).map { i =>
+        def arr() = Seq.fill(1 + rnd.nextInt(12))(rnd.nextInt(200)).distinct.sorted
+        (i.toLong, arr(), arr(), rnd.nextInt(5).toLong)
+      }
+      val df = rows.toDF("id", "a", "b", "w")
+        .select(
+          col("id"), col("a"), col("b"), col("w"),
+          ShingleExpressions.sortedMinAbsGap(col("a"), col("b")).as("gap"),
+          ShingleExpressions.sortedPairsWithin(col("a"), col("b"), col("w")).as("near"))
+      val got = df.select("id", "gap", "near").as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      for ((id, a, b, w) <- rows) {
+        val ds      = for (x <- a; y <- b) yield math.abs(x - y).toLong
+        val expGap  = ds.min
+        val expNear = ds.count(_ <= w).toLong
+        assert(got(id) == ((expGap, expNear)), s"seed=$seed id=$id a=$a b=$b w=$w")
+      }
+    }
+  }
+
   test("paginate exactly partitions any ordered id stream (3 seeds)") {
     for (seed <- 1 to 3) {
       val rnd  = new Random(seed)

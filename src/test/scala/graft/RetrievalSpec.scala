@@ -190,6 +190,35 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_pix_f")
   }
 
+  test("proximity search equals plain-Scala brute force (window pairs + min gap)") {
+    val dir  = Files.createTempDirectory("graft_pix").toString
+    val docs = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    def brute(ta: String, tb: String, w: Int, k: Int): Seq[(Long, Long, Long)] = {
+      val hits = docs.flatMap { case (id, tx) =>
+        val tk = toks(tx)
+        val pa = tk.zipWithIndex.collect { case (t, i) if t == ta => i + 1 }
+        val pb = tk.zipWithIndex.collect { case (t, i) if t == tb => i + 1 }
+        if (pa.isEmpty || pb.isEmpty) None
+        else {
+          val ds = for (x <- pa; y <- pb) yield math.abs(x - y).toLong
+          Some((id, ds.count(_ <= w).toLong, ds.min))
+        }
+      }
+      hits.sortBy { case (id, n, g) => (-n, g, id) }.take(k)
+    }
+    try {
+      Postings.writePositionalIndex(docsDf, "doc_id", "text", "t_pix_j", dir, buckets = 8)
+      val pt = Postings.positionalTable(spark, "t_pix_j")
+      for ((ta, tb, w) <- Seq(("vector", "merge", 3), ("table", "hash", 1), ("scan", "zzz_missing", 2))) {
+        val got = Postings.proximityTopK(pt, ta, tb, w, 25)
+          .as[(Long, Long, Long)].collect().toSeq
+        assert(got == brute(ta, tb, w, 25), s"terms=($ta,$tb) w=$w")
+      }
+    } finally Postings.dropIndex(spark, "t_pix_j")
+  }
+
   test("positional append: grown positional index answers exactly like a from-scratch build") {
     val dir  = Files.createTempDirectory("graft_pix").toString
     val dir2 = Files.createTempDirectory("graft_pix").toString
