@@ -37,6 +37,7 @@ class InvarianceSpec extends SparkTestBase {
     "d49_phrase_search",  // positional index round trip + array-shift adjacency
     "d50_index_append",   // build+append must not depend on physical execution
     "d51_collocations",   // integer-product lift: one double division, no float sums
+    "d52_proximity_search", // two-pointer kernels over map-collected position arrays
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
