@@ -101,5 +101,15 @@ object SqlFunctions {
     },
     fn("graft_dot_product", "graft_dot_product(a, b) - float-array dot product (embedding kernel)") { es =>
       arity("graft_dot_product", 2, es); DotProductExpr(es.head, es(1))
+    },
+    fn(
+      "graft_min_abs_gap",
+      "graft_min_abs_gap(a, b) - two-pointer min |a_i - b_j| over sorted int position arrays (proximity)") { es =>
+      arity("graft_min_abs_gap", 2, es); SortedMinAbsGapExpr(es.head, es(1))
+    },
+    fn(
+      "graft_pairs_within",
+      "graft_pairs_within(a, b, w) - count of position pairs within w over sorted int arrays (proximity)") { es =>
+      arity("graft_pairs_within", 3, es); SortedPairsWithinExpr(es.head, es(1), es(2))
     })
 }

@@ -202,6 +202,31 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(got.nonEmpty && got.toSeq == twin.toSeq)
   }
 
+  test("proximity kernels match the Column API from pure SQL") {
+    docs.createOrReplaceTempView("sqlfn_docs")
+    // positions of two terms per doc, built the same way on both sides
+    def posOf(term: String) =
+      expr(s"sort_array(filter(transform(graft_tokenize(text), (t, i) -> IF(t = '$term', i + 1, -1)), p -> p > 0))")
+    same(
+      spark.sql(
+        """SELECT doc_id,
+          |       graft_pairs_within(pa, pb, 3L) AS n_near,
+          |       graft_min_abs_gap(pa, pb) AS min_gap
+          |FROM (SELECT doc_id,
+          |             sort_array(filter(transform(graft_tokenize(text), (t, i) -> IF(t = 'vector', i + 1, -1)), p -> p > 0)) AS pa,
+          |             sort_array(filter(transform(graft_tokenize(text), (t, i) -> IF(t = 'merge', i + 1, -1)), p -> p > 0)) AS pb
+          |      FROM sqlfn_docs WHERE doc_id < 30)
+          |WHERE size(pa) > 0 AND size(pb) > 0""".stripMargin),
+      docs.filter(col("doc_id") < 30)
+        .select(col("doc_id"), posOf("vector").as("pa"), posOf("merge").as("pb"))
+        .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
+        .select(
+          col("doc_id"),
+          ShingleExpressions.sortedPairsWithin(col("pa"), col("pb"), lit(3L)).as("n_near"),
+          ShingleExpressions.sortedMinAbsGap(col("pa"), col("pb")).as("min_gap")),
+      "graft_pairs_within/graft_min_abs_gap")
+  }
+
   test("the functions are documented (DESCRIBE FUNCTION)") {
     val desc = spark.sql("DESCRIBE FUNCTION graft_hash60").collect().map(_.getString(0)).mkString("\n")
     assert(desc.contains("graft_hash60"))
