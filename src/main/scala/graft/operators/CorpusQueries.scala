@@ -261,15 +261,19 @@ object CorpusQueries {
     */
   val d51_collocations: Q = (s, dir) => {
     val t = Tables(s, dir)
-    val c12 = Ops.spread(t.documents, col("doc_id"))
-      .select(TextAnalysis.tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(
-        explode(expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
-          .as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("n_pair"))
+    // persisted: the count frame feeds FOUR consumers (c1, c2, total,
+    // and the scored join) — without the pin each would re-run the
+    // corpus explode. It is at most |vocab|^2 rows, so the pin is free.
+    val c12 = graft.Caches.persistOnce(
+      Ops.spread(t.documents, col("doc_id"))
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(
+          explode(expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+            .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n_pair")))
     val c1  = c12.groupBy(col("w1")).agg(sum(col("n_pair")).as("c1"))
     val c2  = c12.groupBy(col("w2")).agg(sum(col("n_pair")).as("c2"))
     val tot = c12.agg(sum(col("n_pair")).as("total"))
