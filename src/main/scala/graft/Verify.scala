@@ -30,7 +30,13 @@ object Verify {
     // the artifact read as all-pass). Record every failure in
     // errors.json next to the result dumps and summarize loudly.
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<regex>: dump only matching queries (targeted
+    // re-verification after adding a query — a full sf1 dump is ~15
+    // min). The driver never sets it; default behavior is identical.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .foreach { case (name, fn) =>
       // cache scope per query: builders persist shared subtrees; once
       // this query's write completes they are leaks (Caches.scoped)
       try Caches.scoped(spark) {
@@ -55,12 +61,13 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.findFirstIn(k).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    val total = SparkEntry.queries.size
+    val total = SparkEntry.queries.count { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     println(s"[verify] dumped ${total - failures.size}/$total queries; ${failures.size} failed" +
       (if (failures.isEmpty) "" else s": ${failures.keys.mkString(", ")}"))
     spark.stop()
