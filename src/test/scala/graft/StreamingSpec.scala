@@ -369,4 +369,48 @@ class StreamingSpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 3.0)))
   }
+
+  test("streaming index maintenance: micro-batch appends keep the index query-consistent") {
+    import graft.retrieval.Postings
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, "spark merge join spark"),
+      (2L, "hash table scan row"),
+      (3L, "spark spark filter sort"))
+    val batchA = Seq((10L, "merge spark window"), (11L, "row batch merge merge"))
+    val batchB = Seq((20L, "spark merge merge scan"), (21L, "filter only words"))
+    val dir  = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sidx_ckpt").toString
+    Postings.writeIndex(base.toDF("doc_id", "text"), "doc_id", "text", "t_sidx_a", dir, buckets = 4)
+    val stream = MemoryStream[(Long, String)]
+    val q = Postings
+      .maintainFromStream(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", "t_sidx_a")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(batchA); q.processAllAvailable()
+      stream.addData(batchB); q.processAllAvailable()
+      Postings.writeIndex(
+        (base ++ batchA ++ batchB).toDF("doc_id", "text"), "doc_id", "text", "t_sidx_b", dir2, buckets = 4)
+      val terms = Seq("spark", "merge")
+      def top(name: String) = Postings
+        .bm25TopK(Postings.postingsTable(spark, name), Postings.statsTable(spark, name), terms, 10)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(top("t_sidx_a") == top("t_sidx_b"),
+        "stream-grown index diverged from a from-scratch build over the same docs")
+      // idempotent replay: re-appending an already-committed batch id
+      // is a no-op (foreachBatch redelivery after failure)
+      val before = Postings.postingsTable(spark, "t_sidx_a").count()
+      Postings.appendBatch(batchA.toDF("doc_id", "text"), "doc_id", "text", "t_sidx_a", batchId = 0L)
+      assert(Postings.postingsTable(spark, "t_sidx_a").count() == before)
+      assert(top("t_sidx_a") == top("t_sidx_b"))
+      // and the stats table records exactly base + 2 committed batches
+      assert(Postings.statsTable(spark, "t_sidx_a").count() == 3)
+    } finally {
+      q.stop()
+      Postings.dropIndex(spark, "t_sidx_a")
+      Postings.dropIndex(spark, "t_sidx_b")
+    }
+  }
 }
