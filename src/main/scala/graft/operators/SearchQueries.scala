@@ -414,6 +414,26 @@ object SearchQueries {
       graft.retrieval.Postings.positionalTable(s, name), "vector", "merge", window = 3, k = 50)
   }
 
+  /** Prefix (wildcard) search: resolve `s%` against the persisted term
+    * DICTIONARY (distinct-terms-sized — the index's lexicographic side
+    * channel, since term-hash bucketing deliberately destroys order),
+    * then rank with the resolved list through the normal zero-shuffle
+    * posting join. The oracle resolves the same prefix DYNAMICALLY by
+    * full scan, so the hash match proves dictionary resolution ==
+    * full-scan resolution — including at sf1, where the amplifier's
+    * marker tokens grow the matching set 10× (6 terms → 60).
+    */
+  val d53_prefix_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      graft.retrieval.Postings.prefixTerms(s, name, "s"), 50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -427,6 +447,7 @@ object SearchQueries {
     "d47p_indexed_prod" -> d47p_indexed_prod,
     "d49p_phrase_prod"  -> d49p_phrase_prod,
     "d52_proximity_search" -> d52_proximity_search,
+    "d53_prefix_search" -> d53_prefix_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -730,6 +751,40 @@ object SearchQueries {
         |       CAST(list_min(ds) AS BIGINT) AS min_gap
         |FROM g
         |ORDER BY n_near DESC, min_gap, doc_id LIMIT 50""".stripMargin,
+    // DYNAMIC prefix resolution: the oracle discovers the matching
+    // terms by full scan; the engine resolves the same prefix against
+    // its persisted dictionary. Score fold ordered by alphabetical term
+    // rank on both sides (same IEEE tree; list_reduce's c1+c2+... tree
+    // equals the engine's 0.0+c1+c2+... since 0.0+x == x).
+    "d53_prefix_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tr AS (SELECT term, row_number() OVER (ORDER BY term) AS trank
+        |       FROM (SELECT DISTINCT term FROM u WHERE term LIKE 's%')),
+        |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |tf AS (SELECT u.doc_id AS doc_id, tr.term AS term, tr.trank AS trank,
+        |              CAST(count(*) AS BIGINT) AS tf
+        |       FROM u JOIN tr USING (term) GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id AS doc_id, tf.trank AS trank,
+        |         (((n_docs - dfs.df) + 0.5) / (dfs.df + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dls.dl AS DOUBLE)
+        |                                         / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |           AS contrib
+        |  FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id, st)
+        |SELECT c.doc_id AS doc_id, dls.dl AS dl,
+        |       CAST(count(*) AS BIGINT) AS n_matched,
+        |       list_reduce(list(contrib ORDER BY trank), (x, y) -> x + y) AS score
+        |FROM c JOIN dls ON c.doc_id = dls.doc_id
+        |GROUP BY c.doc_id, dls.dl
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
     // full-corpus SQL, blind to the build/append split — a hash match
     // proves the grown index == a from-scratch build
     "d50_index_append" ->

@@ -75,6 +75,23 @@ object Postings {
 
   private def postingsTableName(name: String) = s"${name}_postings"
   private def statsTableName(name: String)    = s"${name}_stats"
+  private def dictTableName(name: String)     = s"${name}_dict"
+
+  /** Term-dictionary rows for a batch: the batch's DISTINCT terms.
+    * The dictionary is what makes prefix/wildcard queries index-shaped:
+    * term_h bucketing destroys lexicographic order (by design — point
+    * lookups), so a pattern query resolves its matching terms against
+    * this orders-of-magnitude-smaller table first, then drives the
+    * normal zero-shuffle hash join with the resolved list. Append-only
+    * like everything else (duplicate terms across batches are fine —
+    * resolution is DISTINCT).
+    */
+  def dictRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+      .select(Hashing.hash60(col("term")).as("term_h"), col("term"))
 
   /** Build the index: postings bucketed+sorted by `term_h` at
     * `path/postings`, stats as a plain appendable table at
@@ -91,6 +108,8 @@ object Postings {
       postings(docs, idCol, textCol), postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
     statsRow(docs, idCol, textCol)
       .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
+    dictRows(docs, idCol, textCol)
+      .write.mode("overwrite").option("path", s"$path/dict").saveAsTable(dictTableName(name))
   }
 
   /** Incremental maintenance: append a batch's postings (own bucket
@@ -119,6 +138,7 @@ object Postings {
     if (batchId >= 0L &&
       !spark.table(statsTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
     Layout.append(postings(docs, idCol, textCol), postingsTableName(name))
+    dictRows(docs, idCol, textCol).write.mode("append").insertInto(dictTableName(name))
     statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
   }
 
@@ -149,6 +169,37 @@ object Postings {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${posTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${dictTableName(name)}")
+  }
+
+  def dictTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(dictTableName(name))
+
+  /** Resolve a PREFIX pattern to its matching terms, alphabetically —
+    * the dictionary pass of a wildcard query. Reads only the dictionary
+    * (distinct-terms-sized; at web scale millions of rows where the
+    * postings are trillions), collects the bounded resolved list to
+    * drive `bm25TopK`'s broadcast exactly like a literal terms query.
+    * REFUSES (rather than silently truncates) a pattern matching more
+    * than `maxTerms` — a `s%`-style query that resolves half the
+    * vocabulary should fail loudly, not rank on an arbitrary subset.
+    */
+  def prefixTerms(
+      spark: SparkSession,
+      name: String,
+      prefix: String,
+      maxTerms: Int = 1000): Seq[String] = {
+    import spark.implicits._
+    val matched = dictTable(spark, name)
+      .filter(col("term").startsWith(prefix))
+      .select(col("term")).distinct()
+      .orderBy(col("term"))
+      .limit(maxTerms + 1)
+      .as[String].collect().toSeq
+    require(
+      matched.size <= maxTerms,
+      s"prefix '$prefix' resolves more than $maxTerms terms; refine the pattern or raise maxTerms")
+    matched
   }
 
   // ---------- positional index (phrase queries) ----------

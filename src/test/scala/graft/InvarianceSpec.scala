@@ -38,6 +38,7 @@ class InvarianceSpec extends SparkTestBase {
     "d50_index_append",   // build+append must not depend on physical execution
     "d51_collocations",   // integer-product lift: one double division, no float sums
     "d52_proximity_search", // two-pointer kernels over map-collected position arrays
+    "d53_prefix_search",  // dictionary resolution + alphabetical-rank score fold
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {

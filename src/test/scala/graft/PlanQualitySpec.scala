@@ -41,6 +41,8 @@ class PlanQualitySpec extends SparkTestBase {
     "d48_hybrid_rrf_ivf"  -> Set("BroadcastNestedLoopJoin", "GlobalWindow(small)"),
     // d47p: same one-row stats broadcast as d47 (query-only prod form)
     "d47p_indexed_prod"   -> Set("BroadcastNestedLoopJoin"),
+    // d53: dictionary-resolved terms drive the same bm25TopK shape
+    "d53_prefix_search"   -> Set("BroadcastNestedLoopJoin"),
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),

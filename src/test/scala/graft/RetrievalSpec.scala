@@ -271,6 +271,42 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_pix_i")
   }
 
+  test("prefix resolution: dictionary matches full-scan terms, survives append, refuses overflow") {
+    val dir  = Files.createTempDirectory("graft_pix").toString
+    val dir2 = Files.createTempDirectory("graft_pix").toString
+    val docs = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val fullScanTerms = docs
+      .flatMap(_._2.trim.split("\\s+")).filter(t => t.nonEmpty && t.startsWith("s"))
+      .distinct.sorted
+    try {
+      // grown (half + append-half) dictionary resolves exactly the full-scan set
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_pix_k", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_k")
+      assert(Postings.prefixTerms(spark, "t_pix_k", "s") == fullScanTerms)
+      // and ranking with the resolved list == ranking on a fresh full build
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pix_l", dir2, buckets = 8)
+      val grown = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_pix_k"), Postings.statsTable(spark, "t_pix_k"),
+        Postings.prefixTerms(spark, "t_pix_k", "s"), 50).as[(Long, Long, Long, Double)].collect().toSeq
+      val fresh = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_pix_l"), Postings.statsTable(spark, "t_pix_l"),
+        Postings.prefixTerms(spark, "t_pix_l", "s"), 50).as[(Long, Long, Long, Double)].collect().toSeq
+      assert(grown == fresh && grown.nonEmpty)
+      // an un-selective pattern refuses loudly instead of ranking a subset
+      val e = intercept[IllegalArgumentException](
+        Postings.prefixTerms(spark, "t_pix_k", "", maxTerms = 3))
+      assert(e.getMessage.contains("resolves more than"))
+      // an unmatched prefix is an empty (not erroring) result set
+      assert(Postings.prefixTerms(spark, "t_pix_k", "zzz_nope").isEmpty)
+    } finally {
+      Postings.dropIndex(spark, "t_pix_k")
+      Postings.dropIndex(spark, "t_pix_l")
+    }
+  }
+
   test("append maintenance: grown index answers exactly like a from-scratch build") {
     val dir   = Files.createTempDirectory("graft_pix").toString
     val dir2  = Files.createTempDirectory("graft_pix").toString
