@@ -434,6 +434,22 @@ object SearchQueries {
       graft.retrieval.Postings.prefixTerms(s, name, "s"), 50)
   }
 
+  /** Boolean search over the persisted index: (spark AND merge) AND NOT
+    * slow — the must-side is relational division over the posting join
+    * (the reference's conjunctive tag search, forms.py:537-652,
+    * re-expressed against an inverted index), the not-side an
+    * anti-join. No corpus scan, no scoring — set semantics.
+    */
+  val d54_boolean_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.booleanSearch(
+      graft.retrieval.Postings.postingsTable(s, name),
+      must = Seq("spark", "merge"), mustNot = Seq("slow"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -448,6 +464,7 @@ object SearchQueries {
     "d49p_phrase_prod"  -> d49p_phrase_prod,
     "d52_proximity_search" -> d52_proximity_search,
     "d53_prefix_search" -> d53_prefix_search,
+    "d54_boolean_search" -> d54_boolean_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -785,6 +802,16 @@ object SearchQueries {
         |FROM c JOIN dls ON c.doc_id = dls.doc_id
         |GROUP BY c.doc_id, dls.dl
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    "d54_boolean_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl
+        |FROM tk
+        |WHERE list_contains(tk, 'spark') AND list_contains(tk, 'merge')
+        |  AND NOT list_contains(tk, 'slow')
+        |ORDER BY doc_id""".stripMargin,
     // full-corpus SQL, blind to the build/append split — a hash match
     // proves the grown index == a from-scratch build
     "d50_index_append" ->

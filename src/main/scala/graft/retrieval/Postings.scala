@@ -353,6 +353,40 @@ object Postings {
       .limit(k)
   }
 
+  /** Boolean retrieval over the persisted index: docs containing ALL
+    * `must` terms and NONE of the `mustNot` terms. Entirely
+    * index-shaped: the must-side is relational division over the
+    * posting join (doc's matched-term count == |must|), the not-side
+    * one anti-join on the excluded terms' postings — the corpus is
+    * never scanned, and both term frames broadcast against the
+    * bucketed layout with zero index-side exchange.
+    */
+  def booleanSearch(postings: DataFrame, must: Seq[String], mustNot: Seq[String]): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must-term")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    def termsDf(ts: Seq[String]) =
+      ts.toDF("q_term").select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
+    val mTerms = must.distinct
+    val hasAll = postings
+      .join(broadcast(termsDf(mTerms)), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === mTerms.size)
+      .select(col("doc_id"), col("dl"))
+    val out =
+      if (mustNot.isEmpty) hasAll
+      else {
+        val excluded = postings
+          .join(broadcast(termsDf(mustNot.distinct)), Seq("term_h"))
+          .filter(col("term") === col("q_term"))
+          .select(col("doc_id"))
+        hasAll.join(excluded, Seq("doc_id"), "left_anti")
+      }
+    out.orderBy(col("doc_id"))
+  }
+
   /** Ad-hoc ranked retrieval over the persisted index: top-`k` docs
     * (among docs matching >= 1 term) for an ARBITRARY terms list, by
     * the same BM25-style score as d45.

@@ -43,6 +43,7 @@ class PlanQualitySpec extends SparkTestBase {
     "d47p_indexed_prod"   -> Set("BroadcastNestedLoopJoin"),
     // d53: dictionary-resolved terms drive the same bm25TopK shape
     "d53_prefix_search"   -> Set("BroadcastNestedLoopJoin"),
+    // (d54 boolean search: pure hash joins + division — no exception needed)
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),
