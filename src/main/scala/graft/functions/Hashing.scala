@@ -33,4 +33,20 @@ object Hashing {
   /** Seeded variant: independent hash family member i (MinHash). */
   def hash60Seeded(i: Int, c: Column): Column =
     hash60(concat(lit(i.toString), lit(":"), c))
+
+  /** Driver-side twin of `hash60` for PLAN-TIME literals: top 60 bits
+    * of md5, bit-identical to the column expression (spec-pinned).
+    * Exists so an index query can push `term_h IN (<literal hashes>)`
+    * into the bucketed scan — Spark prunes buckets (and parquet prunes
+    * row groups) only on literal predicates against the bucket column;
+    * a join alone streams every bucket through the probe.
+    */
+  def hash60Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i   = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc >>> 4 // 64 big-endian bits -> top 60, always non-negative
+  }
 }

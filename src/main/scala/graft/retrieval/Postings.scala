@@ -77,6 +77,21 @@ object Postings {
   private def statsTableName(name: String)    = s"${name}_stats"
   private def dictTableName(name: String)     = s"${name}_dict"
 
+  /** Literal bucket-pruning predicate for a plan-time terms list:
+    * `term_h IN (<driver-computed hashes>)`. The broadcast join alone
+    * restricts ROWS but still streams every bucket file through the
+    * probe — a full index scan per query, which the r12 ladder measured
+    * at e≈0.3 against corpus growth. With the literal IN on the bucket
+    * column, Spark selects only the terms' buckets (SelectedBucketsCount
+    * in the scan — plan-asserted in RetrievalSpec) and parquet's
+    * row-group min/max on the sorted `term_h` prunes within them, so
+    * scan cost tracks the queried terms, not the corpus. Semantics are
+    * unchanged: the hashes are exactly the joined ones and the join
+    * still verifies the term string.
+    */
+  private def termHashPrune(terms: Seq[String]): Column =
+    col("term_h").isin(terms.map(Hashing.hash60Jvm): _*)
+
   /** Term-dictionary rows for a batch: the batch's DISTINCT terms.
     * The dictionary is what makes prefix/wildcard queries index-shaped:
     * term_h bucketing destroys lexicographic order (by design — point
@@ -299,6 +314,7 @@ object Postings {
       .toDF("q_term")
       .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
     val matched = posPostings
+      .filter(termHashPrune(Seq(termA, termB)))
       .join(broadcast(termsDf), Seq("term_h"))
       .filter(col("term") === col("q_term")) // 60-bit collision guard
       .select(col("doc_id"), col("term"), col("positions"))
@@ -329,6 +345,7 @@ object Postings {
       .toDF("q_term")
       .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
     val matched = posPostings
+      .filter(termHashPrune(phrase.distinct))
       .join(broadcast(termsDf), Seq("term_h"))
       .filter(col("term") === col("q_term")) // 60-bit collision guard
       .select(col("doc_id"), col("term"), col("positions"))
@@ -369,6 +386,7 @@ object Postings {
       ts.toDF("q_term").select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
     val mTerms = must.distinct
     val hasAll = postings
+      .filter(termHashPrune(mTerms))
       .join(broadcast(termsDf(mTerms)), Seq("term_h"))
       .filter(col("term") === col("q_term")) // 60-bit collision guard
       .groupBy(col("doc_id"), col("dl"))
@@ -379,6 +397,7 @@ object Postings {
       if (mustNot.isEmpty) hasAll
       else {
         val excluded = postings
+          .filter(termHashPrune(mustNot.distinct))
           .join(broadcast(termsDf(mustNot.distinct)), Seq("term_h"))
           .filter(col("term") === col("q_term"))
           .select(col("doc_id"))
@@ -417,6 +436,7 @@ object Postings {
       .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"), col("trank"))
     val tot = stats.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val matched = postings
+      .filter(termHashPrune(terms.distinct))
       .join(broadcast(termsDf), Seq("term_h"))
       // 60-bit hash collision guard: the layout key is the hash, the
       // semantic key is the term itself

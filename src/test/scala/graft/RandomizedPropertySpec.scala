@@ -311,6 +311,18 @@ class RandomizedPropertySpec extends SparkTestBase {
     }
   }
 
+  test("driver-side hash60Jvm is bit-identical to the column expression") {
+    import graft.functions.Hashing
+    val rnd = new Random(7)
+    val strs = (Seq("", "a", "spark", "the quick brown fox", "ünïcødé ☃") ++
+      Seq.fill(200)(rnd.alphanumeric.take(1 + rnd.nextInt(24)).mkString)).distinct
+    val viaCol = strs.toDF("s")
+      .select(col("s"), Hashing.hash60(col("s")).as("h"))
+      .as[(String, Long)].collect().toMap
+    for (s <- strs)
+      assert(Hashing.hash60Jvm(s) == viaCol(s), s"hash60Jvm diverged on '$s'")
+  }
+
   test("proximity kernels equal quadratic reference over random sorted arrays (5 seeds)") {
     import graft.functions.ShingleExpressions
     for (seed <- 1 to 5) {

@@ -81,6 +81,34 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_pix_b")
   }
 
+  test("literal term hashes prune buckets: the scan reads only the queried terms' buckets") {
+    val dir = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pix_m", dir, buckets = 8)
+      val q = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_pix_m"), Postings.statsTable(spark, "t_pix_m"),
+        Seq("scan", "filter"), 25)
+      q.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case qs: QueryStageExec       => Seq(qs) ++ expand(qs.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      val bucketScans = expand(q.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec if f.relation.bucketSpec.nonEmpty => f
+      }
+      assert(bucketScans.nonEmpty, s"no bucketed scan:\n${q.queryExecution.executedPlan}")
+      // each queried term lands in exactly one of the 8 buckets; 2 terms
+      // select at most 2 — a full-scan plan would read all 8
+      val counts = bucketScans.map(f =>
+        f.optionalBucketSet.map(_.cardinality()).getOrElse(f.relation.bucketSpec.get.numBuckets))
+      assert(counts.forall(_ <= 2),
+        s"bucket pruning not applied (selected buckets: $counts):\n${q.queryExecution.executedPlan}")
+    } finally Postings.dropIndex(spark, "t_pix_m")
+  }
+
   test("query joins the posting index with zero index-side shuffle") {
     val dir = Files.createTempDirectory("graft_pix").toString
     try {
