@@ -119,11 +119,14 @@ object Postings {
       name: String,
       path: String,
       buckets: Int): Unit = {
-    Layout.bucketize(
-      postings(docs, idCol, textCol), postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
+    // ONE tokenize+aggregate pass over the corpus: the dictionary is
+    // derived from the pinned postings frame (its distinct (term_h,
+    // term) projection), not a second explode of the raw text
+    val p = graft.Caches.persistOnce(postings(docs, idCol, textCol))
+    Layout.bucketize(p, postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
     statsRow(docs, idCol, textCol)
       .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
-    dictRows(docs, idCol, textCol)
+    p.select(col("term_h"), col("term")).distinct()
       .write.mode("overwrite").option("path", s"$path/dict").saveAsTable(dictTableName(name))
   }
 
@@ -152,8 +155,12 @@ object Postings {
     val spark = docs.sparkSession
     if (batchId >= 0L &&
       !spark.table(statsTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
-    Layout.append(postings(docs, idCol, textCol), postingsTableName(name))
-    dictRows(docs, idCol, textCol).write.mode("append").insertInto(dictTableName(name))
+    // same single-pass trick as writeIndex: dict derives from the
+    // pinned postings frame instead of re-tokenizing the batch
+    val p = graft.Caches.persistOnce(postings(docs, idCol, textCol))
+    Layout.append(p, postingsTableName(name))
+    p.select(col("term_h"), col("term")).distinct()
+      .write.mode("append").insertInto(dictTableName(name))
     statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
   }
 
