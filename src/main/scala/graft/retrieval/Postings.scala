@@ -92,21 +92,29 @@ object Postings {
   private def termHashPrune(terms: Seq[String]): Column =
     col("term_h").isin(terms.map(Hashing.hash60Jvm): _*)
 
-  /** Term-dictionary rows for a batch: the batch's DISTINCT terms.
-    * The dictionary is what makes prefix/wildcard queries index-shaped:
-    * term_h bucketing destroys lexicographic order (by design — point
-    * lookups), so a pattern query resolves its matching terms against
-    * this orders-of-magnitude-smaller table first, then drives the
-    * normal zero-shuffle hash join with the resolved list. Append-only
-    * like everything else (duplicate terms across batches are fine —
-    * resolution is DISTINCT).
+  /** Term-dictionary rows for a batch: the batch's DISTINCT terms with
+    * their PARTIAL document frequency (posting count within the batch).
+    * The dictionary serves two index roles the postings can't:
+    *
+    *   - **pattern resolution** — term_h bucketing destroys
+    *     lexicographic order (by design — point lookups), so a
+    *     prefix/wildcard query resolves its matching terms against this
+    *     orders-of-magnitude-smaller table first, then drives the
+    *     normal zero-shuffle hash join with the resolved list;
+    *   - **stop-term policy** — `termDfs` sums the partial dfs, so a
+    *     query can drop ubiquitous terms (df above a cutoff — whose
+    *     idf contribution is ≈0 anyway) BEFORE touching their posting
+    *     lists. At 100 TB the posting list of "the" is billions of
+    *     rows; the decision to skip it must come from a
+    *     dictionary-sized read, not from scanning it.
+    *
+    * Append-only like everything else: per-batch partial rows, summed
+    * (df) or DISTINCTed (resolution) at query time.
     */
   def dictRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .filter(col(textCol).isNotNull)
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .distinct()
-      .select(Hashing.hash60(col("term")).as("term_h"), col("term"))
+    postings(docs, idCol, textCol)
+      .groupBy(col("term_h"), col("term"))
+      .agg(count(lit(1)).as("df"))
 
   /** Build the index: postings bucketed+sorted by `term_h` at
     * `path/postings`, stats as a plain appendable table at
@@ -126,7 +134,7 @@ object Postings {
     Layout.bucketize(p, postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
     statsRow(docs, idCol, textCol)
       .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
-    p.select(col("term_h"), col("term")).distinct()
+    p.groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").option("path", s"$path/dict").saveAsTable(dictTableName(name))
   }
 
@@ -159,7 +167,7 @@ object Postings {
     // pinned postings frame instead of re-tokenizing the batch
     val p = graft.Caches.persistOnce(postings(docs, idCol, textCol))
     Layout.append(p, postingsTableName(name))
-    p.select(col("term_h"), col("term")).distinct()
+    p.groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
       .write.mode("append").insertInto(dictTableName(name))
     statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
   }
@@ -196,6 +204,35 @@ object Postings {
 
   def dictTable(spark: SparkSession, name: String): DataFrame =
     spark.table(dictTableName(name))
+
+  /** Total df per queried term from the DICTIONARY alone (sums the
+    * per-batch partial rows; equal to the posting-derived df by
+    * construction — spec-pinned). The read is dictionary-sized however
+    * long the terms' posting lists are.
+    */
+  def termDfs(spark: SparkSession, name: String, terms: Seq[String]): Map[String, Long] = {
+    import spark.implicits._
+    dictTable(spark, name)
+      .filter(col("term").isin(terms.distinct: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** Stop-term screen: split a terms list into (kept, dropped) by a
+    * df cutoff read from the dictionary. A ubiquitous term's idf
+    * contribution is ≈0 but its posting list is the corpus — at scale
+    * the decision to skip it must cost a dictionary read, not a
+    * posting-list scan. Terms absent from the corpus are KEPT (df 0 —
+    * harmless downstream, and dropping them would mask typos).
+    */
+  def screenStopTerms(
+      spark: SparkSession,
+      name: String,
+      terms: Seq[String],
+      maxDf: Long): (Seq[String], Seq[String]) = {
+    val dfs = termDfs(spark, name, terms)
+    terms.distinct.partition(t => dfs.getOrElse(t, 0L) <= maxDf)
+  }
 
   /** Resolve a PREFIX pattern to its matching terms, alphabetically —
     * the dictionary pass of a wildcard query. Reads only the dictionary

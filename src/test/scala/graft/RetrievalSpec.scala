@@ -335,6 +335,30 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("dictionary dfs equal posting-derived dfs; stop-term screen reads only the dictionary") {
+    val dir = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_pix_n", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_n")
+      val terms = Seq("spark", "merge", "vector", "zzz_absent")
+      // dictionary-summed dfs == count of postings per term (after append)
+      val fromPostings = Postings.postingsTable(spark, "t_pix_n")
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+      assert(Postings.termDfs(spark, "t_pix_n", terms) == fromPostings)
+      // screen: a cutoff below the max df drops exactly the terms above it
+      val dfs     = fromPostings.values.toSeq.sorted
+      val cutoff  = dfs(dfs.size - 2) // keep all but the most ubiquitous
+      val (kept, dropped) = Postings.screenStopTerms(spark, "t_pix_n", terms, cutoff)
+      assert(dropped.nonEmpty && dropped.forall(t => fromPostings(t) > cutoff))
+      assert(kept.contains("zzz_absent"), "absent terms must be kept (df 0), not masked")
+      assert((kept ++ dropped).toSet == terms.toSet)
+    } finally Postings.dropIndex(spark, "t_pix_n")
+  }
+
   test("append maintenance: grown index answers exactly like a from-scratch build") {
     val dir   = Files.createTempDirectory("graft_pix").toString
     val dir2  = Files.createTempDirectory("graft_pix").toString
