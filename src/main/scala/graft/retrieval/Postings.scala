@@ -127,14 +127,23 @@ object Postings {
       name: String,
       path: String,
       buckets: Int): Unit = {
-    // ONE tokenize+aggregate pass over the corpus: the dictionary is
-    // derived from the pinned postings frame (its distinct (term_h,
-    // term) projection), not a second explode of the raw text
-    val p = graft.Caches.persistOnce(postings(docs, idCol, textCol))
-    Layout.bucketize(p, postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
+    // ONE tokenize pass over the corpus (the bucketize write); the
+    // dictionary then aggregates the WRITTEN postings files — a
+    // compact columnar read of exactly (term_h, term) — rather than
+    // re-exploding the text or caching the postings frame (measured:
+    // persist()-ing the frame slowed the hot write path more than the
+    // re-aggregation costs). The read is PATH-based deliberately:
+    // resolving the table name here would seed THIS session's relation
+    // cache with the just-built file list, and a later append from a
+    // DIFFERENT session (streaming foreachBatch runs in a clone)
+    // refreshes only its own cache — this session would then serve the
+    // stale snapshot forever (found by StreamingSpec).
+    Layout.bucketize(
+      postings(docs, idCol, textCol), postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
     statsRow(docs, idCol, textCol)
       .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
-    p.groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
+    docs.sparkSession.read.parquet(s"$path/postings")
+      .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").option("path", s"$path/dict").saveAsTable(dictTableName(name))
   }
 
@@ -163,11 +172,12 @@ object Postings {
     val spark = docs.sparkSession
     if (batchId >= 0L &&
       !spark.table(statsTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
-    // same single-pass trick as writeIndex: dict derives from the
-    // pinned postings frame instead of re-tokenizing the batch
-    val p = graft.Caches.persistOnce(postings(docs, idCol, textCol))
-    Layout.append(p, postingsTableName(name))
-    p.groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
+    // a batch is small by definition (incremental ingest), so the dict
+    // partial simply recomputes the batch-postings lineage — cheaper
+    // than caching the frame under the append write (same measurement
+    // as writeIndex)
+    Layout.append(postings(docs, idCol, textCol), postingsTableName(name))
+    dictRows(docs, idCol, textCol)
       .write.mode("append").insertInto(dictTableName(name))
     statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
   }
@@ -183,12 +193,23 @@ object Postings {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // foreachBatch executes in a CLONED SparkSession; insertInto
+    // refreshes the clone's relation cache but not the owning
+    // session's. Capture the owner here and refresh its view of the
+    // index tables after each committed batch, so queries in the
+    // session that set up the maintenance always see the grown index.
+    // (Other unrelated sessions follow the standard Spark rule:
+    // REFRESH TABLE after an external writer.)
+    val owner = docs.sparkSession
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, idCol, textCol, name, batchId)
+        Seq(postingsTableName(name), statsTableName(name), dictTableName(name))
+          .foreach(owner.catalog.refreshTable)
       }
+  }
 
   def postingsTable(spark: SparkSession, name: String): DataFrame =
     spark.table(postingsTableName(name))
