@@ -398,6 +398,38 @@ object SearchQueries {
       Seq("group", "order", "row"), 50)
   }
 
+  /** Index compaction AT THE GATE: build the posting index on a third
+    * of the corpus, grow it with two committed `appendBatch` batches
+    * (each append adds its own file fragments to every bucket), then
+    * COMPACT — one file per bucket, per-bucket sort restored,
+    * dictionary partials merged, stats commit markers untouched
+    * (`Postings.compactIndex`) — and answer from the compacted index.
+    * The oracle is full-corpus SQL blind to the build/append/compact
+    * history, so a hash match proves the maintenance pass is
+    * semantically invisible; the plan-property proofs (bucket pruning
+    * and zero index-side shuffle survive compaction) live in
+    * RetrievalSpec.
+    */
+  val d55_index_compact: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_compact_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d55_index_compact_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 3 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 3 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 3 === 2), "doc_id", "text", name, batchId = 2L)
+    graft.retrieval.Postings.compactIndex(s, name)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("table", "batch", "window"), 50)
+  }
+
   /** Proximity-ranked retrieval over the positional index (built once
     * per process, shared with d49p): docs where 'vector' and 'merge'
     * co-occur, ranked by pairs-within-3 density then closest gap. The
@@ -465,6 +497,7 @@ object SearchQueries {
     "d52_proximity_search" -> d52_proximity_search,
     "d53_prefix_search" -> d53_prefix_search,
     "d54_boolean_search" -> d54_boolean_search,
+    "d55_index_compact" -> d55_index_compact,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -850,6 +883,50 @@ object SearchQueries {
         |         + (((n_docs - df_row) + 0.5) / (df_row + 0.5))
         |           * ((CAST(tf_row AS DOUBLE) * 2.2)
         |              / (CAST(tf_row AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         AS score
+        |  FROM tf, st) s
+        |WHERE n_matched > 0
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // full-corpus SQL, blind to the build/append/COMPACT history — a
+    // hash match proves compaction is semantically invisible
+    "d55_index_compact" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'table'))  AS BIGINT) AS tf_table,
+        |         CAST(len(list_filter(tk, x -> x = 'batch'))  AS BIGINT) AS tf_batch,
+        |         CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END) AS df_table,
+        |         SUM(CASE WHEN tf_batch  > 0 THEN 1 ELSE 0 END) AS df_batch,
+        |         SUM(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        |  FROM tf)
+        |SELECT doc_id, dl, n_matched, score FROM (
+        |  SELECT doc_id, dl,
+        |         CAST((CASE WHEN tf_table  > 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_batch  > 0 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |         (((n_docs - df_table) + 0.5) / (df_table + 0.5))
+        |           * ((CAST(tf_table AS DOUBLE) * 2.2)
+        |              / (CAST(tf_table AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         + (((n_docs - df_batch) + 0.5) / (df_batch + 0.5))
+        |           * ((CAST(tf_batch AS DOUBLE) * 2.2)
+        |              / (CAST(tf_batch AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         + (((n_docs - df_window) + 0.5) / (df_window + 0.5))
+        |           * ((CAST(tf_window AS DOUBLE) * 2.2)
+        |              / (CAST(tf_window AS DOUBLE)
         |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
         |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
         |         AS score

@@ -216,6 +216,49 @@ object Postings {
   def statsTable(spark: SparkSession, name: String): DataFrame =
     spark.table(statsTableName(name))
 
+  /** Compact the index after many incremental appends — the
+    * maintenance pass that keeps a long-lived, stream-grown index
+    * reading like a fresh build:
+    *
+    *  - **postings** (and the positional table, when built) go through
+    *    `Layout.compact`: back to one file per bucket, per-bucket sort
+    *    restored. Appends leave K+1 file fragments per bucket whose
+    *    per-FILE sort defeats row-group pruning and whose open/footer
+    *    cost grows with K; compaction resets both while preserving the
+    *    bucket spec, so every zero-shuffle-join and bucket-pruning
+    *    plan property of the original build still holds (spec-pinned).
+    *  - **dictionary** partials merge: the per-batch (term_h, term, df)
+    *    rows sum into one row per term, written globally sorted by
+    *    `term` so prefix resolution prunes row groups by min/max term
+    *    range. `termDfs`/`prefixTerms` answers are unchanged (they sum
+    *    /distinct the partials — merging is that same fold, applied
+    *    once at rest instead of per query).
+    *  - **stats** is deliberately NOT compacted: its per-batch rows are
+    *    the append-idempotence commit markers (`appendBatch`);
+    *    collapsing them would let a replayed batch id re-append after
+    *    compaction. One row per batch is already the minimal form.
+    *
+    * Same swap discipline as `Layout.compact` (write next generation,
+    * re-point, delete old; other sessions REFRESH TABLE).
+    */
+  def compactIndex(spark: SparkSession, name: String): Unit = {
+    if (spark.catalog.tableExists(postingsTableName(name)))
+      Layout.compact(spark, postingsTableName(name))
+    if (spark.catalog.tableExists(posTableName(name)))
+      Layout.compact(spark, posTableName(name))
+    if (spark.catalog.tableExists(dictTableName(name))) {
+      val table = dictTableName(name)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      val merged = spark.read.schema(meta.schema).parquet(meta.location.toString)
+        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+        .sort(col("term"))
+      Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+        merged.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+      }
+    }
+  }
+
   def dropIndex(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")

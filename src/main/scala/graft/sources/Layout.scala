@@ -53,4 +53,90 @@ object Layout {
     df.write.mode("append").insertInto(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Compact a bucketed table back to ONE file per bucket, preserving
+    * its bucket/sort spec (and so every zero-shuffle join and
+    * bucket-pruning property of the original build).
+    *
+    * Why it exists: `append` is deliberately rewrite-free — each batch
+    * adds its OWN files to every bucket, so after K appends a bucket
+    * holds K+1 fragments. Reads stay CORRECT forever, but degrade two
+    * ways at scale: per-file open/footer overhead grows linearly with
+    * K, and the per-bucket sort the row-group pruning relies on
+    * (min/max stats against pushed key predicates) is only per-FILE
+    * after appends — a pruning filter must open every fragment.
+    * Compaction is the standard maintenance pass every long-lived
+    * index needs (the bucketed analogue of `Catalog.compact`).
+    *
+    * Mechanics: path-based read of the current generation (never the
+    * table name — seeding this session's relation cache with a file
+    * list we are about to replace is the stale-snapshot bug
+    * StreamingSpec caught in the dict build), repartitioned so each
+    * task holds exactly one bucket's rows (`repartition(n, keys)` uses
+    * the same murmur3 `HashPartitioning` as the bucketed write, so
+    * task i receives precisely bucket i → one output file per bucket,
+    * fully sorted by the sort spec), written to the NEXT generation
+    * directory (`…/<base>.gN`) under a scratch table name, then
+    * swapped in metadata-only (DROP old + RENAME — an external
+    * table's rename keeps its location; overwriting the live name
+    * directly is both rejected by Spark's overwrite-while-reading
+    * check and unsafe, since the source files ARE the table) and the
+    * old generation deleted. A crash mid-compact leaves the old
+    * generation live and intact; the swap itself is not transactional
+    * with the delete — the production form is a metastore-
+    * transactional swap, and OTHER sessions follow the standard
+    * external-writer rule (REFRESH TABLE), same as after `append`.
+    */
+  def compact(spark: SparkSession, tableName: String): Unit = {
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+    val meta  = spark.sessionState.catalog.getTableMetadata(ident)
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no bucket spec — use Catalog.compact for plain tables"))
+    require(
+      spec.sortColumnNames == spec.bucketColumnNames,
+      s"$tableName sort spec ${spec.sortColumnNames} != bucket spec — unexpected layout")
+    val keys = spec.bucketColumnNames
+    val cur  = spark.read.schema(meta.schema).parquet(meta.location.toString)
+    swapGeneration(spark, tableName, meta) { (scratch, newDir) =>
+      bucketize(
+        cur.repartition(spec.numBuckets, keys.map(cur(_)): _*),
+        scratch, newDir, keys, spec.numBuckets)
+    }
+  }
+
+  /** Write-new/swap/delete-old for a table rewrite: `writeNew` produces
+    * the next generation under a scratch table name at the next-gen
+    * directory; the live name is then re-pointed by DROP + RENAME
+    * (metadata-only — the tables are external, so neither op moves or
+    * deletes files) and the previous generation's files are removed.
+    */
+  private[graft] def swapGeneration(
+      spark: SparkSession,
+      tableName: String,
+      meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)(
+      writeNew: (String, String) => Unit): Unit = {
+    val oldDir  = new org.apache.hadoop.fs.Path(meta.location)
+    val fs      = oldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val scratch = s"${tableName}_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $scratch") // leftover from a crashed compact
+    writeNew(scratch, nextGen(oldDir.toString))
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $scratch RENAME TO $tableName")
+    fs.delete(oldDir, true)
+    ()
+  }
+
+  /** Next rewrite-generation directory for a table location: `…/x` →
+    * `…/x.g1` → `…/x.g2` → … (write-new/swap/delete-old, never
+    * rewrite-in-place — a crash mid-rewrite must leave the live
+    * generation intact).
+    */
+  private[graft] def nextGen(dir: String): String = {
+    val GenRe = "(.*)\\.g(\\d+)".r
+    dir match {
+      case GenRe(base, n) => s"$base.g${n.toInt + 1}"
+      case base           => s"$base.g1"
+    }
+  }
 }

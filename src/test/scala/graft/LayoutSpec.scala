@@ -153,6 +153,38 @@ class LayoutSpec extends SparkTestBase {
       assert(
         !indexSide2.get.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
         "index side re-shuffled after append — bucket layout lost")
+
+      // Compaction: the append left 2 generations of files per bucket;
+      // Layout.compact must collapse to ONE file per bucket while
+      // preserving rows, the bucket spec, and the zero-shuffle join.
+      def parquetFiles(table: String): Seq[java.io.File] = {
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        new java.io.File(meta.location).listFiles.toSeq
+          .filter(_.getName.endsWith(".parquet"))
+      }
+      assert(parquetFiles("b_band_index").size > 8, "append should have fragmented the buckets")
+      Layout.compact(spark, "b_band_index")
+      assert(parquetFiles("b_band_index").size == 8, "compaction must leave exactly one file per bucket")
+      val compacted = Layout.table(spark, "b_band_index")
+      assert(compacted.as[(Long, String, Long)].collect().toSet == fromScratch,
+        "compaction changed the index rows")
+      val candJoin3 = Dedup
+        .rowMinhashBands(b2Arrs, "doc_id", 16, 2)
+        .select(col("band"), col("sig"), col("doc_id").as("incoming_id"))
+        .join(compacted.select(col("band"), col("sig"), col("doc_id").as("corpus_id")), Seq("band", "sig"))
+      candJoin3.collect()
+      val joins3 = expand(candJoin3.queryExecution.executedPlan)
+        .collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(joins3.nonEmpty)
+      val indexSide3 = joins3.head.children.map(expand).find(_.exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.bucketSpec.nonEmpty
+        case _                                                    => false
+      })
+      assert(indexSide3.nonEmpty, "bucketed index scan not found after compact")
+      assert(
+        !indexSide3.get.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        "index side re-shuffled after compact — bucket layout lost")
       b2Arrs.unpersist()
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)

@@ -389,4 +389,119 @@ class RetrievalSpec extends SparkTestBase {
       Postings.dropIndex(spark, "t_pix_e")
     }
   }
+
+  test("compaction: answers, plan properties, and replay markers all survive; files collapse") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+      case qs: QueryStageExec       => Seq(qs) ++ expand(qs.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+      case other                    => Seq(other) ++ other.children.flatMap(expand)
+    }
+    def parquetFiles(table: String): Seq[java.io.File] = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      new java.io.File(meta.location).listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+    }
+    val dir   = Files.createTempDirectory("graft_pix").toString
+    val terms = Seq("vector", "spark", "merge")
+    try {
+      // build on a third of the corpus, grow with two committed batches
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 3 === 0), "doc_id", "text", "t_pix_o", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 3 === 1), "doc_id", "text", "t_pix_o", batchId = 1L)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 3 === 2), "doc_id", "text", "t_pix_o", batchId = 2L)
+      val before = Postings
+        .bm25TopK(Postings.postingsTable(spark, "t_pix_o"), Postings.statsTable(spark, "t_pix_o"), terms, 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val prefixBefore = Postings.prefixTerms(spark, "t_pix_o", "s")
+      val dfsBefore    = Postings.termDfs(spark, "t_pix_o", terms :+ "zzz_absent")
+      assert(parquetFiles("t_pix_o_postings").size > 8, "two appends should have fragmented the buckets")
+
+      Postings.compactIndex(spark, "t_pix_o")
+
+      // files: one per bucket; dictionary: one row per distinct term
+      assert(parquetFiles("t_pix_o_postings").size == 8,
+        "compaction must leave exactly one file per bucket")
+      val dict = Postings.dictTable(spark, "t_pix_o")
+      assert(dict.count() == dict.select("term_h", "term").distinct().count(),
+        "dictionary partials not merged")
+      // answers identical across the board
+      val after = Postings
+        .bm25TopK(Postings.postingsTable(spark, "t_pix_o"), Postings.statsTable(spark, "t_pix_o"), terms, 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(after == before && after.nonEmpty, "compaction changed the ranking")
+      assert(Postings.prefixTerms(spark, "t_pix_o", "s") == prefixBefore)
+      assert(Postings.termDfs(spark, "t_pix_o", terms :+ "zzz_absent") == dfsBefore)
+      // plan properties preserved: bucket pruning + zero index-side shuffle
+      val q = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_pix_o"), Postings.statsTable(spark, "t_pix_o"),
+        Seq("scan", "filter"), 25)
+      q.collect()
+      val all = expand(q.queryExecution.executedPlan)
+      val bucketScans = all.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec if f.relation.bucketSpec.nonEmpty => f
+      }
+      assert(bucketScans.nonEmpty, s"no bucketed scan after compact:\n${q.queryExecution.executedPlan}")
+      assert(
+        bucketScans
+          .map(f => f.optionalBucketSet.map(_.cardinality()).getOrElse(8))
+          .forall(_ <= 2),
+        s"bucket pruning lost after compact:\n${q.queryExecution.executedPlan}")
+      val bhjs = all.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      val idxSide = bhjs.map { j =>
+        j.children.map(expand).find(_.exists {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f.relation.bucketSpec.nonEmpty
+          case _                                                    => false
+        })
+      }.collectFirst { case Some(side) => side }
+      assert(idxSide.nonEmpty, s"no broadcast join over the compacted index:\n${q.queryExecution.executedPlan}")
+      assert(
+        !idxSide.get.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+        "postings side shuffled after compact — bucket layout lost")
+      // replay markers survive: re-delivering a committed batch is a no-op
+      val rows = Postings.postingsTable(spark, "t_pix_o").count()
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 3 === 1), "doc_id", "text", "t_pix_o", batchId = 1L)
+      assert(Postings.postingsTable(spark, "t_pix_o").count() == rows,
+        "compaction lost the idempotence commit markers — replayed batch re-appended")
+      // and the index keeps growing normally after compaction
+      val extra = Seq((900001L, "vector vector compaction probe")).toDF("doc_id", "text")
+      Postings.appendBatch(extra, "doc_id", "text", "t_pix_o", batchId = 3L)
+      assert(
+        Postings.postingsTable(spark, "t_pix_o").filter(col("doc_id") === 900001L).count() == 3,
+        "append after compaction failed")
+    } finally Postings.dropIndex(spark, "t_pix_o")
+  }
+
+  test("positional-index compaction preserves phrase and proximity answers") {
+    val dir = Files.createTempDirectory("graft_pix").toString
+    try {
+      Postings.writePositionalIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_pix_p", dir, buckets = 8)
+      Postings.appendPositionalBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_p")
+      val phraseBefore = Postings
+        .phraseTopK(Postings.positionalTable(spark, "t_pix_p"), Seq("table", "hash"), 50)
+        .collect().toSeq
+      val proxBefore = Postings
+        .proximityTopK(Postings.positionalTable(spark, "t_pix_p"), "vector", "merge", window = 3, k = 50)
+        .collect().toSeq
+      Postings.compactIndex(spark, "t_pix_p")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("t_pix_p_pospostings"))
+      assert(
+        new java.io.File(meta.location).listFiles.count(_.getName.endsWith(".parquet")) == 8)
+      assert(Postings
+        .phraseTopK(Postings.positionalTable(spark, "t_pix_p"), Seq("table", "hash"), 50)
+        .collect().toSeq == phraseBefore && phraseBefore.nonEmpty)
+      assert(Postings
+        .proximityTopK(Postings.positionalTable(spark, "t_pix_p"), "vector", "merge", window = 3, k = 50)
+        .collect().toSeq == proxBefore && proxBefore.nonEmpty)
+    } finally Postings.dropIndex(spark, "t_pix_p")
+  }
 }
