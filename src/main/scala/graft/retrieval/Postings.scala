@@ -233,8 +233,9 @@ object Postings {
     *    range. `termDfs`/`prefixTerms` answers are unchanged (they sum
     *    /distinct the partials — merging is that same fold, applied
     *    once at rest instead of per query).
-    *  - **stats** is deliberately NOT compacted: its per-batch rows are
-    *    the append-idempotence commit markers (`appendBatch`);
+    *  - **stats** (and the positional marker log) are deliberately NOT
+    *    compacted: their per-batch rows are the append-idempotence
+    *    commit markers (`appendBatch`/`appendPositionalBatch`);
     *    collapsing them would let a replayed batch id re-append after
     *    compaction. One row per batch is already the minimal form.
     *
@@ -263,6 +264,7 @@ object Postings {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${posTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${posMarkersTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${dictTableName(name)}")
   }
 
@@ -327,7 +329,8 @@ object Postings {
 
   // ---------- positional index (phrase queries) ----------
 
-  private def posTableName(name: String) = s"${name}_pospostings"
+  private def posTableName(name: String)        = s"${name}_pospostings"
+  private def posMarkersTableName(name: String) = s"${name}_posmarkers"
 
   /** POSITIONAL posting rows: one row per (doc, distinct term) carrying
     * the SORTED 1-based position list of every occurrence — the classic
@@ -360,16 +363,64 @@ object Postings {
       textCol: String,
       name: String,
       path: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
     Layout.bucketize(
       positionalPostings(docs, idCol, textCol), posTableName(name), s"$path/pospostings", Seq("term_h"), buckets)
+    // empty batch-id commit log: the positional analogue of the stats
+    // table's marker role (the positional index carries no corpus
+    // stats, so idempotent streaming appends need their own log)
+    docs.sparkSession.range(0).select(col("id").as("batch_id"))
+      .write.mode("overwrite").option("path", s"$path/posmarkers")
+      .saveAsTable(posMarkersTableName(name))
+  }
 
   /** Append a batch to the positional index — same append-only bucket
     * contract as `appendBatch` (new bucket files under the existing
-    * spec, nothing rewritten).
+    * spec, nothing rewritten). With `batchId >= 0` the append is
+    * IDEMPOTENT against the marker table, with the same marker-LAST
+    * crash-window semantics as `appendBatch` (replay can duplicate
+    * one uncommitted batch, never lose one).
     */
-  def appendPositionalBatch(docs: DataFrame, idCol: String, textCol: String, name: String): Unit =
+  def appendPositionalBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      batchId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    if (batchId >= 0L) {
+      require(
+        spark.catalog.tableExists(posMarkersTableName(name)),
+        s"positional index $name has no marker table — rebuild with writePositionalIndex before idempotent appends")
+      if (!spark.table(posMarkersTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
+    }
     Layout.append(positionalPostings(docs, idCol, textCol), posTableName(name))
+    if (batchId >= 0L)
+      spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
+        .write.mode("append").insertInto(posMarkersTableName(name))
+  }
+
+  /** Maintain the positional index from a stream — the phrase/proximity
+    * twin of `maintainFromStream`: each micro-batch appends its
+    * positional postings, idempotent under foreachBatch's
+    * at-least-once replay via the marker table, with the owner
+    * session's catalog refreshed after each committed batch (same
+    * cloned-session cache-coherence rule).
+    */
+  def maintainPositionalFromStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendPositionalBatch(batch, idCol, textCol, name, batchId)
+        Seq(posTableName(name), posMarkersTableName(name))
+          .foreach(owner.catalog.refreshTable)
+      }
+  }
 
   def positionalTable(spark: SparkSession, name: String): DataFrame =
     spark.table(posTableName(name))

@@ -484,7 +484,7 @@ class RetrievalSpec extends SparkTestBase {
       Postings.writePositionalIndex(
         docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_pix_p", dir, buckets = 8)
       Postings.appendPositionalBatch(
-        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_p")
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_p", batchId = 1L)
       val phraseBefore = Postings
         .phraseTopK(Postings.positionalTable(spark, "t_pix_p"), Seq("table", "hash"), 50)
         .collect().toSeq
@@ -502,6 +502,13 @@ class RetrievalSpec extends SparkTestBase {
       assert(Postings
         .proximityTopK(Postings.positionalTable(spark, "t_pix_p"), "vector", "merge", window = 3, k = 50)
         .collect().toSeq == proxBefore && proxBefore.nonEmpty)
+      // the positional marker log survives compaction: replaying the
+      // committed batch id is still a no-op
+      val rows = Postings.positionalTable(spark, "t_pix_p").count()
+      Postings.appendPositionalBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_pix_p", batchId = 1L)
+      assert(Postings.positionalTable(spark, "t_pix_p").count() == rows,
+        "compaction lost the positional marker log — replayed batch re-appended")
     } finally Postings.dropIndex(spark, "t_pix_p")
   }
 }

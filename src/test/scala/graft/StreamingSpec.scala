@@ -413,4 +413,49 @@ class StreamingSpec extends SparkTestBase {
       Postings.dropIndex(spark, "t_sidx_b")
     }
   }
+
+  test("streaming POSITIONAL maintenance: phrase answers stay consistent; replay is a no-op") {
+    import graft.retrieval.Postings
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, "spark merge join spark merge"),
+      (2L, "hash table scan row"),
+      (3L, "spark merge filter sort"))
+    val batchA = Seq((10L, "merge spark window"), (11L, "row spark merge merge"))
+    val batchB = Seq((20L, "spark merge merge scan"), (21L, "filter only words"))
+    val dir  = java.nio.file.Files.createTempDirectory("graft_spidx").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_spidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_spidx_ckpt").toString
+    Postings.writePositionalIndex(base.toDF("doc_id", "text"), "doc_id", "text", "t_spidx_a", dir, buckets = 4)
+    val stream = MemoryStream[(Long, String)]
+    val q = Postings
+      .maintainPositionalFromStream(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", "t_spidx_a")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(batchA); q.processAllAvailable()
+      stream.addData(batchB); q.processAllAvailable()
+      Postings.writePositionalIndex(
+        (base ++ batchA ++ batchB).toDF("doc_id", "text"), "doc_id", "text", "t_spidx_b", dir2, buckets = 4)
+      def top(name: String) = Postings
+        .phraseTopK(Postings.positionalTable(spark, name), Seq("spark", "merge"), 10)
+        .collect().toSeq
+      assert(top("t_spidx_a") == top("t_spidx_b") && top("t_spidx_a").nonEmpty,
+        "stream-grown positional index diverged from a from-scratch build")
+      // idempotent replay: re-appending a committed batch id is a no-op
+      val before = Postings.positionalTable(spark, "t_spidx_a").count()
+      Postings.appendPositionalBatch(batchA.toDF("doc_id", "text"), "doc_id", "text", "t_spidx_a", batchId = 0L)
+      assert(Postings.positionalTable(spark, "t_spidx_a").count() == before)
+      // marker log records exactly the 2 committed batches
+      assert(spark.table("t_spidx_a_posmarkers").count() == 2)
+      // idempotent appends against an index with no marker log refuse loudly
+      val e = intercept[IllegalArgumentException](
+        Postings.appendPositionalBatch(batchA.toDF("doc_id", "text"), "doc_id", "text", "t_spidx_missing", batchId = 0L))
+      assert(e.getMessage.contains("no marker table"))
+    } finally {
+      q.stop()
+      Postings.dropIndex(spark, "t_spidx_a")
+      Postings.dropIndex(spark, "t_spidx_b")
+    }
+  }
 }
