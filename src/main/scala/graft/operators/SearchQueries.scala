@@ -482,6 +482,32 @@ object SearchQueries {
       must = Seq("spark", "merge"), mustNot = Seq("slow"))
   }
 
+  /** Stop-term-screened retrieval: before touching any posting list,
+    * the query asks the DICTIONARY which of its terms are ubiquitous
+    * (df above ⌊4N/5⌋ — idf contribution ≈0, posting list ≈ the
+    * corpus) and drops them (`Postings.screenStopTerms` — a
+    * dictionary-sized read; at 100 TB the posting list of a stop term
+    * is billions of rows and the screen is what keeps it unread). The
+    * oracle replicates the decision from its own full-scan df with
+    * the same integer cutoff arithmetic, and the CASE-zeroed
+    * contributions are IEEE-identical to the engine's dropped-term
+    * fold (x + 0.0 == x for the non-negative contributions), so the
+    * hash match proves dictionary screening == full-scan screening.
+    */
+  val d56_screened_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    val stats  = graft.retrieval.Postings.statsTable(s, name)
+    val nDocs  = stats.agg(sum(col("n_docs")).as("n")).first().getLong(0)
+    val cutoff = 4L * nDocs / 5L
+    val (kept, _) = graft.retrieval.Postings.screenStopTerms(
+      s, name, Seq("batch", "scan", "vector", "spark"), cutoff)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name), stats, kept, 50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -498,6 +524,7 @@ object SearchQueries {
     "d53_prefix_search" -> d53_prefix_search,
     "d54_boolean_search" -> d54_boolean_search,
     "d55_index_compact" -> d55_index_compact,
+    "d56_screened_search" -> d56_screened_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -929,6 +956,68 @@ object SearchQueries {
         |              / (CAST(tf_window AS DOUBLE)
         |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
         |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |         AS score
+        |  FROM tf, st) s
+        |WHERE n_matched > 0
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // replicates the stop-term screen from full-scan df with the same
+    // ⌊4N/5⌋ integer cutoff; CASE-zeroed contributions are
+    // IEEE-identical to the engine's dropped-term fold
+    "d56_screened_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'batch'))  AS BIGINT) AS tf_batch,
+        |         CAST(len(list_filter(tk, x -> x = 'scan'))   AS BIGINT) AS tf_scan,
+        |         CAST(len(list_filter(tk, x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |         CAST(len(list_filter(tk, x -> x = 'spark'))  AS BIGINT) AS tf_spark
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         (4 * COUNT(*)) // 5 AS cutoff,
+        |         SUM(CASE WHEN tf_batch  > 0 THEN 1 ELSE 0 END) AS df_batch,
+        |         SUM(CASE WHEN tf_scan   > 0 THEN 1 ELSE 0 END) AS df_scan,
+        |         SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |         SUM(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark
+        |  FROM tf)
+        |SELECT doc_id, dl, n_matched, score FROM (
+        |  SELECT doc_id, dl,
+        |         CAST((CASE WHEN tf_batch  > 0 AND df_batch  <= cutoff THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_scan   > 0 AND df_scan   <= cutoff THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_vector > 0 AND df_vector <= cutoff THEN 1 ELSE 0 END)
+        |            + (CASE WHEN tf_spark  > 0 AND df_spark  <= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |         (CASE WHEN df_batch <= cutoff THEN
+        |           (((n_docs - df_batch) + 0.5) / (df_batch + 0.5))
+        |             * ((CAST(tf_batch AS DOUBLE) * 2.2)
+        |                / (CAST(tf_batch AS DOUBLE)
+        |                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN df_scan <= cutoff THEN
+        |           (((n_docs - df_scan) + 0.5) / (df_scan + 0.5))
+        |             * ((CAST(tf_scan AS DOUBLE) * 2.2)
+        |                / (CAST(tf_scan AS DOUBLE)
+        |                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN df_vector <= cutoff THEN
+        |           (((n_docs - df_vector) + 0.5) / (df_vector + 0.5))
+        |             * ((CAST(tf_vector AS DOUBLE) * 2.2)
+        |                / (CAST(tf_vector AS DOUBLE)
+        |                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |          ELSE 0.0 END)
+        |         + (CASE WHEN df_spark <= cutoff THEN
+        |           (((n_docs - df_spark) + 0.5) / (df_spark + 0.5))
+        |             * ((CAST(tf_spark AS DOUBLE) * 2.2)
+        |                / (CAST(tf_spark AS DOUBLE)
+        |                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |          ELSE 0.0 END)
         |         AS score
         |  FROM tf, st) s
         |WHERE n_matched > 0
