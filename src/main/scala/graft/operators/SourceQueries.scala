@@ -234,7 +234,35 @@ object SourceQueries {
       .orderBy(col("okey"), col("pkey"))
   }
 
+  /** Z-order layout round trip (the multi-dimensional clustering the
+    * linear `sortCols` layout can't give): rewrite events clustered on
+    * the Z-curve of (ts, user_id) — `Zorder.write`, all native
+    * codegen'd expressions — then answer a selective user_id range
+    * query from the rewritten files. The oracle reads the ORIGINAL
+    * events table, so the hash match proves the layout rewrite is
+    * semantically invisible; the pruning payoff (a user_id filter
+    * overlaps a stripe of row groups instead of all of them, which a
+    * ts-sorted layout cannot do) is measured in ZorderSpec via the
+    * parquet footers' min/max stats.
+    */
+  val d57_zorder_scan: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val path   = s"/tmp/graft_fixtures/$sfName/d57_zorder_p$pid"
+    val t      = Tables(s, dir)
+    graft.sources.Zorder.write(t.events, path, "ts", "user_id", nFiles = 16)
+    s.read.parquet(path)
+      .filter(col("user_id").between(3L, 9L))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.operators.Ops.dsum(col("value")).as("total"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "d57_zorder_scan"           -> d57_zorder_scan,
     "s13_sheet_ingest"          -> s13_sheet_ingest,
     "s14_tsv_positional"        -> s14_tsv_positional,
     "s15_export_roundtrip"      -> s15_export_roundtrip,
@@ -245,6 +273,15 @@ object SourceQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // reads the ORIGINAL events table — a hash match proves the
+    // z-ordered rewrite is semantically invisible
+    "d57_zorder_scan" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       COUNT(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s13_sheet_ingest" ->
       s"""WITH up AS (SELECT CAST("C_CustKey" AS BIGINT) AS custkey, "C_NAME" AS name,
         |                   "Mkt Segment" AS segment
