@@ -50,8 +50,14 @@ object Postings {
     * every query thereafter reads the bucketed layout.
     */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .filter(col(textCol).isNotNull)
+    postingsFromScreened(docs.filter(col(textCol).isNotNull), idCol, textCol)
+
+  /** The posting lineage below the null screen — split out so
+    * `writeIndex` can interpose its `observe` between screen and
+    * tokenize without duplicating the pipeline.
+    */
+  private def postingsFromScreened(screened: DataFrame, idCol: String, textCol: String): DataFrame =
+    screened
       .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"), explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
@@ -127,20 +133,42 @@ object Postings {
       name: String,
       path: String,
       buckets: Int): Unit = {
-    // ONE tokenize pass over the corpus (the bucketize write); the
-    // dictionary then aggregates the WRITTEN postings files — a
-    // compact columnar read of exactly (term_h, term) — rather than
-    // re-exploding the text or caching the postings frame (measured:
-    // persist()-ing the frame slowed the hot write path more than the
-    // re-aggregation costs). The read is PATH-based deliberately:
-    // resolving the table name here would seed THIS session's relation
-    // cache with the just-built file list, and a later append from a
-    // DIFFERENT session (streaming foreachBatch runs in a clone)
-    // refreshes only its own cache — this session would then serve the
-    // stale snapshot forever (found by StreamingSpec).
-    Layout.bucketize(
-      postings(docs, idCol, textCol), postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
-    statsRow(docs, idCol, textCol)
+    // ONE pass over the corpus, total. The corpus stats ride the
+    // bucketize write itself as `observe()` metrics (CollectMetrics —
+    // an accumulator fold inside the write job, no plan change):
+    // `n_docs` counts rows right after the null screen, `sum_dl` sums
+    // tf on the final postings frame (Σ tf over a doc's terms == its
+    // dl by construction; a zero-token doc contributes 1 to n_docs at
+    // the upstream point and 0 to sum_dl by absence — sum over zero
+    // postings rows stays NULL, like statsRow's sum over zero docs).
+    // Same longs as statsRow's tokenizing fold, so every downstream
+    // score is bit-identical — measured in the r12 clean-window A/B:
+    // re-tokenizing (statsRow) cost a second text scan; reading
+    // sum(tf) back from the written files cost fixed job overhead
+    // that beat the re-tokenize only past ~sf1; the observe form has
+    // neither cost. The dictionary, a row SET rather than scalars,
+    // still aggregates the WRITTEN postings files — a compact
+    // columnar (term_h, term) read. That read is PATH-based
+    // deliberately: resolving the table name here would seed THIS
+    // session's relation cache with the just-built file list, and a
+    // later append from a DIFFERENT session (streaming foreachBatch
+    // runs in a clone) refreshes only its own cache — this session
+    // would then serve the stale snapshot forever (found by
+    // StreamingSpec).
+    val nDocsObs = org.apache.spark.sql.Observation(s"graft_${name}_ndocs")
+    val sumDlObs = org.apache.spark.sql.Observation(s"graft_${name}_sumdl")
+    val frame = postingsFromScreened(
+      docs.filter(col(textCol).isNotNull).observe(nDocsObs, count(lit(1)).as("n_docs")),
+      idCol, textCol)
+      .observe(sumDlObs, sum(col("tf")).as("sum_dl"))
+    Layout.bucketize(frame, postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
+    val nDocs = nDocsObs.get("n_docs").asInstanceOf[Long]
+    val sumDl = sumDlObs.get.get("sum_dl") // None only for an all-null corpus
+    docs.sparkSession.range(1)
+      .select(
+        lit(nDocs).as("n_docs"),
+        lit(sumDl.map(_.asInstanceOf[Long]).orNull).cast("long").as("sum_dl"),
+        lit(-1L).as("batch_id"))
       .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
     docs.sparkSession.read.parquet(s"$path/postings")
       .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
