@@ -44,6 +44,12 @@ class PlanQualitySpec extends SparkTestBase {
     // d53: dictionary-resolved terms drive the same bm25TopK shape
     "d53_prefix_search"   -> Set("BroadcastNestedLoopJoin"),
     // (d54 boolean search: pure hash joins + division — no exception needed)
+    // d55: the compaction gate re-runs d47's query over the compacted
+    // index — same one-row corpus-stats broadcast
+    "d55_index_compact"   -> Set("BroadcastNestedLoopJoin"),
+    // d56: stop-term screening feeds the kept terms into the same
+    // bm25TopK shape — same one-row corpus-stats broadcast
+    "d56_screened_search" -> Set("BroadcastNestedLoopJoin"),
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),
