@@ -508,6 +508,27 @@ object SearchQueries {
       graft.retrieval.Postings.postingsTable(s, name), stats, kept, 50)
   }
 
+  /** Fuzzy (typo-tolerant) search: the query's misspelled terms
+    * ("vectr", "mrge", "sow") resolve against the persisted term
+    * DICTIONARY by edit distance ≤ 1 (`Postings.fuzzyTerms` — native
+    * `levenshtein` behind a length pre-screen, dictionary-sized read),
+    * then the resolved list ("merge","row","slow","vector") drives the
+    * normal zero-shuffle posting join. The oracle resolves the SAME
+    * typos dynamically by full corpus scan with its own levenshtein,
+    * so the hash match proves dictionary resolution == full-scan
+    * resolution — the same dynamic-resolution proof shape as d53.
+    */
+  val d58_fuzzy_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      graft.retrieval.Postings.fuzzyTerms(s, name, Seq("vectr", "mrge", "sow")), 50)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -525,6 +546,7 @@ object SearchQueries {
     "d54_boolean_search" -> d54_boolean_search,
     "d55_index_compact" -> d55_index_compact,
     "d56_screened_search" -> d56_screened_search,
+    "d58_fuzzy_search" -> d58_fuzzy_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -841,6 +863,42 @@ object SearchQueries {
         |u AS (SELECT doc_id, unnest(tk) AS term FROM tk),
         |tr AS (SELECT term, row_number() OVER (ORDER BY term) AS trank
         |       FROM (SELECT DISTINCT term FROM u WHERE term LIKE 's%')),
+        |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |tf AS (SELECT u.doc_id AS doc_id, tr.term AS term, tr.trank AS trank,
+        |              CAST(count(*) AS BIGINT) AS tf
+        |       FROM u JOIN tr USING (term) GROUP BY 1, 2, 3),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |c AS (
+        |  SELECT tf.doc_id AS doc_id, tf.trank AS trank,
+        |         (((n_docs - dfs.df) + 0.5) / (dfs.df + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dls.dl AS DOUBLE)
+        |                                         / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |           AS contrib
+        |  FROM tf JOIN dfs USING (term) JOIN dls ON tf.doc_id = dls.doc_id, st)
+        |SELECT c.doc_id AS doc_id, dls.dl AS dl,
+        |       CAST(count(*) AS BIGINT) AS n_matched,
+        |       list_reduce(list(contrib ORDER BY trank), (x, y) -> x + y) AS score
+        |FROM c JOIN dls ON c.doc_id = dls.doc_id
+        |GROUP BY c.doc_id, dls.dl
+        |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // DYNAMIC fuzzy resolution (same proof shape as d53): the oracle
+    // discovers the edit-distance-1 neighbors of the typo terms by
+    // full scan; the engine resolves them against its persisted
+    // dictionary. Both fold scores in alphabetical term-rank order.
+    "d58_fuzzy_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tr AS (SELECT term, row_number() OVER (ORDER BY term) AS trank
+        |       FROM (SELECT DISTINCT term FROM u
+        |             WHERE levenshtein(term, 'vectr') <= 1
+        |                OR levenshtein(term, 'mrge')  <= 1
+        |                OR levenshtein(term, 'sow')   <= 1)),
         |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
         |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
         |tf AS (SELECT u.doc_id AS doc_id, tr.term AS term, tr.trank AS trank,

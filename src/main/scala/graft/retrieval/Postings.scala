@@ -355,6 +355,42 @@ object Postings {
     matched
   }
 
+  /** Resolve FUZZY query terms to dictionary terms within `maxDist`
+    * edits (typo tolerance — the retrieval feature a curation user
+    * hits the moment they mistype a filter term). Like `prefixTerms`,
+    * the resolution reads ONLY the dictionary (distinct-terms-sized;
+    * the postings are never touched until the resolved list drives the
+    * normal zero-shuffle join), returns alphabetically for the
+    * deterministic score fold, and REFUSES an explosion rather than
+    * silently truncating. A length pre-screen (|len(t)-len(q)| ≤
+    * maxDist, a necessary condition for edit distance) guards the
+    * Levenshtein evaluation; both screen and distance are native
+    * codegen'd expressions, no UDF.
+    */
+  def fuzzyTerms(
+      spark: SparkSession,
+      name: String,
+      terms: Seq[String],
+      maxDist: Int = 1,
+      maxTerms: Int = 1000): Seq[String] = {
+    import spark.implicits._
+    val near = terms.distinct
+      .map(q =>
+        (abs(length(col("term")) - lit(q.length)) <= maxDist) &&
+          levenshtein(col("term"), lit(q)) <= maxDist)
+      .reduce(_ || _)
+    val matched = dictTable(spark, name)
+      .filter(near)
+      .select(col("term")).distinct()
+      .orderBy(col("term"))
+      .limit(maxTerms + 1)
+      .as[String].collect().toSeq
+    require(
+      matched.size <= maxTerms,
+      s"fuzzy terms ${terms.mkString(",")} resolve more than $maxTerms terms; refine or raise maxTerms")
+    matched
+  }
+
   // ---------- positional index (phrase queries) ----------
 
   private def posTableName(name: String)        = s"${name}_pospostings"

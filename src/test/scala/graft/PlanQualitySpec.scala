@@ -50,6 +50,9 @@ class PlanQualitySpec extends SparkTestBase {
     // d56: stop-term screening feeds the kept terms into the same
     // bm25TopK shape — same one-row corpus-stats broadcast
     "d56_screened_search" -> Set("BroadcastNestedLoopJoin"),
+    // d58: dictionary-resolved fuzzy terms drive the same bm25TopK
+    // shape — same one-row corpus-stats broadcast
+    "d58_fuzzy_search"    -> Set("BroadcastNestedLoopJoin"),
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),

@@ -335,6 +335,45 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("fuzzy resolution: dictionary edit-distance matches full-scan terms, survives append, refuses overflow") {
+    val dir = Files.createTempDirectory("graft_fuz").toString
+    // reference edit distance (classic DP) — pins the engine's native
+    // `levenshtein` to textbook semantics on this vocabulary
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val typos = Seq("vectr", "mrge", "sow")
+    val docs = docsDf.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val fullScanTerms = docs
+      .flatMap(_._2.trim.split("\\s+")).filter(t => t.nonEmpty && typos.exists(q => lev(t, q) <= 1))
+      .distinct.sorted
+    assert(fullScanTerms.size >= 2, s"test vocabulary too small for fuzzy resolution: $fullScanTerms")
+    try {
+      // grown (half + append-half) dictionary resolves exactly the full-scan set
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_fuz_k", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_fuz_k")
+      assert(Postings.fuzzyTerms(spark, "t_fuz_k", typos) == fullScanTerms)
+      // duplicate query terms resolve the same set (fuzzyTerms dedupes)
+      assert(Postings.fuzzyTerms(spark, "t_fuz_k", typos ++ typos) == fullScanTerms)
+      // an exact vocabulary term resolves itself plus its true neighbors
+      assert(Postings.fuzzyTerms(spark, "t_fuz_k", Seq("merge")).contains("merge"))
+      // an un-selective distance refuses loudly instead of ranking a subset
+      val e = intercept[IllegalArgumentException](
+        Postings.fuzzyTerms(spark, "t_fuz_k", typos, maxTerms = 1))
+      assert(e.getMessage.contains("resolve more than"))
+      // a far-from-everything term is an empty (not erroring) result set
+      assert(Postings.fuzzyTerms(spark, "t_fuz_k", Seq("qqqqqqqqqq")).isEmpty)
+    } finally Postings.dropIndex(spark, "t_fuz_k")
+  }
+
   test("dictionary dfs equal posting-derived dfs; stop-term screen reads only the dictionary") {
     val dir = Files.createTempDirectory("graft_pix").toString
     try {
