@@ -529,6 +529,37 @@ object SearchQueries {
       graft.retrieval.Postings.fuzzyTerms(s, name, Seq("vectr", "mrge", "sow")), 50)
   }
 
+  /** The standing-query set shared by the gated batch percolation
+    * (d59, over the index) and StreamingSpec's index-free arrival-time
+    * matcher — conjunctive alerts of mixed selectivity.
+    */
+  val standingQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "merge"),
+    2L -> Seq("vector", "scan"),
+    3L -> Seq("window", "batch", "group"),
+    4L -> Seq("slow", "fast"),
+    5L -> Seq("hash", "join"),
+    6L -> Seq("stream", "table"),
+    7L -> Seq("filter", "sort"),
+    8L -> Seq("data", "query", "row"))
+
+  /** Batch multi-query retrieval (standing-query percolation): all 8
+    * standing queries answered in ONE pruned pass over the posting
+    * index (`Postings.matchQueries` — relational division vectorized
+    * across queries; the union of standing terms drives the bucket
+    * pruning and the broadcast join, zero index-side exchange). The
+    * oracle evaluates each query by full-scan `list_has_all`; the
+    * all-integer output hash-matches by construction.
+    */
+  val d59_multiquery_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+    }
+    graft.retrieval.Postings.matchQueries(
+      graft.retrieval.Postings.postingsTable(s, name), standingQueries)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -547,6 +578,7 @@ object SearchQueries {
     "d55_index_compact" -> d55_index_compact,
     "d56_screened_search" -> d56_screened_search,
     "d58_fuzzy_search" -> d58_fuzzy_search,
+    "d59_multiquery_search" -> d59_multiquery_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -920,6 +952,26 @@ object SearchQueries {
         |FROM c JOIN dls ON c.doc_id = dls.doc_id
         |GROUP BY c.doc_id, dls.dl
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // each standing query evaluated by full scan; the engine answers
+    // all of them in one pruned pass over the posting index
+    "d59_multiquery_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |q(query_id, terms) AS (VALUES
+        |  (CAST(1 AS BIGINT), ['spark', 'merge']),
+        |  (CAST(2 AS BIGINT), ['vector', 'scan']),
+        |  (CAST(3 AS BIGINT), ['window', 'batch', 'group']),
+        |  (CAST(4 AS BIGINT), ['slow', 'fast']),
+        |  (CAST(5 AS BIGINT), ['hash', 'join']),
+        |  (CAST(6 AS BIGINT), ['stream', 'table']),
+        |  (CAST(7 AS BIGINT), ['filter', 'sort']),
+        |  (CAST(8 AS BIGINT), ['data', 'query', 'row']))
+        |SELECT q.query_id AS query_id, tk.doc_id AS doc_id
+        |FROM tk, q
+        |WHERE list_has_all(tk.tk, q.terms)
+        |ORDER BY query_id, doc_id""".stripMargin,
     "d54_boolean_search" ->
       """WITH tk AS (
         |  SELECT doc_id,

@@ -391,6 +391,76 @@ object Postings {
     matched
   }
 
+  /** Batch multi-query retrieval (standing-query percolation): answer
+    * MANY conjunctive queries in ONE pass over the posting index. Each
+    * standing query is (query_id, must-terms); a doc matches when it
+    * contains every term (the same relational division as
+    * `booleanSearch`, vectorized across queries). At 100 TB this is
+    * the difference between N queries × a pruned scan each and ONE
+    * pruned scan of the union of their terms: the broadcast
+    * query-terms frame joins the bucketed layout with zero index-side
+    * exchange, and the only shuffle keys slim (query_id, doc_id,
+    * n_terms) rows for the division count.
+    *
+    * Output: (query_id, doc_id), ordered. All-integer — bit-exact
+    * against any engine by construction.
+    */
+  def matchQueries(postings: DataFrame, queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "percolation needs at least one standing query")
+    require(queries.forall(_._2.nonEmpty), "every standing query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size, "standing query ids must be unique")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) =>
+      val d = ts.distinct // a duplicated term would double-count the division
+      d.map(t => (qid, t, d.size.toLong))
+    }
+    val qtDf = qt
+      .toDF("query_id", "q_term", "n_terms")
+      .select(
+        col("query_id"),
+        Hashing.hash60(col("q_term")).as("term_h"),
+        col("q_term"),
+        col("n_terms"))
+    postings
+      .filter(termHashPrune(qt.map(_._2).distinct))
+      .join(broadcast(qtDf), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .groupBy(col("query_id"), col("doc_id"), col("n_terms"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") === col("n_terms"))
+      .select(col("query_id"), col("doc_id"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  /** Index-free percolation of a document batch against standing
+    * queries — the STREAMING side of `matchQueries`: a new doc should
+    * match standing alerts the moment it arrives, before any index
+    * append. Entirely stateless and narrow (tokenize, explode the
+    * literal query array, `forall`/`array_contains` — all codegen'd,
+    * no state store, no watermark), so it runs unchanged on a static
+    * frame or inside `readStream`-driven micro-batches; StreamingSpec
+    * proves stream-accumulated matches == one `matchQueries` pass
+    * over the same docs' index.
+    */
+  def percolate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty, "percolation needs at least one standing query")
+    require(queries.forall(_._2.nonEmpty), "every standing query needs at least one term")
+    val qlit = array(queries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"), array(ts.distinct.map(lit(_)): _*).as("terms"))
+    }: _*)
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"), explode(qlit).as("q"))
+      .filter(forall(col("q.terms"), t => array_contains(col("tk"), t)))
+      .select(col("q.query_id").as("query_id"), col("doc_id"))
+  }
+
   // ---------- positional index (phrase queries) ----------
 
   private def posTableName(name: String)        = s"${name}_pospostings"

@@ -374,6 +374,46 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_fuz_k")
   }
 
+  test("multi-query percolation equals per-query boolean search; bucket pruning spans the union of terms") {
+    val dir = Files.createTempDirectory("graft_mq").toString
+    val standing = Seq(
+      1L -> Seq("spark", "merge"),
+      2L -> Seq("row"),
+      3L -> Seq("batch", "scan", "sort"),
+      4L -> Seq("zzz_not_a_term", "spark"))
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_mq_a", dir, buckets = 8)
+      val pt = Postings.postingsTable(spark, "t_mq_a")
+      val all = Postings.matchQueries(pt, standing)
+        .as[(Long, Long)].collect().toSeq
+      // vectorized division == one booleanSearch per standing query
+      val perQuery = standing.flatMap { case (qid, terms) =>
+        Postings.booleanSearch(pt, must = terms, mustNot = Nil)
+          .select(col("doc_id")).as[Long].collect().toSeq.map(d => (qid, d))
+      }.sorted
+      assert(all == perQuery && all.nonEmpty)
+      // a query with an absent term matches nothing, breaks nothing
+      assert(!all.exists(_._1 == 4L))
+      // the index-free arrival-time matcher agrees on the same docs
+      val arrival = Postings.percolate(docsDf, "doc_id", "text", standing)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(arrival == perQuery)
+      // duplicate terms in a standing query don't break the division
+      val dup = Postings.matchQueries(pt, Seq(9L -> Seq("spark", "spark", "merge")))
+        .as[(Long, Long)].collect().toSeq
+      val plain = Postings.matchQueries(pt, Seq(9L -> Seq("spark", "merge")))
+        .as[(Long, Long)].collect().toSeq
+      assert(dup == plain)
+      // unique-id and non-empty contracts refuse loudly
+      assert(intercept[IllegalArgumentException](
+        Postings.matchQueries(pt, Seq(1L -> Seq("a"), 1L -> Seq("b"))))
+        .getMessage.contains("unique"))
+      assert(intercept[IllegalArgumentException](
+        Postings.matchQueries(pt, Seq(1L -> Nil)))
+        .getMessage.contains("at least one term"))
+    } finally Postings.dropIndex(spark, "t_mq_a")
+  }
+
   test("dictionary dfs equal posting-derived dfs; stop-term screen reads only the dictionary") {
     val dir = Files.createTempDirectory("graft_pix").toString
     try {

@@ -458,4 +458,49 @@ class StreamingSpec extends SparkTestBase {
       Postings.dropIndex(spark, "t_spidx_b")
     }
   }
+
+  test("streaming percolation: arrival-time matches accumulate to the batch index answer") {
+    import graft.retrieval.Postings
+    implicit val sqlCtx = spark.sqlContext
+    val standing = Seq(
+      1L -> Seq("spark", "merge"),
+      2L -> Seq("row"),
+      3L -> Seq("filter", "sort", "fast"))
+    val batchA = Seq((10L, "merge spark window"), (11L, "row batch merge"))
+    val batchB = Seq(
+      (20L, "fast sort filter fast"),
+      (21L, "spark only"),
+      (22L, null.asInstanceOf[String]))
+    val dir  = java.nio.file.Files.createTempDirectory("graft_perc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_perc_ckpt").toString
+    val sink = s"perc_sink_${ProcessHandle.current().pid()}"
+    val stream = MemoryStream[(Long, String)]
+    // stateless matcher straight on the stream — no index, no state store
+    val q = Postings
+      .percolate(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", standing)
+      .writeStream.outputMode("append").format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(batchA); q.processAllAvailable()
+      stream.addData(batchB); q.processAllAvailable()
+      val streamed = spark.table(sink)
+        .as[(Long, Long)].collect().toSeq.sorted
+      // the same docs, indexed and percolated in one batch pass
+      Postings.writeIndex(
+        (batchA ++ batchB).toDF("doc_id", "text"), "doc_id", "text", "t_perc_i", dir, buckets = 4)
+      val batch = Postings
+        .matchQueries(Postings.postingsTable(spark, "t_perc_i"), standing)
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch && streamed.nonEmpty,
+        s"arrival-time percolation diverged from the batch index answer: $streamed vs $batch")
+      // expected matches, by hand: q1 hits 10 and 11? (11 lacks spark) — just 10;
+      // q2 hits 11; q3 hits 20 only
+      assert(streamed == Seq((1L, 10L), (2L, 11L), (3L, 20L)))
+    } finally {
+      q.stop()
+      Postings.dropIndex(spark, "t_perc_i")
+      spark.sql(s"DROP VIEW IF EXISTS $sink")
+    }
+  }
 }
