@@ -352,7 +352,8 @@ object SearchQueries {
   val d47p_indexed_prod: Q = (s, dir) => {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
-      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25TopK(
       graft.retrieval.Postings.postingsTable(s, name),
@@ -458,7 +459,8 @@ object SearchQueries {
   val d53_prefix_search: Q = (s, dir) => {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
-      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25TopK(
       graft.retrieval.Postings.postingsTable(s, name),
@@ -475,7 +477,8 @@ object SearchQueries {
   val d54_boolean_search: Q = (s, dir) => {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
-      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.booleanSearch(
       graft.retrieval.Postings.postingsTable(s, name),
@@ -497,7 +500,8 @@ object SearchQueries {
   val d56_screened_search: Q = (s, dir) => {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
-      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     val stats  = graft.retrieval.Postings.statsTable(s, name)
     val nDocs  = stats.agg(sum(col("n_docs")).as("n")).first().getLong(0)
@@ -521,7 +525,8 @@ object SearchQueries {
   val d58_fuzzy_search: Q = (s, dir) => {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
-      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25TopK(
       graft.retrieval.Postings.postingsTable(s, name),
@@ -554,10 +559,31 @@ object SearchQueries {
   val d59_multiquery_search: Q = (s, dir) => {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
-      graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.matchQueries(
       graft.retrieval.Postings.postingsTable(s, name), standingQueries)
+  }
+
+  /** Faceted search: the (lang, source) breakdown of every doc
+    * matching any of the query terms — the inverted side finds the
+    * match set through the pruned zero-shuffle join, the doc_id-
+    * bucketed FORWARD table decorates it with metadata (only the slim
+    * match set exchanges; the corpus text is never rescanned), and
+    * the facet aggregation runs map-side-partial over |matches| rows.
+    * The oracle recomputes facets by full scan; all-integer output.
+    */
+  val d60_faceted_search: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+    }
+    graft.retrieval.Postings.facetCounts(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.forwardTable(s, name),
+      Seq("spark", "vector"), Seq("lang", "source"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -579,6 +605,7 @@ object SearchQueries {
     "d56_screened_search" -> d56_screened_search,
     "d58_fuzzy_search" -> d58_fuzzy_search,
     "d59_multiquery_search" -> d59_multiquery_search,
+    "d60_faceted_search" -> d60_faceted_search,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -952,6 +979,18 @@ object SearchQueries {
         |FROM c JOIN dls ON c.doc_id = dls.doc_id
         |GROUP BY c.doc_id, dls.dl
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // facets recomputed by full scan; the engine joins its match set
+    // to the doc_id-bucketed forward table instead
+    "d60_faceted_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM tk
+        |WHERE list_contains(tk, 'spark') OR list_contains(tk, 'vector')
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
     // each standing query evaluated by full scan; the engine answers
     // all of them in one pruned pass over the posting index
     "d59_multiquery_search" ->

@@ -82,6 +82,20 @@ object Postings {
   private def postingsTableName(name: String) = s"${name}_postings"
   private def statsTableName(name: String)    = s"${name}_stats"
   private def dictTableName(name: String)     = s"${name}_dict"
+  private def forwardTableName(name: String)  = s"${name}_forward"
+
+  /** FORWARD rows for a batch: (doc_id, <metadata columns>) — the
+    * per-document side of the index, bucketed by doc_id. It exists so
+    * result decoration (facet counts, metadata filters on a match
+    * set) joins a slim doc-keyed table instead of re-scanning the
+    * corpus: the inverted side finds WHICH docs, the forward side
+    * says WHAT they are. A narrow projection only — no tokenize (dl
+    * already rides every posting).
+    */
+  def forwardRows(docs: DataFrame, idCol: String, textCol: String, metaCols: Seq[String]): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id") +: metaCols.map(col): _*)
 
   /** Literal bucket-pruning predicate for a plan-time terms list:
     * `term_h IN (<driver-computed hashes>)`. The broadcast join alone
@@ -132,7 +146,8 @@ object Postings {
       textCol: String,
       name: String,
       path: String,
-      buckets: Int): Unit = {
+      buckets: Int,
+      metaCols: Seq[String] = Nil): Unit = {
     // ONE pass over the corpus, total. The corpus stats ride the
     // bucketize write itself as `observe()` metrics (CollectMetrics —
     // an accumulator fold inside the write job, no plan change):
@@ -173,6 +188,10 @@ object Postings {
     docs.sparkSession.read.parquet(s"$path/postings")
       .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").option("path", s"$path/dict").saveAsTable(dictTableName(name))
+    if (metaCols.nonEmpty)
+      Layout.bucketize(
+        forwardRows(docs, idCol, textCol, metaCols),
+        forwardTableName(name), s"$path/forward", Seq("doc_id"), buckets)
   }
 
   /** Incremental maintenance: append a batch's postings (own bucket
@@ -207,6 +226,14 @@ object Postings {
     Layout.append(postings(docs, idCol, textCol), postingsTableName(name))
     dictRows(docs, idCol, textCol)
       .write.mode("append").insertInto(dictTableName(name))
+    // the forward side (if this index was built with metaCols) grows
+    // with the batch too — columns inferred from the existing table so
+    // callers can't drift; inside the same stats-marker commit scope
+    if (spark.catalog.tableExists(forwardTableName(name)))
+      Layout.append(
+        forwardRows(docs, idCol, textCol,
+          spark.table(forwardTableName(name)).columns.filterNot(_ == "doc_id").toSeq),
+        forwardTableName(name))
     statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
   }
 
@@ -275,6 +302,8 @@ object Postings {
       Layout.compact(spark, postingsTableName(name))
     if (spark.catalog.tableExists(posTableName(name)))
       Layout.compact(spark, posTableName(name))
+    if (spark.catalog.tableExists(forwardTableName(name)))
+      Layout.compact(spark, forwardTableName(name))
     if (spark.catalog.tableExists(dictTableName(name))) {
       val table = dictTableName(name)
       val meta = spark.sessionState.catalog.getTableMetadata(
@@ -294,10 +323,13 @@ object Postings {
     spark.sql(s"DROP TABLE IF EXISTS ${posTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${posMarkersTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${dictTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${forwardTableName(name)}")
   }
 
   def dictTable(spark: SparkSession, name: String): DataFrame =
     spark.table(dictTableName(name))
+  def forwardTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(forwardTableName(name))
 
   /** Total df per queried term from the DICTIONARY alone (sums the
     * per-batch partial rows; equal to the posting-derived df by
@@ -460,6 +492,67 @@ object Postings {
       .filter(forall(col("q.terms"), t => array_contains(col("tk"), t)))
       .select(col("q.query_id").as("query_id"), col("doc_id"))
   }
+
+  /** Faceted search: for docs matching ANY query term, count matches
+    * per facet value — the result-decoration query every search UI
+    * runs next to its hit list. The inverted side finds the match SET
+    * (pruned scan, broadcast terms join, distinct doc_id), then the
+    * FORWARD table supplies the metadata: a doc_id-keyed join against
+    * the doc_id-bucketed forward layout in which only the slim
+    * match-set side exchanges — the forward side reads co-partitioned
+    * (plan-asserted in RetrievalSpec) — and the corpus text is never
+    * rescanned. Facet aggregation then runs over |matches| rows with
+    * map-side partials.
+    */
+  def facetCounts(
+      postings: DataFrame,
+      forward: DataFrame,
+      terms: Seq[String],
+      facetCols: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "faceted search needs at least one term")
+    require(facetCols.nonEmpty, "faceted search needs at least one facet column")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val termsDf = terms.distinct
+      .toDF("q_term")
+      .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
+    val hits = postings
+      .filter(termHashPrune(terms.distinct))
+      .join(broadcast(termsDf), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .select(col("doc_id"))
+    // ONE exchange for the whole decoration: key the slim hit set by
+    // doc_id AT THE FORWARD TABLE'S BUCKET WIDTH, so the dedup
+    // aggregate reuses that partitioning and the join reads the
+    // forward buckets co-partitioned with no exchange on either side.
+    // Without the width match, the hit set's aggregate partitioning
+    // (shuffle-partitions-wide) outvotes the bucketed side and the
+    // planner shuffles the FORWARD table — the corpus-sized side —
+    // and disables its bucketed scan (observed; RetrievalSpec pins
+    // the fixed shape).
+    val matched = bucketCount(forward) match {
+      case Some(b) => hits.repartition(b, col("doc_id")).dropDuplicates("doc_id")
+      case None    => hits.distinct()
+    }
+    matched
+      .join(forward.select((col("doc_id") +: facetCols.map(col)): _*), Seq("doc_id"))
+      .groupBy(facetCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(facetCols.map(col): _*)
+  }
+
+  /** Bucket count of a DataFrame backed by a bucketed file relation
+    * (None when unbucketed — e.g. an ad-hoc frame in tests).
+    */
+  private def bucketCount(df: DataFrame): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.bucketSpec.map(_.numBuckets)
+          case _ => None
+        }
+    }.flatten
 
   // ---------- positional index (phrase queries) ----------
 

@@ -53,6 +53,13 @@ class PlanQualitySpec extends SparkTestBase {
     // d58: dictionary-resolved fuzzy terms drive the same bm25TopK
     // shape — same one-row corpus-stats broadcast
     "d58_fuzzy_search"    -> Set("BroadcastNestedLoopJoin"),
+    // d60: the pinned keyed repartition IS the mechanism — the slim
+    // hit set must land exactly at the forward table's bucket width
+    // so the corpus-sized forward side joins co-partitioned with no
+    // exchange (RetrievalSpec pins the shape; without the pin the
+    // planner shuffles the FORWARD side and drops its bucketed scan).
+    // AQE loses nothing: a bucketed join is outside its re-plan scope.
+    "d60_faceted_search"  -> Set("PinnedKeyedRepartition"),
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),

@@ -414,6 +414,80 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_mq_a")
   }
 
+  test("faceted search: forward-table facets equal full-scan facets, survive append; forward side joins without exchange") {
+    val dir = Files.createTempDirectory("graft_fwd").toString
+    val docsMeta = docsDf
+      .filter(col("text").isNotNull)
+      .withColumn("lang", concat(lit("l"), (col("doc_id") % 3).cast("string")))
+    val terms = Seq("spark", "row")
+    try {
+      // full-scan reference facets
+      val tokenMatched = docsMeta.select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect().toSeq
+        .filter { case (_, _, t) => t.trim.split("\\s+").exists(terms.contains) }
+        .groupBy(_._2).map { case (l, rows) => (l, rows.size.toLong) }.toSeq.sorted
+      // build half, append half — facets must see both
+      Postings.writeIndex(
+        docsMeta.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "t_fwd_a", dir, buckets = 8, metaCols = Seq("lang"))
+      Postings.appendBatch(
+        docsMeta.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_fwd_a")
+      val q = Postings.facetCounts(
+        Postings.postingsTable(spark, "t_fwd_a"),
+        Postings.forwardTable(spark, "t_fwd_a"), terms, Seq("lang"))
+      assert(q.as[(String, Long)].collect().toSeq.sorted == tokenMatched && tokenMatched.nonEmpty)
+      // the forward (bucketed) side of the decoration join never hits a
+      // ShuffleExchange — at toy scale AQE may broadcast the tiny
+      // forward table (fine; still no shuffle); the 100 TB shape is
+      // pinned below with broadcast disabled
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case qs: QueryStageExec       => Seq(qs) ++ expand(qs.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      def isFwdScan(p: SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.bucketSpec.exists(_.bucketColumnNames == Seq("doc_id"))
+        case _ => false
+      }
+      def assertFwdUnshuffled(df: org.apache.spark.sql.DataFrame): Unit = {
+        df.collect()
+        val all = expand(df.queryExecution.executedPlan)
+        assert(all.exists(isFwdScan), s"no doc_id-bucketed forward scan:\n${df.queryExecution.executedPlan}")
+        val joinSides = all.filter {
+          case _: org.apache.spark.sql.execution.joins.BaseJoinExec => true
+          case _                                                    => false
+        }.flatMap(_.children).filter(c => expand(c).exists(isFwdScan))
+        assert(joinSides.nonEmpty, s"forward scan not under a join:\n${df.queryExecution.executedPlan}")
+        assert(
+          !joinSides.exists(expand(_).exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])),
+          s"forward side shuffled before the decoration join:\n${df.queryExecution.executedPlan}")
+      }
+      assertFwdUnshuffled(q)
+      // 100 TB shape (forward too big to broadcast): SMJ/SHJ in which
+      // ONLY the slim match set exchanges — the forward side reads its
+      // buckets co-partitioned
+      val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try assertFwdUnshuffled(
+        Postings.facetCounts(
+          Postings.postingsTable(spark, "t_fwd_a"),
+          Postings.forwardTable(spark, "t_fwd_a"), terms, Seq("lang")))
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      // compaction covers the forward table and preserves the facets
+      val filesBefore = Postings.forwardTable(spark, "t_fwd_a").inputFiles.length
+      Postings.compactIndex(spark, "t_fwd_a")
+      assert(Postings.forwardTable(spark, "t_fwd_a").inputFiles.length < filesBefore)
+      val q2 = Postings.facetCounts(
+        Postings.postingsTable(spark, "t_fwd_a"),
+        Postings.forwardTable(spark, "t_fwd_a"), terms, Seq("lang"))
+      assert(q2.as[(String, Long)].collect().toSeq.sorted == tokenMatched)
+    } finally Postings.dropIndex(spark, "t_fwd_a")
+  }
+
   test("dictionary dfs equal posting-derived dfs; stop-term screen reads only the dictionary") {
     val dir = Files.createTempDirectory("graft_pix").toString
     try {
