@@ -41,7 +41,9 @@ object ProfileR12Retrieval {
     def build(m: Int): (Double, Double) = {
       val docs = spark.read.parquet(s"/tmp/graft_scale/m$m/documents.parquet")
       val t0   = System.nanoTime()
-      Postings.writeIndex(docs, "doc_id", "text", name(m), s"/tmp/graft_scale_idx/m$m", buckets = 32)
+      Postings.writeIndex(
+        docs, "doc_id", "text", name(m), s"/tmp/graft_scale_idx/m$m", buckets = 32,
+        metaCols = Seq("lang", "source"))
       val tFreq = (System.nanoTime() - t0) / 1e9
       val t1    = System.nanoTime()
       Postings.writePositionalIndex(docs, "doc_id", "text", name(m), s"/tmp/graft_scale_idx/m$m", buckets = 32)
@@ -69,6 +71,29 @@ object ProfileR12Retrieval {
       "boolean_fixed" -> { m =>
         Postings.booleanSearch(
           Postings.postingsTable(spark, name(m)), Seq("spark", "merge"), Seq("slow"))
+      },
+      // typo resolution matches only base-slice terms (markered
+      // variants are ≥2 edits away) → fixed matches; the resolution
+      // itself is a dictionary scan, which grows ~m× in vocabulary
+      "fuzzy_fixed" -> { m =>
+        Postings.bm25TopK(
+          Postings.postingsTable(spark, name(m)), Postings.statsTable(spark, name(m)),
+          Postings.fuzzyTerms(spark, name(m), Seq("vectr", "mrge", "sow")), 50)
+      },
+      // 8 standing conjunctive queries over base literal terms in one
+      // pruned pass — fixed matches, shared scan
+      "multiquery_fixed" -> { m =>
+        Postings.matchQueries(
+          Postings.postingsTable(spark, name(m)),
+          graft.operators.SearchQueries.standingQueries)
+      },
+      // facet decoration of a fixed match set via the doc_id-bucketed
+      // forward table (forward side grows m×, never shuffles)
+      "facet_fixed" -> { m =>
+        Postings.facetCounts(
+          Postings.postingsTable(spark, name(m)),
+          Postings.forwardTable(spark, name(m)),
+          Seq("spark", "vector"), Seq("lang", "source"))
       })
 
     def run(fn: Int => DataFrame, m: Int): Double = graft.Caches.scoped(spark) {
