@@ -586,6 +586,26 @@ object SearchQueries {
       Seq("spark", "vector"), Seq("lang", "source"))
   }
 
+  /** Scored multi-query retrieval: per-query BM25 top-10 for the same
+    * 8 standing queries, one pruned index pass (`Postings.
+    * bm25MultiTopK` — the ranked form of d59's percolation: one scan
+    * of the union of terms, one (query_id, doc_id)-keyed shuffle, a
+    * per-query window over the aggregated frame). Oracle evaluates
+    * every query by full scan with the same IEEE score tree and the
+    * same rank cut.
+    */
+  val d61_multiquery_ranked: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+    }
+    graft.retrieval.Postings.bm25MultiTopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      standingQueries, 10)
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -606,6 +626,7 @@ object SearchQueries {
     "d58_fuzzy_search" -> d58_fuzzy_search,
     "d59_multiquery_search" -> d59_multiquery_search,
     "d60_faceted_search" -> d60_faceted_search,
+    "d61_multiquery_ranked" -> d61_multiquery_ranked,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -979,6 +1000,49 @@ object SearchQueries {
         |FROM c JOIN dls ON c.doc_id = dls.doc_id
         |GROUP BY c.doc_id, dls.dl
         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+    // every standing query scored by full scan (same IEEE contribution
+    // tree and rank-ordered fold as d53; per-query rank cut identical
+    // because the doubles are bit-exact); the engine answers all 8 in
+    // one pruned index pass
+    "d61_multiquery_ranked" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+        |tr(query_id, term, trank) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'spark', 0),  (CAST(1 AS BIGINT), 'merge', 1),
+        |  (CAST(2 AS BIGINT), 'vector', 0), (CAST(2 AS BIGINT), 'scan', 1),
+        |  (CAST(3 AS BIGINT), 'window', 0), (CAST(3 AS BIGINT), 'batch', 1), (CAST(3 AS BIGINT), 'group', 2),
+        |  (CAST(4 AS BIGINT), 'slow', 0),   (CAST(4 AS BIGINT), 'fast', 1),
+        |  (CAST(5 AS BIGINT), 'hash', 0),   (CAST(5 AS BIGINT), 'join', 1),
+        |  (CAST(6 AS BIGINT), 'stream', 0), (CAST(6 AS BIGINT), 'table', 1),
+        |  (CAST(7 AS BIGINT), 'filter', 0), (CAST(7 AS BIGINT), 'sort', 1),
+        |  (CAST(8 AS BIGINT), 'data', 0),   (CAST(8 AS BIGINT), 'query', 1), (CAST(8 AS BIGINT), 'row', 2)),
+        |dls AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+        |st AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dls),
+        |tf AS (SELECT u.doc_id AS doc_id, tr.query_id AS query_id, tr.term AS term,
+        |              tr.trank AS trank, CAST(count(*) AS BIGINT) AS tf
+        |       FROM u JOIN tr USING (term) GROUP BY 1, 2, 3, 4),
+        |dfs AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1, 2),
+        |c AS (
+        |  SELECT tf.query_id AS query_id, tf.doc_id AS doc_id, tf.trank AS trank,
+        |         (((n_docs - dfs.df) + 0.5) / (dfs.df + 0.5))
+        |           * ((CAST(tf.tf AS DOUBLE) * 2.2)
+        |              / (CAST(tf.tf AS DOUBLE)
+        |                 + 1.2 * (0.25 + 0.75 * (CAST(dls.dl AS DOUBLE)
+        |                                         / (CAST(st.sum_dl AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+        |           AS contrib
+        |  FROM tf JOIN dfs USING (query_id, term) JOIN dls ON tf.doc_id = dls.doc_id, st),
+        |s AS (
+        |  SELECT c.query_id AS query_id, c.doc_id AS doc_id, dls.dl AS dl,
+        |         CAST(count(*) AS BIGINT) AS n_matched,
+        |         list_reduce(list(contrib ORDER BY trank), (x, y) -> x + y) AS score
+        |  FROM c JOIN dls ON c.doc_id = dls.doc_id
+        |  GROUP BY c.query_id, c.doc_id, dls.dl)
+        |SELECT query_id, doc_id, dl, n_matched, score FROM s
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= 10
+        |ORDER BY query_id, score DESC, doc_id""".stripMargin,
     // facets recomputed by full scan; the engine joins its match set
     // to the doc_id-bucketed forward table instead
     "d60_faceted_search" ->

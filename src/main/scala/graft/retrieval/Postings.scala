@@ -465,6 +465,74 @@ object Postings {
       .orderBy(col("query_id"), col("doc_id"))
   }
 
+  /** SCORED multi-query retrieval: per-query BM25 top-`k` for MANY
+    * standing queries in ONE pass over the posting index — the ranked
+    * form of `matchQueries` (alerts that want their best hits, not
+    * just membership). One pruned scan of the union of standing
+    * terms, one broadcast (query_id, term, rank) frame, one shuffle
+    * keyed (query_id, doc_id) for the score fold, then a per-query
+    * window over the already-aggregated frame (bounded by matches,
+    * never the corpus). Per-(query, term) df equals the term's global
+    * posting count (each pairing joins the identical doc set), so df
+    * derives from the matched rows exactly as in `bm25TopK` — no
+    * persisted-stat maintenance, and the same bit-exact IEEE score
+    * tree (rank-sorted fold from exact 0.0).
+    */
+  def bm25MultiTopK(
+      postings: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame = {
+    require(queries.nonEmpty, "scored multi-query retrieval needs at least one standing query")
+    require(queries.forall(_._2.nonEmpty), "every standing query needs at least one term")
+    require(queries.map(_._1).distinct.size == queries.size, "standing query ids must be unique")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val qt = queries.flatMap { case (qid, ts) =>
+      ts.distinct.zipWithIndex.map { case (t, r) => (qid, t, r) }
+    }
+    val termsDf = qt
+      .toDF("query_id", "q_term", "trank")
+      .select(
+        col("query_id"),
+        Hashing.hash60(col("q_term")).as("term_h"),
+        col("q_term"),
+        col("trank"))
+    val tot = stats.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val matched = postings
+      .filter(termHashPrune(qt.map(_._2).distinct))
+      .join(broadcast(termsDf), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .select(col("query_id"), col("term"), col("trank"), col("doc_id"), col("tf"), col("dl"))
+    val dfs = matched.groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val tfd   = col("tf").cast("double")
+    val idf   = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val tfw = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = matched
+      .join(broadcast(dfs), Seq("query_id", "term"))
+      .crossJoin(broadcast(tot)) // one row: N, sum_dl
+      .withColumn("contrib", idf * tfw)
+      .groupBy(col("query_id"), col("doc_id"), col("dl"))
+      .agg(
+        count(lit(1)).as("n_matched"),
+        array_sort(collect_list(struct(col("trank"), col("contrib")))).as("cs"))
+      .withColumn(
+        "score",
+        aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
+    scored
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"), col("n_matched"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
   /** Index-free percolation of a document batch against standing
     * queries — the STREAMING side of `matchQueries`: a new doc should
     * match standing alerts the moment it arrives, before any index

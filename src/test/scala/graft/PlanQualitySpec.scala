@@ -53,6 +53,8 @@ class PlanQualitySpec extends SparkTestBase {
     // d58: dictionary-resolved fuzzy terms drive the same bm25TopK
     // shape — same one-row corpus-stats broadcast
     "d58_fuzzy_search"    -> Set("BroadcastNestedLoopJoin"),
+    // d61: the same one-row corpus-stats broadcast as every bm25 form
+    "d61_multiquery_ranked" -> Set("BroadcastNestedLoopJoin"),
     // d60: the pinned keyed repartition IS the mechanism — the slim
     // hit set must land exactly at the forward table's bucket width
     // so the corpus-sized forward side joins co-partitioned with no

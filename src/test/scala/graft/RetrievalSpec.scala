@@ -414,6 +414,31 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_mq_a")
   }
 
+  test("scored multi-query retrieval equals per-query bm25TopK, bit for bit") {
+    val dir = Files.createTempDirectory("graft_mqr").toString
+    val standing = Seq(
+      1L -> Seq("spark", "merge"),
+      2L -> Seq("row"),
+      3L -> Seq("batch", "scan", "sort"),
+      4L -> Seq("zzz_not_a_term"))
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_mqr_a", dir, buckets = 8)
+      val pt = Postings.postingsTable(spark, "t_mqr_a")
+      val st = Postings.statsTable(spark, "t_mqr_a")
+      val multi = Postings.bm25MultiTopK(pt, st, standing, 5)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5))).toMap
+      for ((qid, terms) <- standing) {
+        val single = Postings.bm25TopK(pt, st, terms, 5)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        assert(
+          multi.getOrElse(qid, Nil) == single,
+          s"query $qid diverged: multi=${multi.getOrElse(qid, Nil)} single=$single")
+      }
+      assert(multi(1L).nonEmpty && !multi.contains(4L))
+    } finally Postings.dropIndex(spark, "t_mqr_a")
+  }
+
   test("faceted search: forward-table facets equal full-scan facets, survive append; forward side joins without exchange") {
     val dir = Files.createTempDirectory("graft_fwd").toString
     val docsMeta = docsDf
