@@ -606,6 +606,50 @@ object SearchQueries {
       standingQueries, 10)
   }
 
+  /** Snippet (KWIC) extraction for a ranked result page: BM25 top-10
+    * from the persisted index, then a ±3-token window around each
+    * doc's FIRST query-term occurrence, sliced from the document text.
+    * The fetch stage is the 100 TB shape every search engine has: the
+    * ranked ids are k-BOUNDED (10 — collected driver-side by design),
+    * so the corpus fetch is a literal `doc_id IN (...)` pushed into
+    * the scan (row-group pruned point reads), never a corpus join.
+    * All array arithmetic is native (`array_position`, `slice`,
+    * `concat_ws`) and 1-based on both engines, so the snippet strings
+    * hash-match the oracle exactly.
+    */
+  val d62_snippets: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+    }
+    val terms = Seq("vector", "merge")
+    val top = graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      terms, 10)
+    // k-bounded (10) driver collect: the id list becomes a pushed
+    // IN filter on the corpus scan — the point-fetch stage
+    val ids = top.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    t.documents
+      .filter(col("doc_id").isin(ids: _*))
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
+      // array_position yields 0 for "absent" — nullif() it so least()
+      // (null-skipping on both engines) picks the first PRESENT term
+      .withColumn(
+        "pos",
+        least(terms.map(tm => nullif(array_position(col("tk"), tm), lit(0L))): _*)
+          .cast("long"))
+      .withColumn("start", greatest(col("pos") - 3, lit(1L)))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        concat_ws(" ", slice(col("tk"), col("start").cast("int"), lit(7))).as("snippet"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -627,6 +671,7 @@ object SearchQueries {
     "d59_multiquery_search" -> d59_multiquery_search,
     "d60_faceted_search" -> d60_faceted_search,
     "d61_multiquery_ranked" -> d61_multiquery_ranked,
+    "d62_snippets" -> d62_snippets,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -1043,6 +1088,54 @@ object SearchQueries {
         |SELECT query_id, doc_id, dl, n_matched, score FROM s
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= 10
         |ORDER BY query_id, score DESC, doc_id""".stripMargin,
+    // the oracle re-derives the same BM25 top-10 by full scan (d50's
+    // per-term-column IEEE tree), then slices the same 7-token window
+    // anchored at max(first_hit - 3, 1); list_position returns 0 for
+    // an absent term on BOTH engines, nullif'd so the null-skipping
+    // least() picks the first PRESENT term
+    "d62_snippets" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(len(tk) AS BIGINT) AS dl,
+        |         CAST(len(list_filter(tk, x -> x = 'vector')) AS BIGINT) AS tf_a,
+        |         CAST(len(list_filter(tk, x -> x = 'merge'))  AS BIGINT) AS tf_b
+        |  FROM tk),
+        |st AS (
+        |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+        |         SUM(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS df_a,
+        |         SUM(CASE WHEN tf_b > 0 THEN 1 ELSE 0 END) AS df_b
+        |  FROM tf),
+        |top AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           (((n_docs - df_a) + 0.5) / (df_a + 0.5))
+        |             * ((CAST(tf_a AS DOUBLE) * 2.2)
+        |                / (CAST(tf_a AS DOUBLE)
+        |                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |           + (((n_docs - df_b) + 0.5) / (df_b + 0.5))
+        |             * ((CAST(tf_b AS DOUBLE) * 2.2)
+        |                / (CAST(tf_b AS DOUBLE)
+        |                   + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+        |                                           / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+        |           AS score
+        |    FROM tf, st
+        |    WHERE tf_a > 0 OR tf_b > 0
+        |    ORDER BY score DESC, doc_id LIMIT 10) t),
+        |pos AS (
+        |  SELECT tk.doc_id AS doc_id, tk.tk AS tk,
+        |         CAST(least(nullif(list_position(tk.tk, 'vector'), 0),
+        |                    nullif(list_position(tk.tk, 'merge'),  0)) AS BIGINT) AS pos
+        |  FROM tk JOIN top USING (doc_id))
+        |SELECT doc_id, pos,
+        |       array_to_string(list_slice(tk, CAST(greatest(pos - 3, 1) AS INT),
+        |                                  CAST(greatest(pos - 3, 1) + 6 AS INT)), ' ') AS snippet
+        |FROM pos
+        |ORDER BY doc_id""".stripMargin,
     // facets recomputed by full scan; the engine joins its match set
     // to the doc_id-bucketed forward table instead
     "d60_faceted_search" ->

@@ -55,6 +55,9 @@ class PlanQualitySpec extends SparkTestBase {
     "d58_fuzzy_search"    -> Set("BroadcastNestedLoopJoin"),
     // d61: the same one-row corpus-stats broadcast as every bm25 form
     "d61_multiquery_ranked" -> Set("BroadcastNestedLoopJoin"),
+    // (d62 snippets: the sweep sees only the RETURNED frame — the
+    // k-bounded pushed-IN point fetch + slice; the ranking stage ran
+    // eagerly to collect the 10 ids and is d47's allowlisted plan)
     // d60: the pinned keyed repartition IS the mechanism — the slim
     // hit set must land exactly at the forward table's bucket width
     // so the corpus-sized forward side joins co-partitioned with no
