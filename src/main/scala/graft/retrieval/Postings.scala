@@ -317,6 +317,34 @@ object Postings {
     }
   }
 
+  /** Compaction POLICY: compact the index only when fragmentation has
+    * actually accumulated — the helper a maintenance scheduler calls
+    * after every ingest window without tracking append counts itself.
+    * Fragmentation is measured directly from the layout (max parquet
+    * files per bucket across the index's bucketed tables; appends add
+    * one file set per batch, so this is ~the append count since the
+    * last compaction); at or below `maxFilesPerBucket` the call is a
+    * no-op, above it it runs the full `compactIndex` swap. Returns
+    * whether a compaction ran, so callers can log/alert on cadence.
+    */
+  def compactIfFragmented(spark: SparkSession, name: String, maxFilesPerBucket: Int): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val fragmented = Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
+      .filter(spark.catalog.tableExists)
+      .exists { table =>
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(1)
+        val files = Option(new java.io.File(meta.location).listFiles())
+          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        // ceil(files / buckets): appends write <= one file per bucket
+        // per batch, so this bounds the per-bucket fragment count
+        (files + buckets - 1) / buckets > maxFilesPerBucket
+      }
+    if (fragmented) compactIndex(spark, name)
+    fragmented
+  }
+
   def dropIndex(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")

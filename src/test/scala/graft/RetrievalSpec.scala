@@ -414,6 +414,34 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_mq_a")
   }
 
+  test("compaction policy: no-op under the fragment threshold, compacts above it, idempotent at rest") {
+    val dir = Files.createTempDirectory("graft_cpol").toString
+    try {
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 4 === 0), "doc_id", "text", "t_cpol_a", dir, buckets = 4)
+      (1 to 3).foreach(i =>
+        Postings.appendBatch(
+          docsDf.filter(col("doc_id") % 4 === i), "doc_id", "text", "t_cpol_a"))
+      def files() = Postings.postingsTable(spark, "t_cpol_a").inputFiles.length
+      val before = files()
+      val answer = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_cpol_a"), Postings.statsTable(spark, "t_cpol_a"),
+        Seq("spark", "merge"), 10).collect().toSeq
+      // 1 build + 3 appends ≈ 4 fragments/bucket: under a loose bound → no-op
+      assert(!Postings.compactIfFragmented(spark, "t_cpol_a", maxFilesPerBucket = 8))
+      assert(files() == before)
+      // over a tight bound → compacts to one file per bucket
+      assert(Postings.compactIfFragmented(spark, "t_cpol_a", maxFilesPerBucket = 3))
+      assert(files() == 4)
+      // compacted index is quiescent under the same policy
+      assert(!Postings.compactIfFragmented(spark, "t_cpol_a", maxFilesPerBucket = 3))
+      // and answers are untouched
+      assert(Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_cpol_a"), Postings.statsTable(spark, "t_cpol_a"),
+        Seq("spark", "merge"), 10).collect().toSeq == answer)
+    } finally Postings.dropIndex(spark, "t_cpol_a")
+  }
+
   test("scored multi-query retrieval equals per-query bm25TopK, bit for bit") {
     val dir = Files.createTempDirectory("graft_mqr").toString
     val standing = Seq(
