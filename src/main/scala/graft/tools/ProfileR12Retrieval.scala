@@ -94,6 +94,13 @@ object ProfileR12Retrieval {
           Postings.postingsTable(spark, name(m)),
           Postings.forwardTable(spark, name(m)),
           Seq("spark", "vector"), Seq("lang", "source"))
+      },
+      // ranked form of the percolation — adds the per-query score fold
+      // and window to the same fixed match set
+      "multiquery_ranked_fixed" -> { m =>
+        Postings.bm25MultiTopK(
+          Postings.postingsTable(spark, name(m)), Postings.statsTable(spark, name(m)),
+          graft.operators.SearchQueries.standingQueries, 10)
       })
 
     def run(fn: Int => DataFrame, m: Int): Double = graft.Caches.scoped(spark) {
