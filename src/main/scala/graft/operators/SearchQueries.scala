@@ -650,6 +650,31 @@ object SearchQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Search-after (keyset) pagination over ranked results: page 2
+    * (ranks 11–20) fetched with the CURSOR from page 1's last row —
+    * `Postings.bm25TopKAfter`'s (score, doc_id) predicate, not an
+    * OFFSET that re-ranks and discards page 1. Page N costs page 1
+    * (same pruned scan + TakeOrderedAndProject). The oracle takes
+    * ranks 11–20 of the full-scan ranking — equal because the order
+    * (score DESC, doc_id) is a strict total order and the score
+    * doubles are bit-exact across engines.
+    */
+  val d63_search_after: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+    }
+    val pt = graft.retrieval.Postings.postingsTable(s, name)
+    val st = graft.retrieval.Postings.statsTable(s, name)
+    // page 1 (k-bounded driver collect — its last row is the cursor)
+    val page1 = graft.retrieval.Postings.bm25TopK(pt, st, d47Terms, 10).collect()
+    val last  = page1.last
+    graft.retrieval.Postings.bm25TopKAfter(
+      pt, st, d47Terms, 10,
+      afterScore = last.getAs[Double]("score"), afterDoc = last.getAs[Long]("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -672,13 +697,21 @@ object SearchQueries {
     "d60_faceted_search" -> d60_faceted_search,
     "d61_multiquery_ranked" -> d61_multiquery_ranked,
     "d62_snippets" -> d62_snippets,
+    "d63_search_after" -> d63_search_after,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
     // the _prod variants answer from the persisted index but must give
     // the exact same result as the round-trip forms — same oracle SQL
     "d47p_indexed_prod" -> oraclesBase("d47_indexed_search"),
-    "d49p_phrase_prod"  -> oraclesBase("d49_phrase_search"))
+    "d49p_phrase_prod"  -> oraclesBase("d49_phrase_search"),
+    // d63: ranks 11-20 of d47's full-scan ranking — the keyset cursor
+    // lands on the identical cut because the order is a strict total
+    // order over bit-exact doubles
+    "d63_search_after" -> oraclesBase("d47_indexed_search").replace(
+      "ORDER BY score DESC, doc_id LIMIT 50",
+      """QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) BETWEEN 11 AND 20
+        |ORDER BY score DESC, doc_id""".stripMargin))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q36_restricted_filters" ->

@@ -907,7 +907,36 @@ object Postings {
     * as d45's fixed-order column sum because a zero-tf term's
     * contribution there is exact 0.0 and `x + 0.0 == x`.
     */
-  def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25Scored(postings, stats, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Keyset (search-after) pagination over ranked results: the page
+    * AFTER cursor `(afterScore, afterDoc)` — the last row of the
+    * previous page — in the strict total order (score DESC, doc_id
+    * ASC; doc_id is unique, so the order has no ties). OFFSET
+    * pagination re-ranks and discards every earlier page; the cursor
+    * predicate makes page N cost exactly page 1 (same pruned scan,
+    * same TakeOrderedAndProject), which at 100 TB is the only
+    * paginate-able shape. Score doubles are bit-exact across engines
+    * (the established IEEE tree), so the cursor cut is too.
+    */
+  def bm25TopKAfter(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      afterScore: Double,
+      afterDoc: Long): DataFrame =
+    bm25Scored(postings, stats, terms)
+      .filter(
+        col("score") < afterScore ||
+          (col("score") === afterScore && col("doc_id") > afterDoc))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  private def bm25Scored(postings: DataFrame, stats: DataFrame, terms: Seq[String]): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     // dedupe (order-preserving): a duplicated query term would join the
@@ -945,7 +974,5 @@ object Postings {
         "score",
         aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
       .select(col("doc_id"), col("dl"), col("n_matched"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
   }
 }

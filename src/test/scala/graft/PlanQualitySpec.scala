@@ -55,6 +55,9 @@ class PlanQualitySpec extends SparkTestBase {
     "d58_fuzzy_search"    -> Set("BroadcastNestedLoopJoin"),
     // d61: the same one-row corpus-stats broadcast as every bm25 form
     "d61_multiquery_ranked" -> Set("BroadcastNestedLoopJoin"),
+    // d63: the returned page-2 frame is d47's plan (one-row stats
+    // broadcast) plus the keyset cursor filter
+    "d63_search_after"      -> Set("BroadcastNestedLoopJoin"),
     // (d62 snippets: the sweep sees only the RETURNED frame — the
     // k-bounded pushed-IN point fetch + slice; the ranking stage ran
     // eagerly to collect the 10 ids and is d47's allowlisted plan)

@@ -442,6 +442,31 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_cpol_a")
   }
 
+  test("search-after pagination: cursor pages partition the full ranking exactly") {
+    val dir = Files.createTempDirectory("graft_pag").toString
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_pag_a", dir, buckets = 8)
+      val pt = Postings.postingsTable(spark, "t_pag_a")
+      val st = Postings.statsTable(spark, "t_pag_a")
+      val terms = Seq("spark", "merge", "row")
+      val full = Postings.bm25TopK(pt, st, terms, 15)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(full.size == 15)
+      val page1 = full.take(5)
+      def after(c: (Long, Long, Long, Double)) = Postings
+        .bm25TopKAfter(pt, st, terms, 5, afterScore = c._4, afterDoc = c._1)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val page2 = after(page1.last)
+      val page3 = after(page2.last)
+      assert(page1 ++ page2 ++ page3 == full,
+        "cursor pages must partition the single-shot ranking")
+      // cursor past the end → empty page, not an error
+      val tail = Postings.bm25TopK(pt, st, terms, 10000)
+        .as[(Long, Long, Long, Double)].collect().toSeq.last
+      assert(after(tail).isEmpty)
+    } finally Postings.dropIndex(spark, "t_pag_a")
+  }
+
   test("scored multi-query retrieval equals per-query bm25TopK, bit for bit") {
     val dir = Files.createTempDirectory("graft_mqr").toString
     val standing = Seq(
