@@ -39,6 +39,12 @@ class InvarianceSpec extends SparkTestBase {
     "d51_collocations",   // integer-product lift: one double division, no float sums
     "d52_proximity_search", // two-pointer kernels over map-collected position arrays
     "d53_prefix_search",  // dictionary resolution + alphabetical-rank score fold
+    "d58_fuzzy_search",   // edit-distance resolution + alphabetical-rank score fold
+    "d59_multiquery_search", // vectorized division across standing queries
+    "d60_faceted_search", // pinned-width match set + forward decoration join
+    "d61_multiquery_ranked", // per-query score folds + per-query window rank cut
+    "d62_snippets",       // k-bounded fetch + array slicing (string output)
+    "d63_search_after",   // double-valued cursor predicate must cut identically
   )
 
   for (name <- names) test(s"$name is identical at 2 vs 4 shuffle partitions and across runs") {
