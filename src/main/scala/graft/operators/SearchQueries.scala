@@ -675,6 +675,49 @@ object SearchQueries {
       afterScore = last.getAs[Double]("score"), afterDoc = last.getAs[Long]("doc_id"))
   }
 
+  /** Persisted-IVF ANN (the embedding twin of d47/d50's round trip):
+    * build the cell-bucketed IVF index on HALF the vectors, append the
+    * other half under the FROZEN centroid model, then answer e04's
+    * exact query from the grown index — the oracle is e04's SQL over
+    * the full corpus, blind to the build/append split, so the hash
+    * match proves (a) persisted == in-session IVF and (b) append under
+    * a frozen model == from-scratch build. The top-k join is a
+    * BUCKETED SELF-JOIN on the cell key: both sides read
+    * co-partitioned, zero exchange under the join (DedupKnnSpec plan
+    * assert).
+    */
+  val e10_ann_ivf_indexed: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_ivf_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/e10_ann_ivf_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    graft.similarity.Knn.writeIvfIndex(
+      t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", name, path, buckets = 8)
+    graft.similarity.Knn.appendIvfBatch(
+      t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
+    val idx = graft.similarity.Knn.ivfTable(s, name) // (cell, n_id, nv, nn)
+    val qs = idx
+      .filter(col("n_id") < 5)
+      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"), col("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    qs.join(idx, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", graft.similarity.Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -698,6 +741,7 @@ object SearchQueries {
     "d61_multiquery_ranked" -> d61_multiquery_ranked,
     "d62_snippets" -> d62_snippets,
     "d63_search_after" -> d63_search_after,
+    "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
   )
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
@@ -705,6 +749,9 @@ object SearchQueries {
     // the exact same result as the round-trip forms — same oracle SQL
     "d47p_indexed_prod" -> oraclesBase("d47_indexed_search"),
     "d49p_phrase_prod"  -> oraclesBase("d49_phrase_search"),
+    // e10: e04's oracle verbatim — the persisted/grown index must give
+    // exactly the in-session IVF answer over the full corpus
+    "e10_ann_ivf_indexed" -> ExtendedQueries.oracles("e04_ann_ivf"),
     // d63: ranks 11-20 of d47's full-scan ranking — the keyset cursor
     // lands on the identical cut because the order is a strict total
     // order over bit-exact doubles

@@ -215,6 +215,54 @@ object Knn {
       "n_id")
       .select(col("cell"), col("n_id"), col("v").as("nv"), col("nrm").as("nn"))
 
+  private def ivfTableName(name: String)   = s"${name}_ivf"
+  private def centsTableName(name: String) = s"${name}_ivfcents"
+
+  /** Persist the IVF index — the posting-index contract applied to
+    * embeddings: corpus vectors BUCKETED by their primary centroid
+    * cell (`Layout.bucketize`, write-once/read-many; every later cell
+    * join reads co-partitioned with zero index-side exchange) plus the
+    * FROZEN centroid model as a tiny side table. Freezing the model
+    * with the index is the standard IVF maintenance contract: appended
+    * vectors are assigned with the model the cells were built under,
+    * so the grown index is bit-identical to a from-scratch build over
+    * the same rows (assignment is a pure per-row function —
+    * spec-pinned), and re-training is an explicit rebuild, never a
+    * silent drift.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      path: String,
+      buckets: Int): Unit = {
+    graft.sources.Layout.bucketize(
+      indexCorpus(corpus, centroids, idCol, vecCol), ivfTableName(name), s"$path/ivf", Seq("cell"), buckets)
+    centroids.write.mode("overwrite").option("path", s"$path/cents").saveAsTable(centsTableName(name))
+  }
+
+  /** Append new vectors under the frozen model: own bucket files per
+    * batch (`Layout.append` — co-partitioning survives), assignment
+    * read from the persisted centroid table so callers cannot drift.
+    */
+  def appendIvfBatch(newVecs: DataFrame, idCol: String, vecCol: String, name: String): Unit = {
+    val spark = newVecs.sparkSession
+    graft.sources.Layout.append(
+      indexCorpus(newVecs, ivfCentroids(spark, name), idCol, vecCol), ivfTableName(name))
+  }
+
+  def ivfTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    spark.table(ivfTableName(name))
+  def ivfCentroids(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    spark.table(centsTableName(name))
+
+  def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${ivfTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${centsTableName(name)}")
+  }
+
   /** Streaming embedding near-dup matcher: arriving vectors matched
     * against a STATIC centroid-indexed corpus (`indexCorpus`), exact
     * cosine verified. Entirely STATELESS — the arriving row's top-

@@ -545,4 +545,54 @@ class DedupKnnSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(cand.contains((1L, 4L)), "exact-dup pair must band-collide")
   }
+
+  test("persisted IVF index: grown == in-session, frozen-model appends, zero-exchange cell self-join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      // build half, append half under the frozen model
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivf_a", dir, buckets = 4)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "t_ivf_a")
+      val grown = Knn.ivfTable(spark, "t_ivf_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted
+      val scratch = Knn.indexCorpus(emb, cents, "vec_id", "embedding")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted
+      assert(grown == scratch && grown.nonEmpty,
+        "grown persisted IVF assignment diverged from a from-scratch in-session build")
+      // the top-k cell join is a bucketed SELF-join: NO exchange on
+      // either side under the join (broadcast disabled to ask the
+      // layout, not the sizes)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val idx = Knn.ivfTable(spark, "t_ivf_a")
+        val qs = idx.filter(col("n_id") < 5)
+          .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"), col("cell"))
+        val j = qs.join(idx, Seq("cell")).filter(col("n_id") =!= col("q_id"))
+          .select(col("q_id"), col("n_id"))
+        j.collect()
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+          case qst: QueryStageExec      => Seq(qst) ++ expand(qst.plan)
+          case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+          case other                    => Seq(other) ++ other.children.flatMap(expand)
+        }
+        val joins = expand(j.queryExecution.executedPlan).collect {
+          case jn: org.apache.spark.sql.execution.joins.BaseJoinExec => jn
+        }
+        assert(joins.nonEmpty, s"no join:\n${j.queryExecution.executedPlan}")
+        assert(
+          !joins.head.children.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])),
+          s"cell self-join exchanged a side — bucket layout unused:\n${j.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Knn.dropIvfIndex(spark, "t_ivf_a")
+  }
 }
