@@ -250,20 +250,11 @@ object SearchQueries {
     */
   private val d47Terms = Seq("scan", "filter", "window", "batch")
 
-  /** JVM-exit cleanup for pid-suffixed index dirs: without it every
-    * gate/bench process leaves a dead copy of the index under /tmp.
-    * Deletion at shutdown is safe — the tables are only read by this
-    * process (the pid suffix is what guarantees that).
+  /** JVM-exit cleanup for pid-suffixed index dirs (shared registry —
+    * see `sources.Scratch`): without it every gate/bench process
+    * leaves a dead copy of the index under /tmp.
     */
-  private val cleanupPaths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    cleanupPaths.forEach { p =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      try rm(new java.io.File(p)) catch { case _: Throwable => () }
-    }))
-  private def cleanupAtExit(path: String): Unit = { cleanupHook; cleanupPaths.add(path); () }
+  private def cleanupAtExit(path: String): Unit = graft.sources.Scratch.cleanupAtExit(path)
 
   /** Index-backed parameterized retrieval (the production shape of d45,
     * VERDICT r10 #1): build/refresh the persisted posting-list index
@@ -667,12 +658,17 @@ object SearchQueries {
     }
     val pt = graft.retrieval.Postings.postingsTable(s, name)
     val st = graft.retrieval.Postings.statsTable(s, name)
-    // page 1 (k-bounded driver collect — its last row is the cursor)
+    // page 1 (k-bounded driver collect — its last row is the cursor);
+    // an empty page 1 means there is no page 2: return the empty frame
+    // rather than dereferencing a cursor that doesn't exist
     val page1 = graft.retrieval.Postings.bm25TopK(pt, st, d47Terms, 10).collect()
-    val last  = page1.last
-    graft.retrieval.Postings.bm25TopKAfter(
-      pt, st, d47Terms, 10,
-      afterScore = last.getAs[Double]("score"), afterDoc = last.getAs[Long]("doc_id"))
+    if (page1.isEmpty) graft.retrieval.Postings.bm25TopK(pt, st, d47Terms, 10).limit(0)
+    else {
+      val last = page1.last
+      graft.retrieval.Postings.bm25TopKAfter(
+        pt, st, d47Terms, 10,
+        afterScore = last.getAs[Double]("score"), afterDoc = last.getAs[Long]("doc_id"))
+    }
   }
 
   /** Persisted-IVF ANN (the embedding twin of d47/d50's round trip):

@@ -249,6 +249,7 @@ object SourceQueries {
     val sfName = new java.io.File(dir).getName
     val pid    = ProcessHandle.current().pid()
     val path   = s"/tmp/graft_fixtures/$sfName/d57_zorder_p$pid"
+    graft.sources.Scratch.cleanupAtExit(path)
     val t      = Tables(s, dir)
     graft.sources.Zorder.write(t.events, path, "ts", "user_id", nFiles = 16)
     s.read.parquet(path)

@@ -261,7 +261,11 @@ object Postings {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, idCol, textCol, name, batchId)
-        Seq(postingsTableName(name), statsTableName(name), dictTableName(name))
+        // forward table only when the index was built with metaCols
+        // (refreshTable on a missing table throws)
+        Seq(postingsTableName(name), statsTableName(name), dictTableName(name),
+          forwardTableName(name))
+          .filter(owner.catalog.tableExists)
           .foreach(owner.catalog.refreshTable)
       }
   }
@@ -335,8 +339,18 @@ object Postings {
         val meta = spark.sessionState.catalog.getTableMetadata(
           spark.sessionState.sqlParser.parseTableIdentifier(table))
         val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(1)
-        val files = Option(new java.io.File(meta.location).listFiles())
-          .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+        // Hadoop FS listing (recursive), like swapGeneration — a
+        // java.io.File(URI) would throw on any non-file: table location
+        val dir = new org.apache.hadoop.fs.Path(meta.location)
+        val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files =
+          if (!fs.exists(dir)) 0
+          else {
+            val it = fs.listFiles(dir, true)
+            var n  = 0
+            while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+            n
+          }
         // ceil(files / buckets): appends write <= one file per bucket
         // per batch, so this bounds the per-bucket fragment count
         (files + buckets - 1) / buckets > maxFilesPerBucket

@@ -88,6 +88,7 @@ object Layout {
     * external-writer rule (REFRESH TABLE), same as after `append`.
     */
   def compact(spark: SparkSession, tableName: String): Unit = {
+    recoverDanglingSwap(spark, tableName)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta  = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
@@ -105,11 +106,48 @@ object Layout {
     }
   }
 
+  /** Recover from a crash inside `swapGeneration`'s DROP→RENAME window:
+    * the scratch table exists (fully written next generation) but the
+    * live name is gone — rename the scratch into place and drop the
+    * orphaned previous-generation directory. A no-op in every other
+    * state (live table present, or no scratch). Returns whether a
+    * recovery ran. `compact` (and so every index compaction) calls
+    * this first, so the window self-heals on the next maintenance
+    * pass instead of requiring manual re-registration.
+    */
+  private[graft] def recoverDanglingSwap(spark: SparkSession, tableName: String): Boolean = {
+    val scratch = s"${tableName}_compacting"
+    val recover =
+      !spark.catalog.tableExists(tableName) && spark.catalog.tableExists(scratch)
+    if (recover) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(scratch))
+      spark.sql(s"ALTER TABLE $scratch RENAME TO $tableName")
+      // the crash happened before the old generation was deleted —
+      // remove it now (prevGen of the scratch's own location)
+      prevGen(meta.location.toString).foreach { old =>
+        val p  = new org.apache.hadoop.fs.Path(old)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
+    }
+    recover
+  }
+
   /** Write-new/swap/delete-old for a table rewrite: `writeNew` produces
     * the next generation under a scratch table name at the next-gen
     * directory; the live name is then re-pointed by DROP + RENAME
     * (metadata-only — the tables are external, so neither op moves or
     * deletes files) and the previous generation's files are removed.
+    *
+    * Crash windows, explicitly: before the DROP, the old generation
+    * stays live and intact (a leftover scratch is dropped on the next
+    * attempt). BETWEEN the DROP and the RENAME there is a window with
+    * NO live table — the old files are intact but the catalog entry is
+    * gone; `recoverDanglingSwap` detects exactly that state (scratch
+    * present, live name missing) and renames the finished next
+    * generation into place, so the window heals on the next `compact`
+    * call. The production form is a metastore-transactional swap.
     */
   private[graft] def swapGeneration(
       spark: SparkSession,
@@ -137,6 +175,19 @@ object Layout {
     dir match {
       case GenRe(base, n) => s"$base.g${n.toInt + 1}"
       case base           => s"$base.g1"
+    }
+  }
+
+  /** Previous generation directory of `dir`, if `dir` is itself a
+    * rewrite generation (None for a base directory — there is nothing
+    * before generation 0).
+    */
+  private[graft] def prevGen(dir: String): Option[String] = {
+    val GenRe = "(.*)\\.g(\\d+)".r
+    dir match {
+      case GenRe(base, n) if n.toInt > 1 => Some(s"$base.g${n.toInt - 1}")
+      case GenRe(base, _)                => Some(base)
+      case _                             => None
     }
   }
 }

@@ -77,10 +77,17 @@ object Zorder {
         case _                                              => c.cast("double")
       }
     }
-    val Row2 = df.agg(
+    val bounds = df.agg(
       min(numeric(colA)).cast("double"), max(numeric(colA)).cast("double"),
       min(numeric(colB)).cast("double"), max(numeric(colB)).cast("double")).head()
-    val (aLo, aHi, bLo, bHi) = (Row2.getDouble(0), Row2.getDouble(1), Row2.getDouble(2), Row2.getDouble(3))
+    if (bounds.isNullAt(0) || bounds.isNullAt(2)) {
+      // empty frame (or all-null cluster columns): no domain to bucket —
+      // write the rows as-is rather than NPE on the null aggregates
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val (aLo, aHi, bLo, bHi) =
+      (bounds.getDouble(0), bounds.getDouble(1), bounds.getDouble(2), bounds.getDouble(3))
     val z = interleave(
       bucketIdx(numeric(colA), aLo, aHi, bits),
       bucketIdx(numeric(colB), bLo, bHi, bits),

@@ -192,4 +192,32 @@ class LayoutSpec extends SparkTestBase {
       cArrs.unpersist(); iArrs.unpersist()
     }
   }
+
+  test("recoverDanglingSwap heals the DROP->RENAME crash window") {
+    val dir = Files.createTempDirectory("graft_swp").toString
+    val v1 = (1L to 100L).map(i => (i, s"a$i")).toDF("key", "x")
+    val v2 = (1L to 120L).map(i => (i, s"b$i")).toDF("key", "x")
+    Layout.bucketize(v1, "b_swp", s"$dir/t", "key", 4)
+    try {
+      // simulate a crash INSIDE swapGeneration's DROP->RENAME window:
+      // the next generation is fully written under the scratch name,
+      // the live name has been dropped, nothing renamed or deleted
+      val oldLoc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("b_swp")).location.toString
+      Layout.bucketize(v2, "b_swp_compacting", Layout.nextGen(oldLoc), "key", 4)
+      spark.sql("DROP TABLE b_swp")
+      // next maintenance pass heals the window before compacting
+      Layout.compact(spark, "b_swp")
+      assert(spark.table("b_swp").as[(Long, String)].collect().toSet ==
+        v2.as[(Long, String)].collect().toSet,
+        "recovered table must hold the finished next generation")
+      // the orphaned previous generation was cleaned up
+      assert(!new java.io.File(new java.net.URI(oldLoc)).exists,
+        "old generation files must be removed by the recovery")
+      assert(!spark.catalog.tableExists("b_swp_compacting"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_swp")
+      spark.sql("DROP TABLE IF EXISTS b_swp_compacting")
+    }
+  }
 }

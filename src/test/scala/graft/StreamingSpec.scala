@@ -503,4 +503,45 @@ class StreamingSpec extends SparkTestBase {
       spark.sql(s"DROP VIEW IF EXISTS $sink")
     }
   }
+
+  test("streaming maintenance refreshes the FORWARD table too: facets see streamed docs") {
+    import graft.retrieval.Postings
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, "spark merge join spark", "en"),
+      (2L, "hash table scan row", "de"),
+      (3L, "spark spark filter sort", "en"))
+    val batchA = Seq((10L, "merge spark window", "fr"), (11L, "row batch merge merge", "en"))
+    val dir  = java.nio.file.Files.createTempDirectory("graft_sfwd").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sfwd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sfwd_ckpt").toString
+    Postings.writeIndex(
+      base.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_sfwd_a", dir,
+      buckets = 4, metaCols = Seq("lang"))
+    // seed the owner session's relation cache with the PRE-stream file
+    // list — exactly the state the refresh must invalidate
+    assert(Postings.forwardTable(spark, "t_sfwd_a").count() == 3)
+    val stream = MemoryStream[(Long, String, String)]
+    val q = Postings
+      .maintainFromStream(stream.toDF().toDF("doc_id", "text", "lang"), "doc_id", "text", "t_sfwd_a")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(batchA); q.processAllAvailable()
+      Postings.writeIndex(
+        (base ++ batchA).toDF("doc_id", "text", "lang"), "doc_id", "text", "t_sfwd_b", dir2,
+        buckets = 4, metaCols = Seq("lang"))
+      def facets(name: String) = Postings
+        .facetCounts(
+          Postings.postingsTable(spark, name), Postings.forwardTable(spark, name),
+          Seq("spark", "merge"), Seq("lang"))
+        .as[(String, Long)].collect().toSeq
+      assert(facets("t_sfwd_a") == facets("t_sfwd_b") && facets("t_sfwd_a").nonEmpty,
+        "owner-session facet counts missed streamed docs (stale forward-table cache)")
+    } finally {
+      q.stop()
+      Postings.dropIndex(spark, "t_sfwd_a")
+      Postings.dropIndex(spark, "t_sfwd_b")
+    }
+  }
 }

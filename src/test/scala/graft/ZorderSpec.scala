@@ -93,4 +93,10 @@ class ZorderSpec extends SparkTestBase {
         s.contains("GreaterThanOrEqual(user_id") && s.contains("LessThanOrEqual(user_id"))),
       scans.map(_.metadata.get("PushedFilters")).mkString(" | "))
   }
+
+  test("empty input frame: write is a no-op layout (no NPE on null bounds)") {
+    val dir = Files.createTempDirectory("graft_z_empty").toString + "/z"
+    Zorder.write(events.limit(0), dir, "ts", "user_id", nFiles = 4)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
 }
