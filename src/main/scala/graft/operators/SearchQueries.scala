@@ -281,7 +281,7 @@ object SearchQueries {
     val t      = Tables(s, dir)
     graft.retrieval.Postings.writeIndex(t.documents, "doc_id", "text", name, path, buckets = 16)
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       d47Terms, 50)
   }
@@ -304,7 +304,7 @@ object SearchQueries {
     val t = Tables(s, dir)
     graft.retrieval.Postings.writePositionalIndex(t.documents, "doc_id", "text", name, path, buckets = 16)
     graft.retrieval.Postings.phraseTopK(
-      graft.retrieval.Postings.positionalTable(s, name), Seq("table", "hash"), 50)
+      graft.retrieval.Postings.livePositional(s, name), Seq("table", "hash"), 50)
   }
 
   /** Once-per-process index builds for the `_prod` bench variants: the
@@ -347,7 +347,7 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       d47Terms, 50)
   }
@@ -361,7 +361,7 @@ object SearchQueries {
       graft.retrieval.Postings.writePositionalIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
     }
     graft.retrieval.Postings.phraseTopK(
-      graft.retrieval.Postings.positionalTable(s, name), Seq("table", "hash"), 50)
+      graft.retrieval.Postings.livePositional(s, name), Seq("table", "hash"), 50)
   }
 
   /** Incremental index maintenance AT THE GATE (not just in
@@ -385,7 +385,7 @@ object SearchQueries {
     graft.retrieval.Postings.appendBatch(
       t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name)
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       Seq("group", "order", "row"), 50)
   }
@@ -417,7 +417,7 @@ object SearchQueries {
       t.documents.filter(col("doc_id") % 3 === 2), "doc_id", "text", name, batchId = 2L)
     graft.retrieval.Postings.compactIndex(s, name)
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       Seq("table", "batch", "window"), 50)
   }
@@ -435,7 +435,7 @@ object SearchQueries {
       graft.retrieval.Postings.writePositionalIndex(t.documents, "doc_id", "text", n, p, buckets = 16)
     }
     graft.retrieval.Postings.proximityTopK(
-      graft.retrieval.Postings.positionalTable(s, name), "vector", "merge", window = 3, k = 50)
+      graft.retrieval.Postings.livePositional(s, name), "vector", "merge", window = 3, k = 50)
   }
 
   /** Prefix (wildcard) search: resolve `s%` against the persisted term
@@ -454,7 +454,7 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       graft.retrieval.Postings.prefixTerms(s, name, "s"), 50)
   }
@@ -472,7 +472,7 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.booleanSearch(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       must = Seq("spark", "merge"), mustNot = Seq("slow"))
   }
 
@@ -500,7 +500,7 @@ object SearchQueries {
     val (kept, _) = graft.retrieval.Postings.screenStopTerms(
       s, name, Seq("batch", "scan", "vector", "spark"), cutoff)
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name), stats, kept, 50)
+      graft.retrieval.Postings.livePostings(s, name), stats, kept, 50)
   }
 
   /** Fuzzy (typo-tolerant) search: the query's misspelled terms
@@ -520,7 +520,7 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       graft.retrieval.Postings.fuzzyTerms(s, name, Seq("vectr", "mrge", "sow")), 50)
   }
@@ -554,7 +554,7 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.matchQueries(
-      graft.retrieval.Postings.postingsTable(s, name), standingQueries)
+      graft.retrieval.Postings.livePostings(s, name), standingQueries)
   }
 
   /** Faceted search: the (lang, source) breakdown of every doc
@@ -572,8 +572,8 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.facetCounts(
-      graft.retrieval.Postings.postingsTable(s, name),
-      graft.retrieval.Postings.forwardTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.liveForward(s, name),
       Seq("spark", "vector"), Seq("lang", "source"))
   }
 
@@ -592,7 +592,7 @@ object SearchQueries {
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
     graft.retrieval.Postings.bm25MultiTopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       standingQueries, 10)
   }
@@ -616,7 +616,7 @@ object SearchQueries {
     }
     val terms = Seq("vector", "merge")
     val top = graft.retrieval.Postings.bm25TopK(
-      graft.retrieval.Postings.postingsTable(s, name),
+      graft.retrieval.Postings.livePostings(s, name),
       graft.retrieval.Postings.statsTable(s, name),
       terms, 10)
     // k-bounded (10) driver collect: the id list becomes a pushed
@@ -656,7 +656,7 @@ object SearchQueries {
       graft.retrieval.Postings.writeIndex(
         t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
     }
-    val pt = graft.retrieval.Postings.postingsTable(s, name)
+    val pt = graft.retrieval.Postings.livePostings(s, name)
     val st = graft.retrieval.Postings.statsTable(s, name)
     // page 1 (k-bounded driver collect — its last row is the cursor);
     // an empty page 1 means there is no page 2: return the empty frame
@@ -669,6 +669,39 @@ object SearchQueries {
         pt, st, d47Terms, 10,
         afterScore = last.getAs[Double]("score"), afterDoc = last.getAs[Long]("doc_id"))
     }
+  }
+
+  /** Document deletion AT THE GATE (the full index lifecycle: build →
+    * append → DELETE → query): build the posting index on the even
+    * half, grow it with a committed append of the odd half, then
+    * DELETE every doc with doc_id % 7 == 3 (`Postings.deleteBatch` —
+    * tombstone rows + one negative partial stats row under the same
+    * marker-last commit discipline as appends) and answer from the
+    * live view. The oracle is full-scan SQL over the SURVIVING corpus
+    * (doc_id % 7 <> 3) with no knowledge of the index history — a
+    * hash match proves tombstone deletion reproduces hard-delete
+    * semantics exactly: the anti-join removes the docs from every
+    * match set, df derives from the live postings, and the negative
+    * stats row restores the survivor-exact N and sum_dl that every
+    * idf and length norm depend on.
+    */
+  val d64_index_delete: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_delete_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d64_index_delete_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("merge", "hash", "vector"), 50)
   }
 
   /** Persisted-IVF ANN (the embedding twin of d47/d50's round trip):
@@ -737,8 +770,57 @@ object SearchQueries {
     "d61_multiquery_ranked" -> d61_multiquery_ranked,
     "d62_snippets" -> d62_snippets,
     "d63_search_after" -> d63_search_after,
+    "d64_index_delete" -> d64_index_delete,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
   )
+
+  /** Oracle-SQL generator for the BM25 full-scan template every index
+    * gate uses (d47/d50/d55 are hand-written literals kept verbatim;
+    * new gates generate the identical shape). `corpusWhere` is the
+    * surviving-corpus predicate — `text IS NOT NULL` for the full
+    * corpus, plus the delete predicate for d64-style lifecycle gates.
+    * The score sum is left-associated in `terms` order, the same IEEE
+    * tree as the engine's rank-sorted fold (absent terms contribute
+    * exact 0.0 and x + 0.0 == x).
+    */
+  private def bm25OracleSql(terms: Seq[String], corpusWhere: String, k: Int): String = {
+    val tf = terms
+      .map(t => s"         CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n")
+    val dfs = terms
+      .map(t => s"         SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n")
+    val nm = terms.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString("\n            + ")
+    val score = terms
+      .map(t =>
+        s"""(((n_docs - df_$t) + 0.5) / (df_$t + 0.5))
+           |           * ((CAST(tf_$t AS DOUBLE) * 2.2)
+           |              / (CAST(tf_$t AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+           |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin)
+      .mkString("\n         + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents WHERE $corpusWhere),
+       |tf AS (
+       |  SELECT doc_id,
+       |         CAST(len(tk) AS BIGINT) AS dl,
+       |$tf
+       |  FROM tk),
+       |st AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |$dfs
+       |  FROM tf)
+       |SELECT doc_id, dl, n_matched, score FROM (
+       |  SELECT doc_id, dl,
+       |         CAST($nm AS BIGINT) AS n_matched,
+       |         $score
+       |         AS score
+       |  FROM tf, st) s
+       |WHERE n_matched > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   val oracles: Map[String, String] = oraclesBase ++ Map(
     // the _prod variants answer from the persisted index but must give
@@ -748,6 +830,13 @@ object SearchQueries {
     // e10: e04's oracle verbatim — the persisted/grown index must give
     // exactly the in-session IVF answer over the full corpus
     "e10_ann_ivf_indexed" -> ExtendedQueries.oracles("e04_ann_ivf"),
+    // d64: full-scan SQL over the SURVIVING corpus only — blind to the
+    // build/append/delete history; a hash match proves tombstone
+    // deletion == hard deletion (match sets, df, N, sum_dl all
+    // survivor-exact)
+    "d64_index_delete" -> bm25OracleSql(
+      Seq("merge", "hash", "vector"),
+      "text IS NOT NULL AND doc_id % 7 <> 3", 50),
     // d63: ranks 11-20 of d47's full-scan ranking — the keyset cursor
     // lands on the identical cut because the order is a strict total
     // order over bit-exact doubles

@@ -83,6 +83,7 @@ object Postings {
   private def statsTableName(name: String)    = s"${name}_stats"
   private def dictTableName(name: String)     = s"${name}_dict"
   private def forwardTableName(name: String)  = s"${name}_forward"
+  private def tombsTableName(name: String)    = s"${name}_tombs"
 
   /** FORWARD rows for a batch: (doc_id, <metadata columns>) — the
     * per-document side of the index, bucketed by doc_id. It exists so
@@ -192,7 +193,19 @@ object Postings {
       Layout.bucketize(
         forwardRows(docs, idCol, textCol, metaCols),
         forwardTableName(name), s"$path/forward", Seq("doc_id"), buckets)
+    writeEmptyTombs(docs.sparkSession, name, path)
   }
+
+  /** (Re)create the index's EMPTY tombstone table — a fresh build has
+    * no deleted docs. Schema `(doc_id, batch_id)`: the doc ids every
+    * read path anti-joins, tagged by the delete batch that wrote them
+    * (replay idempotence for positional-only indexes, which have no
+    * stats table to carry the marker).
+    */
+  private def writeEmptyTombs(spark: SparkSession, name: String, path: String): Unit =
+    spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("batch_id"))
+      .write.mode("overwrite").option("path", s"$path/tombs").saveAsTable(tombsTableName(name))
 
   /** Incremental maintenance: append a batch's postings (own bucket
     * files under the existing spec — no rewrite, co-partitioning
@@ -236,6 +249,96 @@ object Postings {
         forwardTableName(name))
     statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
   }
+
+  /** Document DELETION — the curation operation every training-data
+    * pipeline runs constantly (contamination removal, redaction,
+    * right-to-forget; the reference treats deletion as a read semantic,
+    * models.py:909-911 soft delete + the api/views.py:164-174 cascade,
+    * reproduced on the catalog side as M4/q33). The index stays
+    * append-only: deletion writes TOMBSTONE rows `(doc_id, batch_id)`
+    * that every read path anti-joins (`livePostings`/`livePositional`/
+    * `liveForward`), plus one NEGATIVE partial stats row so the
+    * query-time N/sum_dl sums are exact over the SURVIVING corpus —
+    * computed from the deleted docs' own text (the same tokenizing
+    * fold as `statsRow`, negated), which is exact even for docs with
+    * text but zero tokens (they carry no postings, but they DO count
+    * in N and so in every idf). Physical removal happens at
+    * `compactIndex`, which drops tombstoned postings, recounts the
+    * dictionary from the survivors, and clears the tombstone set.
+    *
+    * Commit discipline mirrors `appendBatch`: the stats row is the
+    * batch marker and is written LAST, so a crash mid-delete can only
+    * DUPLICATE tombstone rows on replay (harmless — anti-join
+    * semantics are idempotent), never lose the stats adjustment. For a
+    * positional-only index (no stats table) the tombstone rows
+    * themselves carry the marker. Caller contract, the mirror of
+    * appendBatch's: each doc is deleted at most once and must be
+    * indexed (deleting an unknown doc would over-subtract N, exactly
+    * as appending a doc twice would over-add it). A doc whose
+    * tombstone is still live cannot be re-added (the anti-join wins);
+    * after compaction clears the set, re-ingest works.
+    */
+  def deleteBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      batchId: Long = -1L): Unit = {
+    val spark = docs.sparkSession
+    require(
+      spark.catalog.tableExists(tombsTableName(name)),
+      s"index $name has no tombstone table — rebuild with writeIndex/writePositionalIndex before deletes")
+    val hasStats = spark.catalog.tableExists(statsTableName(name))
+    if (batchId >= 0L) {
+      val markers =
+        if (hasStats) spark.table(statsTableName(name))
+        else spark.table(tombsTableName(name))
+      if (!markers.filter(col("batch_id") === batchId).isEmpty) return
+    }
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").insertInto(tombsTableName(name))
+    if (hasStats)
+      statsRow(docs, idCol, textCol, batchId)
+        .select(
+          (-col("n_docs")).as("n_docs"),
+          (-col("sum_dl")).as("sum_dl"),
+          col("batch_id"))
+        .write.mode("append").insertInto(statsTableName(name))
+  }
+
+  /** The index's live tombstone set (doc ids only). Slim by contract —
+    * compaction clears it, so its size is bounded by the deletes of
+    * one compaction window (the same broadcast-sized contract as the
+    * query terms frame).
+    */
+  def tombstones(spark: SparkSession, name: String): DataFrame =
+    spark.table(tombsTableName(name)).select(col("doc_id"))
+
+  /** Anti-join `df` against the index's tombstone set. Fast-path: a
+    * missing (pre-deletion layout) or EMPTY tombstone table reads the
+    * frame untouched — the empty probe is a file-listing-sized job,
+    * not a scan. Non-empty: a broadcast anti-join above the bucketed
+    * scan — no exchange on the index side, so every zero-shuffle and
+    * bucket-pruning plan property survives deletion (RetrievalSpec).
+    */
+  private def notTombstoned(spark: SparkSession, name: String, df: DataFrame): DataFrame =
+    if (!spark.catalog.tableExists(tombsTableName(name))) df
+    else {
+      val t = spark.table(tombsTableName(name)).select(col("doc_id"))
+      if (t.isEmpty) df else df.join(broadcast(t), Seq("doc_id"), "left_anti")
+    }
+
+  /** The postings/positional/forward tables with tombstoned docs
+    * filtered out — what every query path should read.
+    */
+  def livePostings(spark: SparkSession, name: String): DataFrame =
+    notTombstoned(spark, name, postingsTable(spark, name))
+  def livePositional(spark: SparkSession, name: String): DataFrame =
+    notTombstoned(spark, name, positionalTable(spark, name))
+  def liveForward(spark: SparkSession, name: String): DataFrame =
+    notTombstoned(spark, name, forwardTable(spark, name))
 
   /** Maintain the index from a stream: each micro-batch appends its
     * postings + one batch-tagged partial stats row (idempotent under
@@ -302,21 +405,67 @@ object Postings {
     * re-point, delete old; other sessions REFRESH TABLE).
     */
   def compactIndex(spark: SparkSession, name: String): Unit = {
+    // tombstone-drop rides the generation rewrite the compaction was
+    // doing anyway: physical deletion costs zero extra passes. The
+    // set is read ONCE here (slim by the compaction-cadence contract)
+    // and anti-joined inside each table's rewrite.
+    val tombsLive = spark.catalog.tableExists(tombsTableName(name)) &&
+      !spark.table(tombsTableName(name)).isEmpty
+    val dropTombstoned: DataFrame => DataFrame =
+      if (!tombsLive) identity
+      else
+        df =>
+          df.join(
+            broadcast(spark.table(tombsTableName(name)).select(col("doc_id"))),
+            Seq("doc_id"),
+            "left_anti")
+            // a USING join moves the key column to the front — restore
+            // the table's original column order (the rewrite is written
+            // under the same spec, and later positional appends are
+            // insertInto, i.e. positional)
+            .select(df.columns.map(col).toSeq: _*)
     if (spark.catalog.tableExists(postingsTableName(name)))
-      Layout.compact(spark, postingsTableName(name))
+      Layout.compact(spark, postingsTableName(name), dropTombstoned)
     if (spark.catalog.tableExists(posTableName(name)))
-      Layout.compact(spark, posTableName(name))
+      Layout.compact(spark, posTableName(name), dropTombstoned)
     if (spark.catalog.tableExists(forwardTableName(name)))
-      Layout.compact(spark, forwardTableName(name))
+      Layout.compact(spark, forwardTableName(name), dropTombstoned)
     if (spark.catalog.tableExists(dictTableName(name))) {
+      // the dictionary is RECOUNTED from the compacted postings (the
+      // same fold a fresh build runs) rather than merged from its own
+      // partials: after deletions the partials overcount df (they are
+      // documented as approximate between delete and compaction — the
+      // stop-term screen is policy, prefix/fuzzy resolution only
+      // over-resolves, and a resolved term with zero live postings
+      // contributes an exact 0.0) — compaction is where the exact
+      // per-term df is restored. Sorted by term so prefix resolution
+      // prunes row groups by min/max term range, as before.
+      Layout.recoverDanglingSwap(spark, dictTableName(name))
       val table = dictTableName(name)
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(table))
-      val merged = spark.read.schema(meta.schema).parquet(meta.location.toString)
-        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+      val postMeta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(postingsTableName(name)))
+      val recounted = spark.read.schema(postMeta.schema).parquet(postMeta.location.toString)
+        .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
         .sort(col("term"))
       Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
-        merged.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+        recounted.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+      }
+    }
+    if (tombsLive) {
+      // the dropped docs are physically gone from every table — clear
+      // the set (LAST, so a crash anywhere above leaves the tombstones
+      // live and the reads still correct). Replayed delete batches
+      // stay no-ops: their markers live in the UNcompacted stats rows.
+      Layout.recoverDanglingSwap(spark, tombsTableName(name))
+      val table = tombsTableName(name)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+        spark.range(0)
+          .select(col("id").as("doc_id"), col("id").as("batch_id"))
+          .write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
       }
     }
   }
@@ -366,6 +515,7 @@ object Postings {
     spark.sql(s"DROP TABLE IF EXISTS ${posMarkersTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${dictTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${forwardTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${tombsTableName(name)}")
   }
 
   def dictTable(spark: SparkSession, name: String): DataFrame =
@@ -709,6 +859,12 @@ object Postings {
     docs.sparkSession.range(0).select(col("id").as("batch_id"))
       .write.mode("overwrite").option("path", s"$path/posmarkers")
       .saveAsTable(posMarkersTableName(name))
+    // tombstone table: CREATE-if-absent (not overwrite) — a positional
+    // side built next to an existing frequency index under the same
+    // name must not clear that index's live deletions. writeIndex (the
+    // primary build) is the one that resets the set.
+    if (!docs.sparkSession.catalog.tableExists(tombsTableName(name)))
+      writeEmptyTombs(docs.sparkSession, name, path)
   }
 
   /** Append a batch to the positional index — same append-only bucket

@@ -87,7 +87,17 @@ object Layout {
     * transactional swap, and OTHER sessions follow the standard
     * external-writer rule (REFRESH TABLE), same as after `append`.
     */
-  def compact(spark: SparkSession, tableName: String): Unit = {
+  def compact(spark: SparkSession, tableName: String): Unit =
+    compact(spark, tableName, identity[DataFrame] _)
+
+  /** Compaction with a row TRANSFORM applied during the generation
+    * rewrite — the hook retention maintenance needs: a tombstone-drop
+    * (anti-join against a deleted-docs set) rides the rewrite the
+    * compaction was doing anyway, so physical deletion costs zero
+    * extra passes. The transform must preserve the schema (the new
+    * generation is written under the same bucket/sort spec).
+    */
+  def compact(spark: SparkSession, tableName: String, transform: DataFrame => DataFrame): Unit = {
     recoverDanglingSwap(spark, tableName)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta  = spark.sessionState.catalog.getTableMetadata(ident)
@@ -98,7 +108,7 @@ object Layout {
       spec.sortColumnNames == spec.bucketColumnNames,
       s"$tableName sort spec ${spec.sortColumnNames} != bucket spec — unexpected layout")
     val keys = spec.bucketColumnNames
-    val cur  = spark.read.schema(meta.schema).parquet(meta.location.toString)
+    val cur  = transform(spark.read.schema(meta.schema).parquet(meta.location.toString))
     swapGeneration(spark, tableName, meta) { (scratch, newDir) =>
       bucketize(
         cur.repartition(spec.numBuckets, keys.map(cur(_)): _*),

@@ -71,6 +71,9 @@ class PlanQualitySpec extends SparkTestBase {
     // d50: bm25TopK's one-row corpus-stats total (same shape as d47);
     // the grown (built+appended) index still joins terms hash-keyed
     "d50_index_append"    -> Set("BroadcastNestedLoopJoin"),
+    // d64: same one-row stats broadcast; the tombstone filter itself is
+    // a broadcast HASH anti-join (no flag) above the bucketed scan
+    "d64_index_delete"    -> Set("BroadcastNestedLoopJoin"),
     // d51: the one-row bigram-total frame cross-joined back broadcast;
     // marginals join the |vocab|^2-bounded count frame, never the corpus
     "d51_collocations"    -> Set("BroadcastNestedLoopJoin"),

@@ -742,4 +742,154 @@ class RetrievalSpec extends SparkTestBase {
         "compaction lost the positional marker log — replayed batch re-appended")
     } finally Postings.dropIndex(spark, "t_pix_p")
   }
+
+  // ---------- document deletion (tombstones) ----------
+
+  private val delDocs = Seq(
+    (1L, "spark merge join spark", "en"),
+    (2L, "hash table scan row", "de"),
+    (3L, "spark spark filter sort merge", "en"),
+    (4L, "merge row spark merge", "fr"),
+    (5L, "vector merge spark table", "en"),
+    (6L, "spark merge scan", "de"))
+  private val delDead = Set(3L, 5L)
+  private val delLive = delDocs.filterNot(d => delDead(d._1))
+
+  test("deletion: tombstoned docs vanish from EVERY read path, answers equal a fresh build over survivors") {
+    val dirA = Files.createTempDirectory("graft_del").toString
+    val dirB = Files.createTempDirectory("graft_del").toString
+    val standing = Seq(1L -> Seq("spark", "merge"), 2L -> Seq("scan"))
+    try {
+      Postings.writeIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_del_a", dirA,
+        buckets = 4, metaCols = Seq("lang"))
+      Postings.writePositionalIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_del_a", s"$dirA/pos", buckets = 4)
+      Postings.writeIndex(
+        delLive.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_del_b", dirB,
+        buckets = 4, metaCols = Seq("lang"))
+      Postings.writePositionalIndex(
+        delLive.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_del_b", s"$dirB/pos", buckets = 4)
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_del_a", batchId = 1L)
+
+      def bm25(n: String) = Postings
+        .bm25TopK(Postings.livePostings(spark, n), Postings.statsTable(spark, n), Seq("spark", "merge"), 10)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      def bool(n: String) = Postings
+        .booleanSearch(Postings.livePostings(spark, n), must = Seq("spark", "merge"), mustNot = Seq("row"))
+        .collect().toSeq
+      def perc(n: String) = Postings
+        .matchQueries(Postings.livePostings(spark, n), standing)
+        .as[(Long, Long)].collect().toSeq
+      def multi(n: String) = Postings
+        .bm25MultiTopK(Postings.livePostings(spark, n), Postings.statsTable(spark, n), standing, 3)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      def phrase(n: String) = Postings
+        .phraseTopK(Postings.livePositional(spark, n), Seq("spark", "merge"), 10)
+        .collect().toSeq
+      def facets(n: String) = Postings
+        .facetCounts(Postings.livePostings(spark, n), Postings.liveForward(spark, n),
+          Seq("spark", "merge"), Seq("lang"))
+        .as[(String, Long)].collect().toSeq
+
+      assert(bm25("t_del_a") == bm25("t_del_b") && bm25("t_del_a").nonEmpty,
+        "bm25 over the tombstoned index diverged from the fresh survivor build")
+      assert(!bm25("t_del_a").exists(r => delDead(r._1)), "a deleted doc still ranks")
+      assert(bool("t_del_a") == bool("t_del_b"), "booleanSearch saw deleted docs")
+      assert(perc("t_del_a") == perc("t_del_b"), "percolation saw deleted docs")
+      assert(multi("t_del_a") == multi("t_del_b"), "ranked multi-query saw deleted docs")
+      assert(phrase("t_del_a") == phrase("t_del_b") && phrase("t_del_a").nonEmpty,
+        "phrase search over the positional index saw deleted docs")
+      assert(facets("t_del_a") == facets("t_del_b"), "facet counts saw deleted docs")
+
+      // survivor-exact stats: the negative partial row restores N/sum_dl
+      val st = Postings.statsTable(spark, "t_del_a")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).as[(Long, Long)].head()
+      val expDl = delLive.map(_._2.trim.split("\\s+").count(_.nonEmpty).toLong).sum
+      assert(st == ((delLive.size.toLong, expDl)), s"stats sums $st not survivor-exact")
+
+      // replay of a committed delete batch is a whole-batch no-op
+      val tombsBefore = Postings.tombstones(spark, "t_del_a").count()
+      val statsBefore = Postings.statsTable(spark, "t_del_a").count()
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_del_a", batchId = 1L)
+      assert(Postings.tombstones(spark, "t_del_a").count() == tombsBefore)
+      assert(Postings.statsTable(spark, "t_del_a").count() == statsBefore)
+
+      // post-delete APPEND: the index keeps growing correctly
+      val extra = Seq((10L, "spark merge vector", "en"))
+      Postings.appendBatch(extra.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_del_a", batchId = 2L)
+      Postings.appendBatch(extra.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_del_b", batchId = 2L)
+      assert(bm25("t_del_a") == bm25("t_del_b") &&
+        bm25("t_del_a").exists(_._1 == 10L), "post-delete append diverged")
+    } finally {
+      Postings.dropIndex(spark, "t_del_a")
+      Postings.dropIndex(spark, "t_del_b")
+    }
+  }
+
+  test("delete-then-compact equals a fresh build over survivors; tombstones clear; dict df exact; re-add works") {
+    val dirA = Files.createTempDirectory("graft_delc").toString
+    val dirB = Files.createTempDirectory("graft_delc").toString
+    try {
+      Postings.writeIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_delc_a", dirA,
+        buckets = 4, metaCols = Seq("lang"))
+      Postings.writePositionalIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_delc_a", s"$dirA/pos", buckets = 4)
+      Postings.writeIndex(
+        delLive.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_delc_b", dirB,
+        buckets = 4, metaCols = Seq("lang"))
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_delc_a", batchId = 1L)
+      Postings.compactIndex(spark, "t_delc_a")
+
+      // physical drop: the raw tables hold exactly the survivor rows
+      assert(Postings.postingsTable(spark, "t_delc_a")
+        .as[(Long, String, Long, Long, Long)].collect().toSet ==
+        Postings.postingsTable(spark, "t_delc_b")
+          .as[(Long, String, Long, Long, Long)].collect().toSet,
+        "compaction left tombstoned postings in the files")
+      assert(!Postings.positionalTable(spark, "t_delc_a")
+        .filter(col("doc_id").isin(delDead.toSeq: _*)).limit(1).collect().nonEmpty,
+        "compaction left tombstoned positional rows")
+      assert(!Postings.forwardTable(spark, "t_delc_a")
+        .filter(col("doc_id").isin(delDead.toSeq: _*)).limit(1).collect().nonEmpty,
+        "compaction left tombstoned forward rows")
+      assert(Postings.tombstones(spark, "t_delc_a").count() == 0,
+        "compaction must clear the tombstone set")
+
+      // dictionary df RECOUNTED over survivors == fresh build dict
+      assert(Postings.dictTable(spark, "t_delc_a")
+        .as[(Long, String, Long)].collect().toSet ==
+        Postings.dictTable(spark, "t_delc_b").as[(Long, String, Long)].collect().toSet,
+        "dict df not survivor-exact after delete-then-compact")
+
+      // answers unchanged by compaction
+      def bm25(n: String) = Postings
+        .bm25TopK(Postings.livePostings(spark, n), Postings.statsTable(spark, n), Seq("spark", "merge"), 10)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(bm25("t_delc_a") == bm25("t_delc_b") && bm25("t_delc_a").nonEmpty)
+
+      // a replayed delete batch stays a no-op after compaction (marker
+      // lives in the UNcompacted stats rows)
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_delc_a", batchId = 1L)
+      assert(Postings.tombstones(spark, "t_delc_a").count() == 0)
+
+      // after compaction cleared the set, a deleted doc can re-ingest
+      Postings.appendBatch(
+        delDocs.filter(_._1 == 3L).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_delc_a", batchId = 5L)
+      assert(bm25("t_delc_a").exists(_._1 == 3L), "re-added doc invisible after compaction")
+    } finally {
+      Postings.dropIndex(spark, "t_delc_a")
+      Postings.dropIndex(spark, "t_delc_b")
+    }
+  }
 }
