@@ -704,6 +704,44 @@ object SearchQueries {
       Seq("merge", "hash", "vector"), 50)
   }
 
+  /** CLASSIC (ln-idf) BM25 scoring mode — the Lucene-style ordering a
+    * user coming from a Lucene-class engine expects (the surrogate is
+    * per-term rank-equivalent but its multi-term SUM defines its own
+    * ranking). The transcendental score cannot be hash-gated raw: JVM
+    * `Math.log` vs DuckDB/glibc `ln` measured 1-ulp-divergent on
+    * ~0.05% of realistic idf arguments (round-13 experiment, pinned in
+    * `Postings.bm25AllClassic`'s scaladoc). The gate therefore returns
+    * ALL matching docs (membership is integer-exact — no rank or LIMIT
+    * boundary for a 1-ulp shift to flip) with the score rounded to 5
+    * decimals on BOTH engines, and REFUSES loudly if any raw score
+    * sits within 1e-8 grid units of the rounding grid's half-boundaries — the
+    * margin check turns the one remaining failure mode into an
+    * explicit error instead of a silent hash flip. Bit-exactness of
+    * the engine's ln arithmetic itself is pinned against a plain-Scala
+    * reference in RetrievalSpec.
+    */
+  val d65_classic_bm25: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+    }
+    val pt    = graft.retrieval.Postings.livePostings(s, name)
+    val st    = graft.retrieval.Postings.statsTable(s, name)
+    val terms = Seq("vector", "merge", "scan")
+    val margin = graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms)
+      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
+      .first().getDouble(0)
+    // threshold = 100x the measured cross-engine divergence (~1e-10
+    // grid units); expected min distance is ~0.5/n_matches (uniform
+    // order statistics), so the loud refusal stays ~4e-3 even at sf1
+    require(
+      margin > 1e-8,
+      f"classic-BM25 score within $margin%.2e grid units of a rounding half-boundary — " +
+        "the 5-decimal oracle round is not safe for this corpus")
+    graft.retrieval.Postings.bm25AllClassic(pt, st, terms)
+  }
+
   /** Persisted-IVF ANN (the embedding twin of d47/d50's round trip):
     * build the cell-bucketed IVF index on HALF the vectors, append the
     * other half under the FROZEN centroid model, then answer e04's
@@ -771,8 +809,54 @@ object SearchQueries {
     "d62_snippets" -> d62_snippets,
     "d63_search_after" -> d63_search_after,
     "d64_index_delete" -> d64_index_delete,
+    "d65_classic_bm25" -> d65_classic_bm25,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
   )
+
+  /** Classic-mode oracle: the same full-scan template with
+    * `LN(1 + idf_arg)` and a 5-decimal round, ALL matching docs (no
+    * LIMIT — membership is integer-exact; rows are hash-compared as a
+    * sorted set, so no ordering boundary exists for a 1-ulp libm
+    * divergence to flip).
+    */
+  private def bm25ClassicOracleSql(terms: Seq[String], corpusWhere: String): String = {
+    val tf = terms
+      .map(t => s"         CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$t")
+      .mkString(",\n")
+    val dfs = terms
+      .map(t => s"         SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(",\n")
+    val nm = terms.map(t => s"(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END)").mkString("\n            + ")
+    val score = terms
+      .map(t =>
+        s"""LN(1 + (((n_docs - df_$t) + 0.5) / (df_$t + 0.5)))
+           |           * ((CAST(tf_$t AS DOUBLE) * 2.2)
+           |              / (CAST(tf_$t AS DOUBLE)
+           |                 + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+           |                                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin)
+      .mkString("\n         + ")
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+       |  FROM documents WHERE $corpusWhere),
+       |tf AS (
+       |  SELECT doc_id,
+       |         CAST(len(tk) AS BIGINT) AS dl,
+       |$tf
+       |  FROM tk),
+       |st AS (
+       |  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+       |$dfs
+       |  FROM tf)
+       |SELECT doc_id, dl, n_matched, ROUND(score, 5) AS score_r FROM (
+       |  SELECT doc_id, dl,
+       |         CAST($nm AS BIGINT) AS n_matched,
+       |         $score
+       |         AS score
+       |  FROM tf, st) s
+       |WHERE n_matched > 0
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Oracle-SQL generator for the BM25 full-scan template every index
     * gate uses (d47/d50/d55 are hand-written literals kept verbatim;
@@ -837,6 +921,11 @@ object SearchQueries {
     "d64_index_delete" -> bm25OracleSql(
       Seq("merge", "hash", "vector"),
       "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    // d65: ln-idf classic mode — ALL matching docs, 5-decimal-rounded
+    // score (see d65's scaladoc for why raw transcendental doubles
+    // cannot be hash-gated and how the margin guard closes the gap)
+    "d65_classic_bm25" -> bm25ClassicOracleSql(
+      Seq("vector", "merge", "scan"), "text IS NOT NULL"),
     // d63: ranks 11-20 of d47's full-scan ranking — the keyset cursor
     // lands on the identical cut because the order is a strict total
     // order over bit-exact doubles

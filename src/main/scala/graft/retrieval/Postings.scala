@@ -1106,7 +1106,60 @@ object Postings {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
-  private def bm25Scored(postings: DataFrame, stats: DataFrame, terms: Seq[String]): DataFrame = {
+  /** CLASSIC (Lucene-style) BM25 scoring mode — opt-in alternative to
+    * the log-free idf surrogate: idf = ln(1 + (N − df + 0.5)/(df + 0.5))
+    * (non-negative by construction, the formulation Lucene ships). The
+    * surrogate is per-term rank-EQUIVALENT (its idf is a monotone map
+    * of df) and bit-exact against any SQL engine, but its multi-term
+    * SUM weighs terms differently than the ln form — a user coming
+    * from a Lucene-class engine expects these orderings. Plan shape is
+    * identical to `bm25TopK` (same pruned scan, same broadcast joins,
+    * same rank-sorted fold); only the idf factor changes.
+    *
+    * Oracle note (measured, round 13): JVM `Math.log` and DuckDB/glibc
+    * `ln` are each correctly-rounded-to-~1ulp but NOT bit-identical —
+    * 1 divergence in 2077 realistic idf arguments (and `StrictMath.log`
+    * diverges on ~7%). A transcendental score therefore cannot be
+    * hash-gated raw; the d65 gate rounds to 5 decimals on both engines
+    * and returns ALL matching docs (membership is integer-exact, so no
+    * rank-boundary risk), with the gate itself REFUSING if any raw
+    * score sits within 1e-8 grid units of a rounding half-boundary.
+    * Calibration (measured at sf0.01): cross-engine divergence ≤
+    * ~1e-10 grid units (three 1-ulp ln terms + the multiply-vs-
+    * decimal-string round-path difference), so 1e-8 is a 100× safety
+    * margin; boundary distances are uniform with min ≈ 0.5/n_matches
+    * (2.25e-4 observed at n≈2200), so the loud-refusal probability
+    * stays ~4e-3 even at sf1 — and a refusal is an explicit error,
+    * never a silent hash flip.
+    */
+  def bm25AllClassic(postings: DataFrame, stats: DataFrame, terms: Seq[String]): DataFrame =
+    bm25Scored(postings, stats, terms, classicIdf = true)
+      .select(
+        col("doc_id"),
+        col("dl"),
+        col("n_matched"),
+        round(col("score"), 5).as("score_r"))
+      .orderBy(col("doc_id"))
+
+  /** Raw-score classic frame (unrounded) — what the d65 gate's grid
+    * guard and RetrievalSpec's bit-exactness leg read.
+    */
+  def bm25ScoredClassic(postings: DataFrame, stats: DataFrame, terms: Seq[String]): DataFrame =
+    bm25Scored(postings, stats, terms, classicIdf = true)
+
+  /** Top-k form of the classic mode (the interactive shape; rank
+    * agreement vs the surrogate is reported in RetrievalSpec).
+    */
+  def bm25TopKClassic(postings: DataFrame, stats: DataFrame, terms: Seq[String], k: Int): DataFrame =
+    bm25Scored(postings, stats, terms, classicIdf = true)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  private def bm25Scored(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      classicIdf: Boolean = false): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     // dedupe (order-preserving): a duplicated query term would join the
@@ -1129,7 +1182,10 @@ object Postings {
     val dfs = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val tfd   = col("tf").cast("double")
-    val idf   = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val idfSurrogate = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    // classic mode: plain `1.0 +` then ln — NOT log1p — so the oracle's
+    // LN(1 + x) evaluates the identical argument double
+    val idf = if (classicIdf) log(lit(1.0) + idfSurrogate) else idfSurrogate
     val tfw = (tfd * lit(2.2)) /
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     matched

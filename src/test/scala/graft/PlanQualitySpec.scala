@@ -74,6 +74,8 @@ class PlanQualitySpec extends SparkTestBase {
     // d64: same one-row stats broadcast; the tombstone filter itself is
     // a broadcast HASH anti-join (no flag) above the bucketed scan
     "d64_index_delete"    -> Set("BroadcastNestedLoopJoin"),
+    // d65: classic-idf mode of the same plan — one-row stats broadcast
+    "d65_classic_bm25"    -> Set("BroadcastNestedLoopJoin"),
     // d51: the one-row bigram-total frame cross-joined back broadcast;
     // marginals join the |vocab|^2-bounded count frame, never the corpus
     "d51_collocations"    -> Set("BroadcastNestedLoopJoin"),
