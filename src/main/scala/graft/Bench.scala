@@ -103,6 +103,47 @@ object Bench {
       } catch { case _: Throwable => () }
       (cpuMs, ioMs)
     }
+    // ---- fixed-code HOST CANARY (VERDICT r12 #2) ----
+    // Three frozen Spark kernels — DO NOT MODIFY (their anchors are
+    // recorded constants; editing the kernels silently re-bases every
+    // cross-round comparison). They exercise the SPARK path (codegen,
+    // shuffle, sort, memory) that r12's serial-imul probe cannot see:
+    // that round's artifacts read ~10-15% above r11 on UNCHANGED query
+    // code while every probe was clean — the drift lived exactly here.
+    // host_scale = median(min_observed / anchor) over the kernels; a
+    // cross-round comparison divides by it, so "the box was slower"
+    // becomes a measured denominator instead of a narrative.
+    def canary(): Map[String, Double] = {
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val cpu = t {
+        spark.range(0L, 400000000L, 1L, 32)
+          .selectExpr("sum(((id * 2654435761) % 1000003) * (id % 97)) as s")
+          .collect()
+      }
+      val shj = t {
+        val a = spark.range(0L, 8000000L, 1L, 32).selectExpr("id % 1048576 as k", "id as va")
+        val b = spark.range(0L, 8000000L, 1L, 32).selectExpr("id % 1048576 as k", "id as vb")
+        a.join(b, "k").selectExpr("sum(va + vb) as s").collect()
+        ()
+      }
+      val srt = t {
+        spark.range(0L, 20000000L, 1L, 32)
+          .selectExpr("hash(id) as h")
+          .orderBy("h")
+          .queryExecution.toRdd.count()
+        ()
+      }
+      spark.catalog.clearCache()
+      Map("cpu_agg" -> cpu, "shuffle_join" -> shj, "sort" -> srt)
+    }
+    // anchors: min over 3 canary runs in the round-13 clean window on
+    // this host class (local[32]); overridable for other host classes
+    val canaryAnchors = sys.env.get("SPARK_GRAFT_CANARY_ANCHORS")
+      .map(_.split(",").map { kv => val Array(k, v) = kv.split("="); k -> v.toDouble }.toMap)
+      .getOrElse(Map("cpu_agg" -> -1.0, "shuffle_join" -> -1.0, "sort" -> -1.0))
+
     // anchors measured on this host class in the fast regime (round 9,
     // 3 standalone-JVM replicates: cpu 603/621/626, io 171/205/188) —
     // the cpu kernel is a serial imul dependency chain, so its calm
@@ -125,6 +166,7 @@ object Bench {
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "4").toInt
     val loads     = scala.collection.mutable.ArrayBuffer(loadAvg())
     val probes    = scala.collection.mutable.ArrayBuffer(probe())
+    val canaries  = scala.collection.mutable.ArrayBuffer(canary(), canary()) // 2nd run = post-JIT
     val passes    = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     def cleanIdx  = (0 until passes.size).filter(i => !slow(probes(i)) && !slow(probes(i + 1)))
     while (passes.size < 2 || (passes.size < maxPasses && cleanIdx.size < 2)) {
@@ -132,6 +174,14 @@ object Bench {
       probes += probe()
       loads += loadAvg()
     }
+    canaries += canary() // bracket the passes (min discards JIT warm-up and contention)
+    val canaryMin = canaries.head.keys.map(k => k -> canaries.map(_(k)).min).toMap
+    val hostScale =
+      if (canaryAnchors.values.exists(_ <= 0)) -1.0
+      else {
+        val ratios = canaryMin.map { case (k, v) => v / canaryAnchors(k) }.toSeq.sorted
+        ratios(ratios.size / 2)
+      }
     val usedIdx = if (cleanIdx.nonEmpty) cleanIdx else passes.indices
     val regimeLabel =
       if (cleanIdx.size >= 2) "normal"
@@ -168,8 +218,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canaryJson = canaryMin.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"agg":"min_clean","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"dirty_fallback":$dirtyFallbackJson,"load":[${loads.map(r3).mkString(",")}],"regime":$regimeJson,"queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":${passes.size},"agg":"min_clean","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson,"dirty_fallback":$dirtyFallbackJson,"load":[${loads.map(r3).mkString(",")}],"regime":$regimeJson,"canary":$canaryJson,"host_scale":${r3(hostScale)},"queries":$qs}"""
     // belt-and-braces: the driver captures a bounded log tail, which
     // truncated this line in round 1 — persist the same JSON as a file
     // artifact too. Path is overridable, defaulting to the working
@@ -206,7 +258,7 @@ object Bench {
     val shortQs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     System.out.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":${passes.size},"agg":"min_clean","n_queries":${results.size},"n_failed":${failed.size},"n_dirty_fallback":${dirtyFallback.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","queries":$shortQs}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":${passes.size},"agg":"min_clean","n_queries":${results.size},"n_failed":${failed.size},"n_dirty_fallback":${dirtyFallback.size},"load":[${r3(load0)},${r3(load1)}],"regime":"$regimeLabel","host_scale":${r3(hostScale)},"queries":$shortQs}""")
     System.out.flush()
   }
 }

@@ -215,8 +215,9 @@ object Knn {
       "n_id")
       .select(col("cell"), col("n_id"), col("v").as("nv"), col("nrm").as("nn"))
 
-  private def ivfTableName(name: String)   = s"${name}_ivf"
-  private def centsTableName(name: String) = s"${name}_ivfcents"
+  private def ivfTableName(name: String)     = s"${name}_ivf"
+  private def centsTableName(name: String)   = s"${name}_ivfcents"
+  private def ivfMarkersTableName(name: String) = s"${name}_ivfmarkers"
 
   /** Persist the IVF index — the posting-index contract applied to
     * embeddings: corpus vectors BUCKETED by their primary centroid
@@ -241,17 +242,126 @@ object Knn {
     graft.sources.Layout.bucketize(
       indexCorpus(corpus, centroids, idCol, vecCol), ivfTableName(name), s"$path/ivf", Seq("cell"), buckets)
     centroids.write.mode("overwrite").option("path", s"$path/cents").saveAsTable(centsTableName(name))
+    // empty batch-id commit log — the IVF twin of the positional
+    // index's marker table (idempotent streaming appends need it; the
+    // IVF index has no stats table to carry the marker)
+    corpus.sparkSession.range(0).select(col("id").as("batch_id"))
+      .write.mode("overwrite").option("path", s"$path/ivfmarkers")
+      .saveAsTable(ivfMarkersTableName(name))
   }
 
   /** Append new vectors under the frozen model: own bucket files per
     * batch (`Layout.append` — co-partitioning survives), assignment
     * read from the persisted centroid table so callers cannot drift.
+    * With `batchId >= 0` the append is IDEMPOTENT against the marker
+    * table, marker written LAST — the same replay-can-duplicate-never-
+    * lose commit discipline as the posting index's `appendBatch`.
     */
-  def appendIvfBatch(newVecs: DataFrame, idCol: String, vecCol: String, name: String): Unit = {
+  def appendIvfBatch(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String,
+      batchId: Long = -1L): Unit = {
     val spark = newVecs.sparkSession
+    if (batchId >= 0L) {
+      require(
+        spark.catalog.tableExists(ivfMarkersTableName(name)),
+        s"IVF index $name has no marker table — rebuild with writeIvfIndex before idempotent appends")
+      if (!spark.table(ivfMarkersTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
+    }
     graft.sources.Layout.append(
       indexCorpus(newVecs, ivfCentroids(spark, name), idCol, vecCol), ivfTableName(name))
+    if (batchId >= 0L)
+      spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
+        .write.mode("append").insertInto(ivfMarkersTableName(name))
   }
+
+  /** Maintain the IVF index from a stream — lifecycle parity with the
+    * posting index's `maintainFromStream`: each micro-batch assigns
+    * its vectors under the FROZEN centroid model and appends them as
+    * own bucket files, idempotent under foreachBatch's at-least-once
+    * replay via the marker table, with the owner session's catalog
+    * refreshed after each committed batch (cloned-session
+    * cache-coherence, the StreamingSpec-caught rule).
+    */
+  def maintainIvfFromStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val owner = stream.sparkSession
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIvfBatch(batch, idCol, vecCol, name, batchId)
+        Seq(ivfTableName(name), ivfMarkersTableName(name))
+          .filter(owner.catalog.tableExists)
+          .foreach(owner.catalog.refreshTable)
+      }
+  }
+
+  /** Pruned top-k read path over the persisted IVF index — the vector
+    * twin of the posting index's `termHashPrune` design (VERDICT r12
+    * #6 ladder work exposed the gap): an interactive query batch is
+    * small by contract, so its vectors are assigned under the FROZEN
+    * centroid model, the batch's distinct cells are collected
+    * driver-side (bounded by |queries| × 1 — the same k-bounded
+    * driver-collect contract as d62's ranked ids), and the literal
+    * `cell IN (...)` is pushed into the cell-bucketed scan: Spark
+    * selects only those cells' buckets (SelectedBucketsCount —
+    * plan-asserted in DedupKnnSpec) and parquet row-group min/max on
+    * the sorted cell key prunes within them. Scan cost tracks the
+    * QUERIED cells' population, not the corpus — with a
+    * corpus-scaled model (constant cell size) the per-query cost is
+    * flat as the corpus grows (measured in the r13 ladder); without
+    * pruning every query batch paid a full index scan.
+    *
+    * `excludeSelf` drops candidates whose id equals the query id (the
+    * e04/e10 self-search convention); disable it when query and corpus
+    * id spaces are unrelated.
+    */
+  def ivfTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = assignCells(
+      queries
+        .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", norm(col("v"))),
+      ivfCentroids(spark, name),
+      "q_id")
+      .select(col("q_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
+    val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+    val idx = ivfTable(spark, name).filter(col("cell").isin(cells: _*))
+    val scored = broadcast(q)
+      .join(idx, Seq("cell"))
+      .filter(if (excludeSelf) col("n_id") =!= col("q_id") else lit(true))
+      .withColumn("cos", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
+  }
+
+  /** Compact the IVF index after many incremental appends — the same
+    * maintenance pass as `Postings.compactIndex`, for the same reason:
+    * each append adds its own file set to every cell bucket, and the
+    * accumulated fragments cost per-file open/footer overhead and
+    * defeat row-group pruning on the sorted cell key. `Layout.compact`
+    * restores one file per bucket under the same bucket/sort spec, so
+    * the zero-exchange cell self-join property is untouched. The
+    * frozen centroid model and the marker log are deliberately NOT
+    * rewritten (the model IS the index's identity; the markers are
+    * the replay-idempotence commit log).
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
+    graft.sources.Layout.compact(spark, ivfTableName(name))
 
   def ivfTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(ivfTableName(name))
@@ -261,6 +371,7 @@ object Knn {
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${ivfTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${centsTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ivfMarkersTableName(name)}")
   }
 
   /** Streaming embedding near-dup matcher: arriving vectors matched

@@ -595,4 +595,169 @@ class DedupKnnSpec extends SparkTestBase {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally Knn.dropIvfIndex(spark, "t_ivf_a")
   }
+
+  /** Zero-exchange assert for the bucketed cell self-join (shared by
+    * the build/append test above and the lifecycle legs below).
+    */
+  private def assertCellSelfJoinUnshuffled(name: String): Unit = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = Knn.ivfTable(spark, name)
+      val qs = idx.filter(col("n_id") < 5)
+        .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"), col("cell"))
+      val j = qs.join(idx, Seq("cell")).filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"))
+      j.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case qst: QueryStageExec      => Seq(qst) ++ expand(qst.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      val joins = expand(j.queryExecution.executedPlan).collect {
+        case jn: org.apache.spark.sql.execution.joins.BaseJoinExec => jn
+      }
+      assert(joins.nonEmpty, s"no join:\n${j.queryExecution.executedPlan}")
+      assert(
+        !joins.head.children.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])),
+        s"cell self-join exchanged a side after maintenance:\n${j.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF streaming maintenance: micro-batch appends keep assignments frozen-model consistent; replay no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir  = java.nio.file.Files.createTempDirectory("graft_ivfstr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfstr_ckpt").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val batches = emb
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+      .filter(_._1 % 2 == 1)
+    val (batchA, batchB) = batches.splitAt(batches.size / 2)
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfs_a", dir, buckets = 4)
+      val stream = MemoryStream[(Long, Seq[Float])]
+      val q = Knn
+        .maintainIvfFromStream(stream.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", "t_ivfs_a")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        stream.addData(batchA); q.processAllAvailable()
+        stream.addData(batchB); q.processAllAvailable()
+        val grown = Knn.ivfTable(spark, "t_ivfs_a")
+          .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted
+        val scratch = Knn.indexCorpus(emb, cents, "vec_id", "embedding")
+          .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted
+        assert(grown == scratch && grown.nonEmpty,
+          "stream-grown IVF index diverged from a from-scratch build under the frozen model")
+        // replay of a committed batch id is a whole-batch no-op
+        val before = Knn.ivfTable(spark, "t_ivfs_a").count()
+        Knn.appendIvfBatch(
+          batchA.toDF("vec_id", "embedding"), "vec_id", "embedding", "t_ivfs_a", batchId = 0L)
+        assert(Knn.ivfTable(spark, "t_ivfs_a").count() == before)
+        assert(spark.table("t_ivfs_a_ivfmarkers").count() == 2)
+        // idempotent appends against an index with no marker log refuse loudly
+        val err = intercept[IllegalArgumentException](
+          Knn.appendIvfBatch(
+            batchA.toDF("vec_id", "embedding"), "vec_id", "embedding", "t_ivfs_missing", batchId = 0L))
+        assert(err.getMessage.contains("no marker table"))
+        assertCellSelfJoinUnshuffled("t_ivfs_a")
+      } finally q.stop()
+    } finally Knn.dropIvfIndex(spark, "t_ivfs_a")
+  }
+
+  test("IVF compaction: files collapse to one per bucket, rows and plan properties survive, markers untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfc").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def files(): Int = Knn.ivfTable(spark, "t_ivfc_a").inputFiles.length
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 3 === 0), cents, "vec_id", "embedding", "t_ivfc_a", dir, buckets = 4)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", "t_ivfc_a", batchId = 1L)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", "t_ivfc_a", batchId = 2L)
+      val before = Knn.ivfTable(spark, "t_ivfc_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted
+      assert(files() > 4, "appends should have fragmented the cell buckets")
+      Knn.compactIvfIndex(spark, "t_ivfc_a")
+      // one file per NON-EMPTY bucket (an empty bucket writes no file)
+      assert(files() <= 4, "compaction must leave at most one file per bucket")
+      val after = Knn.ivfTable(spark, "t_ivfc_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted
+      assert(after == before && after.nonEmpty, "compaction changed the index rows")
+      // markers (replay-idempotence log) and the frozen model survive
+      assert(spark.table("t_ivfc_a_ivfmarkers").count() == 2)
+      assert(Knn.ivfCentroids(spark, "t_ivfc_a").count() == 8)
+      // a replayed append batch stays a no-op after compaction
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", "t_ivfc_a", batchId = 1L)
+      assert(Knn.ivfTable(spark, "t_ivfc_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSeq.sorted == before)
+      assertCellSelfJoinUnshuffled("t_ivfc_a")
+      // post-compact appends still land under the spec (no exchange)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", "t_ivfc_a", batchId = 3L)
+      assertCellSelfJoinUnshuffled("t_ivfc_a")
+    } finally Knn.dropIvfIndex(spark, "t_ivfc_a")
+  }
+
+  test("ivfTopK: pruned read equals the unpruned cell join; scan selects only the queries' cell buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      Knn.writeIvfIndex(emb, cents, "vec_id", "embedding", "t_ivfq_a", dir, buckets = 8)
+      val queries = emb.filter(col("vec_id") < 3) // 3-query batch
+      val pruned = Knn.ivfTopK(spark, "t_ivfq_a", queries, "vec_id", "embedding", k = 5)
+      // reference: the unpruned e10-shape join restricted to the same queries
+      val idx = Knn.ivfTable(spark, "t_ivfq_a")
+      val qs = idx.filter(col("n_id") < 3)
+        .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"), col("cell"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      val ref = qs.join(idx, Seq("cell"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos", Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
+      val got = pruned.as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+      val exp = ref.as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(got == exp && got.nonEmpty, "pruned ivfTopK diverged from the unpruned cell join")
+      // the scan must select only the query batch's cells' buckets
+      pruned.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def expand(p: SparkPlan): Seq[SparkPlan] = p match {
+        case qst: QueryStageExec      => Seq(qst) ++ expand(qst.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ expand(a.executedPlan)
+        case other                    => Seq(other) ++ other.children.flatMap(expand)
+      }
+      val nCells = got.map(_._2).distinct.size
+      val bucketScans = expand(pruned.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec if f.relation.bucketSpec.nonEmpty => f
+      }
+      assert(bucketScans.nonEmpty, s"no bucketed scan:\n${pruned.queryExecution.executedPlan}")
+      val counts = bucketScans.map(f =>
+        f.optionalBucketSet.map(_.cardinality()).getOrElse(f.relation.bucketSpec.get.numBuckets))
+      assert(counts.exists(_ <= math.max(nCells, 3)),
+        s"cell bucket pruning not applied (selected buckets: $counts, query cells: $nCells)")
+    } finally Knn.dropIvfIndex(spark, "t_ivfq_a")
+  }
 }
