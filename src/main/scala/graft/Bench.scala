@@ -138,11 +138,15 @@ object Bench {
       spark.catalog.clearCache()
       Map("cpu_agg" -> cpu, "shuffle_join" -> shj, "sort" -> srt)
     }
-    // anchors: min over 3 canary runs in the round-13 clean window on
-    // this host class (local[32]); overridable for other host classes
+    // anchors: min over 3 clean standalone-JVM replicates in the
+    // round-13 window on this host class (local[32], bracketing probes
+    // fast, nothing else running): cpu 0.233/0.276/0.244, shuffle
+    // 0.968/0.989/0.967, sort 1.085/1.279/1.095. host_scale is
+    // RELATIVE TO THIS WINDOW — cross-round tables divide by it.
+    // Overridable for other host classes.
     val canaryAnchors = sys.env.get("SPARK_GRAFT_CANARY_ANCHORS")
       .map(_.split(",").map { kv => val Array(k, v) = kv.split("="); k -> v.toDouble }.toMap)
-      .getOrElse(Map("cpu_agg" -> -1.0, "shuffle_join" -> -1.0, "sort" -> -1.0))
+      .getOrElse(Map("cpu_agg" -> 0.233, "shuffle_join" -> 0.967, "sort" -> 1.085))
 
     // anchors measured on this host class in the fast regime (round 9,
     // 3 standalone-JVM replicates: cpu 603/621/626, io 171/205/188) —
