@@ -344,7 +344,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.bm25TopK(
       graft.retrieval.Postings.livePostings(s, name),
@@ -451,7 +452,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.bm25TopK(
       graft.retrieval.Postings.livePostings(s, name),
@@ -469,7 +471,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.booleanSearch(
       graft.retrieval.Postings.livePostings(s, name),
@@ -492,7 +495,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     val stats  = graft.retrieval.Postings.statsTable(s, name)
     val nDocs  = stats.agg(sum(col("n_docs")).as("n")).first().getLong(0)
@@ -517,7 +521,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.bm25TopK(
       graft.retrieval.Postings.livePostings(s, name),
@@ -551,7 +556,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.matchQueries(
       graft.retrieval.Postings.livePostings(s, name), standingQueries)
@@ -569,7 +575,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.facetCounts(
       graft.retrieval.Postings.livePostings(s, name),
@@ -589,7 +596,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     graft.retrieval.Postings.bm25MultiTopK(
       graft.retrieval.Postings.livePostings(s, name),
@@ -612,7 +620,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     val terms = Seq("vector", "merge")
     val top = graft.retrieval.Postings.bm25TopK(
@@ -654,7 +663,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     val pt = graft.retrieval.Postings.livePostings(s, name)
     val st = graft.retrieval.Postings.statsTable(s, name)
@@ -704,6 +714,28 @@ object SearchQueries {
       Seq("merge", "hash", "vector"), 50)
   }
 
+  /** Faceted search over the DENORMALIZED-facets index — the shape the
+    * round-13 A/B ADOPTED for facet-dominated workloads
+    * (ProfileR13Facets, paired m20/m80: 2.5–2.7× faster than the
+    * forward-table join AND flat, e=0.08 vs 0.14, for +19% postings
+    * bytes): the matched postings already carry (lang, source), so
+    * decoration is one doc_id dedup + a map-side-partial facet agg —
+    * no forward table, no join at all. d60 keeps the forward shape
+    * gated (it remains the general decoration surface — snippets
+    * metadata, per-doc filters); this gate pins the adopted facet
+    * path on the same shared index (built denormFacets = true).
+    */
+  val d66_faceted_denorm: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
+    }
+    graft.retrieval.Postings.facetCountsDenorm(
+      graft.retrieval.Postings.livePostings(s, name), Seq("spark", "vector"), Seq("lang", "source"))
+  }
+
   /** CLASSIC (ln-idf) BM25 scoring mode — the Lucene-style ordering a
     * user coming from a Lucene-class engine expects (the surrogate is
     * per-term rank-equivalent but its multi-term SUM defines its own
@@ -724,7 +756,8 @@ object SearchQueries {
     val t = Tables(s, dir)
     val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
       graft.retrieval.Postings.writeIndex(
-        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"))
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
     }
     val pt    = graft.retrieval.Postings.livePostings(s, name)
     val st    = graft.retrieval.Postings.statsTable(s, name)
@@ -810,6 +843,7 @@ object SearchQueries {
     "d63_search_after" -> d63_search_after,
     "d64_index_delete" -> d64_index_delete,
     "d65_classic_bm25" -> d65_classic_bm25,
+    "d66_faceted_denorm" -> d66_faceted_denorm,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
   )
 
@@ -926,6 +960,9 @@ object SearchQueries {
     // cannot be hash-gated and how the margin guard closes the gap)
     "d65_classic_bm25" -> bm25ClassicOracleSql(
       Seq("vector", "merge", "scan"), "text IS NOT NULL"),
+    // d66: identical facet semantics to d60 — same full-scan oracle;
+    // only the index-side shape (denormalized, join-free) differs
+    "d66_faceted_denorm" -> oraclesBase("d60_faceted_search"),
     // d63: ranks 11-20 of d47's full-scan ranking — the keyset cursor
     // lands on the identical cut because the order is a strict total
     // order over bit-exact doubles

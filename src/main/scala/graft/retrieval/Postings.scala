@@ -48,21 +48,40 @@ object Postings {
   /** Posting rows for a document batch: one row per (doc, distinct
     * term). One shuffle, keyed by (doc_id, term) — build-time only;
     * every query thereafter reads the bucketed layout.
+    *
+    * `metaCols` (the denormalized-facets shape, VERDICT r12 #5): doc-
+    * constant metadata columns carried onto every posting row — the
+    * same trade `dl` already makes. Facet decoration then needs no
+    * forward-table join at all; the cost is index bytes (each facet
+    * string repeats per distinct term of its doc). Measured against
+    * the forward-table shape in ProfileR13Facets.
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    postingsFromScreened(docs.filter(col(textCol).isNotNull), idCol, textCol)
+  def postings(docs: DataFrame, idCol: String, textCol: String, metaCols: Seq[String] = Nil): DataFrame =
+    postingsFromScreened(docs.filter(col(textCol).isNotNull), idCol, textCol, metaCols)
 
   /** The posting lineage below the null screen — split out so
     * `writeIndex` can interpose its `observe` between screen and
-    * tokenize without duplicating the pipeline.
+    * tokenize without duplicating the pipeline. Meta columns are
+    * doc-constant, so adding them to the groupBy keys changes no
+    * group boundaries.
     */
-  private def postingsFromScreened(screened: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def postingsFromScreened(
+      screened: DataFrame,
+      idCol: String,
+      textCol: String,
+      metaCols: Seq[String] = Nil): DataFrame =
     screened
-      .select(col(idCol).cast("long").as("doc_id"), TextAnalysis.tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .select(
+        col(idCol).cast("long").as("doc_id") +:
+          TextAnalysis.tokens(col(textCol)).as("tk") +: metaCols.map(col): _*)
+      .select(
+        col("doc_id") +: size(col("tk")).cast("long").as("dl") +:
+          explode(col("tk")).as("term") +: metaCols.map(col): _*)
+      .groupBy(col("doc_id") +: col("dl") +: col("term") +: metaCols.map(col): _*)
       .agg(count(lit(1)).as("tf"))
-      .select(Hashing.hash60(col("term")).as("term_h"), col("term"), col("doc_id"), col("tf"), col("dl"))
+      .select(
+        Hashing.hash60(col("term")).as("term_h") +: col("term") +: col("doc_id") +:
+          col("tf") +: col("dl") +: metaCols.map(col): _*)
 
   /** One partial corpus-stats row for a document batch. Summed at query
     * time; appended (not merged) on `appendBatch`, so the stats table is
@@ -148,7 +167,9 @@ object Postings {
       name: String,
       path: String,
       buckets: Int,
-      metaCols: Seq[String] = Nil): Unit = {
+      metaCols: Seq[String] = Nil,
+      denormFacets: Boolean = false): Unit = {
+    require(!denormFacets || metaCols.nonEmpty, "denormFacets requires metaCols")
     // ONE pass over the corpus, total. The corpus stats ride the
     // bucketize write itself as `observe()` metrics (CollectMetrics —
     // an accumulator fold inside the write job, no plan change):
@@ -175,7 +196,7 @@ object Postings {
     val sumDlObs = org.apache.spark.sql.Observation(s"graft_${name}_sumdl")
     val frame = postingsFromScreened(
       docs.filter(col(textCol).isNotNull).observe(nDocsObs, count(lit(1)).as("n_docs")),
-      idCol, textCol)
+      idCol, textCol, if (denormFacets) metaCols else Nil)
       .observe(sumDlObs, sum(col("tf")).as("sum_dl"))
     Layout.bucketize(frame, postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
     val nDocs = nDocsObs.get("n_docs").asInstanceOf[Long]
@@ -235,8 +256,13 @@ object Postings {
     // a batch is small by definition (incremental ingest), so the dict
     // partial simply recomputes the batch-postings lineage — cheaper
     // than caching the frame under the append write (same measurement
-    // as writeIndex)
-    Layout.append(postings(docs, idCol, textCol), postingsTableName(name))
+    // as writeIndex). Denormalized-facet columns (if this index was
+    // built with denormFacets) are inferred from the live schema in
+    // table order, so callers can't drift — same rule as the forward
+    // side below.
+    val denormCols = spark.table(postingsTableName(name)).columns
+      .filterNot(Seq("term_h", "term", "doc_id", "tf", "dl").contains).toSeq
+    Layout.append(postings(docs, idCol, textCol, denormCols), postingsTableName(name))
     dictRows(docs, idCol, textCol)
       .write.mode("append").insertInto(dictTableName(name))
     // the forward side (if this index was built with metaCols) grows
@@ -796,6 +822,36 @@ object Postings {
     }
     matched
       .join(forward.select((col("doc_id") +: facetCols.map(col)): _*), Seq("doc_id"))
+      .groupBy(facetCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(facetCols.map(col): _*)
+  }
+
+  /** Faceted search over a DENORMALIZED-facets index (`writeIndex`
+    * with `denormFacets = true`): the matched postings already carry
+    * the facet columns, so decoration needs NO forward table and NO
+    * join — one doc_id-keyed dedup (a doc matching k query terms
+    * appears k times) and a map-side-partial facet aggregation. The
+    * trade against `facetCounts`' forward shape is index bytes (each
+    * facet string repeats per distinct term of its doc) vs one fewer
+    * table and one fewer join — measured head-to-head on the paired
+    * ladder in ProfileR13Facets; the adoption decision is recorded in
+    * ARCHITECTURE.
+    */
+  def facetCountsDenorm(postings: DataFrame, terms: Seq[String], facetCols: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "faceted search needs at least one term")
+    require(facetCols.nonEmpty, "faceted search needs at least one facet column")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val termsDf = terms.distinct
+      .toDF("q_term")
+      .select(Hashing.hash60(col("q_term")).as("term_h"), col("q_term"))
+    postings
+      .filter(termHashPrune(terms.distinct))
+      .join(broadcast(termsDf), Seq("term_h"))
+      .filter(col("term") === col("q_term")) // 60-bit collision guard
+      .select(col("doc_id") +: facetCols.map(col): _*)
+      .dropDuplicates("doc_id")
       .groupBy(facetCols.map(col): _*)
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(facetCols.map(col): _*)

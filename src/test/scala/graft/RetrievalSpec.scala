@@ -962,4 +962,56 @@ class RetrievalSpec extends SparkTestBase {
       assert(overlap >= k / 2, "surrogate and classic orderings should broadly agree on this corpus")
     } finally Postings.dropIndex(spark, "t_cls_a")
   }
+
+  test("denormalized-facets index: facet counts equal the forward-table shape and full scan; appends keep parity") {
+    val dirA = Files.createTempDirectory("graft_dnf").toString
+    val docs = Seq(
+      (1L, "spark merge join spark", "en", "web"),
+      (2L, "hash table scan row", "de", "web"),
+      (3L, "spark spark filter sort merge", "en", "book"),
+      (4L, "merge row spark merge", "fr", "web"),
+      (5L, "vector merge spark table", "en", "book"))
+    val extra = Seq((10L, "spark merge vector", "de", "book"))
+    try {
+      Postings.writeIndex(
+        docs.toDF("doc_id", "text", "lang", "source"), "doc_id", "text", "t_dnf_a", dirA,
+        buckets = 4, metaCols = Seq("lang", "source"), denormFacets = true)
+      def denorm() = Postings
+        .facetCountsDenorm(Postings.postingsTable(spark, "t_dnf_a"), Seq("spark", "merge"), Seq("lang", "source"))
+        .as[(String, String, Long)].collect().toSeq
+      def fwd() = Postings
+        .facetCounts(
+          Postings.postingsTable(spark, "t_dnf_a"), Postings.forwardTable(spark, "t_dnf_a"),
+          Seq("spark", "merge"), Seq("lang", "source"))
+        .as[(String, String, Long)].collect().toSeq
+      def scan(rows: Seq[(Long, String, String, String)]) = rows
+        .filter(r => r._2.split("\\s+").exists(t => t == "spark" || t == "merge"))
+        .groupBy(r => (r._3, r._4)).map { case ((l, sc), g) => (l, sc, g.size.toLong) }
+        .toSeq.sorted
+      assert(denorm() == fwd() && denorm() == scan(docs.map(d => (d._1, d._2, d._3, d._4))) && denorm().nonEmpty,
+        "denormalized facet counts diverged")
+      // bm25 over the widened postings is unchanged (extra columns are
+      // invisible to the scoring projection)
+      val top = Postings.bm25TopK(
+        Postings.postingsTable(spark, "t_dnf_a"), Postings.statsTable(spark, "t_dnf_a"),
+        Seq("spark", "merge"), 10)
+      assert(top.count() > 0)
+      // append infers the denorm columns from the live schema
+      Postings.appendBatch(
+        extra.toDF("doc_id", "text", "lang", "source"), "doc_id", "text", "t_dnf_a", batchId = 1L)
+      assert(denorm() == fwd() && denorm() == scan((docs ++ extra).map(d => (d._1, d._2, d._3, d._4))),
+        "denorm/forward parity broke after an append")
+      // deletion + compaction keep the widened schema consistent
+      Postings.deleteBatch(
+        docs.filter(_._1 == 3L).toDF("doc_id", "text", "lang", "source"),
+        "doc_id", "text", "t_dnf_a", batchId = 2L)
+      def denormLive() = Postings
+        .facetCountsDenorm(Postings.livePostings(spark, "t_dnf_a"), Seq("spark", "merge"), Seq("lang", "source"))
+        .as[(String, String, Long)].collect().toSeq
+      val survivors = (docs.filterNot(_._1 == 3L) ++ extra).map(d => (d._1, d._2, d._3, d._4))
+      assert(denormLive() == scan(survivors), "denorm facets saw a deleted doc")
+      Postings.compactIndex(spark, "t_dnf_a")
+      assert(denorm() == scan(survivors), "denorm facets wrong after delete-then-compact")
+    } finally Postings.dropIndex(spark, "t_dnf_a")
+  }
 }
