@@ -803,18 +803,48 @@ object SearchQueries {
       t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", name, path, buckets = 8)
     graft.similarity.Knn.appendIvfBatch(
       t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name)
-    val idx = graft.similarity.Knn.ivfTable(s, name) // (cell, n_id, nv, nn)
-    val qs = idx
-      .filter(col("n_id") < 5)
-      .select(col("n_id").as("q_id"), col("nv").as("qv"), col("nn").as("qn"), col("cell"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    qs.join(idx, Seq("cell"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos", graft.similarity.Knn.dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
+    // the PRUNED production read (round 13): the 5-query batch assigns
+    // under the frozen model and pushes its literal cell IN into the
+    // bucketed scan — scan cost tracks the queried cells, never the
+    // index (DedupKnnSpec plan assert; assignment and norms recompute
+    // the identical IEEE trees the index stored, so the oracle is
+    // unchanged from the unpruned self-join form)
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF vector deletion AT THE GATE (the embedding twin of d64's
+    * lifecycle): build the persisted IVF index on the even half under
+    * the frozen 8-centroid model, append the odd half (committed),
+    * DELETE every vector with vec_id % 9 == 2 (`Knn.deleteIvfBatch` —
+    * tombstones anti-joined by the pruned read), and answer the
+    * 5-query top-k from the live view. The oracle is e04's full-scan
+    * SQL restricted to SURVIVING candidates (queries may still be
+    * deleted vectors — you can search WITH any vector; you just can't
+    * retrieve one), blind to the build/append/delete history.
+    */
+  val e11_ivf_delete: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_ivfdel_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/e11_ivf_delete_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    graft.similarity.Knn.writeIvfIndex(
+      t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", name, path, buckets = 8)
+    graft.similarity.Knn.appendIvfBatch(
+      t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name, batchId = 1L)
+    graft.similarity.Knn.deleteIvfBatch(
+      t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", name, batchId = 2L)
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
       .orderBy(col("q_id"), col("rank"))
   }
 
@@ -845,6 +875,7 @@ object SearchQueries {
     "d65_classic_bm25" -> d65_classic_bm25,
     "d66_faceted_denorm" -> d66_faceted_denorm,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
+    "e11_ivf_delete" -> e11_ivf_delete,
   )
 
   /** Classic-mode oracle: the same full-scan template with
@@ -963,6 +994,13 @@ object SearchQueries {
     // d66: identical facet semantics to d60 — same full-scan oracle;
     // only the index-side shape (denormalized, join-free) differs
     "d66_faceted_denorm" -> oraclesBase("d60_faceted_search"),
+    // e11: e04's oracle restricted to SURVIVING candidates — the
+    // tombstoned index must answer exactly like a corpus that never
+    // contained the deleted vectors (the frozen model still quantizes
+    // with all 8 original centroids; queries may be deleted vectors)
+    "e11_ivf_delete" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
     // d63: ranks 11-20 of d47's full-scan ranking — the keyset cursor
     // lands on the identical cut because the order is a strict total
     // order over bit-exact doubles

@@ -218,6 +218,7 @@ object Knn {
   private def ivfTableName(name: String)     = s"${name}_ivf"
   private def centsTableName(name: String)   = s"${name}_ivfcents"
   private def ivfMarkersTableName(name: String) = s"${name}_ivfmarkers"
+  private def ivfTombsTableName(name: String)   = s"${name}_ivftombs"
 
   /** Persist the IVF index — the posting-index contract applied to
     * embeddings: corpus vectors BUCKETED by their primary centroid
@@ -248,6 +249,12 @@ object Knn {
     corpus.sparkSession.range(0).select(col("id").as("batch_id"))
       .write.mode("overwrite").option("path", s"$path/ivfmarkers")
       .saveAsTable(ivfMarkersTableName(name))
+    // empty tombstone set — vector deletion, same contract as the
+    // posting index's (anti-joined by reads, dropped at compaction)
+    corpus.sparkSession.range(0)
+      .select(col("id").as("vec_id"), col("id").as("batch_id"))
+      .write.mode("overwrite").option("path", s"$path/ivftombs")
+      .saveAsTable(ivfTombsTableName(name))
   }
 
   /** Append new vectors under the frozen model: own bucket files per
@@ -301,6 +308,52 @@ object Knn {
       }
   }
 
+  /** Vector DELETION — the IVF twin of `Postings.deleteBatch`
+    * (curation removes contaminated/redacted docs' vectors exactly as
+    * often as their text): tombstone rows `(vec_id, batch_id)` that
+    * `liveIvf` (and so `ivfTopK`) anti-joins; physical drop happens at
+    * `compactIvfIndex`. No stats adjustment exists to make — cosine is
+    * per-pair, the index carries no corpus-level scoring state — so
+    * deletion is pure set semantics. Marker-LAST commit discipline via
+    * the shared ivfmarkers log: a replayed delete duplicates tombstone
+    * rows (harmless under anti-join), never half-applies. The FROZEN
+    * centroid model is deliberately untouched — centroids are the
+    * model, not corpus rows; a deleted vector that seeded a centroid
+    * keeps quantizing (re-training is an explicit rebuild).
+    */
+  def deleteIvfBatch(
+      ids: DataFrame,
+      idCol: String,
+      name: String,
+      batchId: Long = -1L): Unit = {
+    val spark = ids.sparkSession
+    require(
+      spark.catalog.tableExists(ivfTombsTableName(name)),
+      s"IVF index $name has no tombstone table — rebuild with writeIvfIndex before deletes")
+    if (batchId >= 0L &&
+      !spark.table(ivfMarkersTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
+    ids
+      .select(col(idCol).cast("long").as("vec_id"), lit(batchId).as("batch_id"))
+      .write.mode("append").insertInto(ivfTombsTableName(name))
+    if (batchId >= 0L)
+      spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
+        .write.mode("append").insertInto(ivfMarkersTableName(name))
+  }
+
+  /** The IVF index with tombstoned vectors filtered out — what every
+    * query path reads. Empty-set fast path; broadcast anti-join above
+    * the bucketed scan otherwise (no index-side exchange). Missing
+    * table = pre-deletion layout, read as-is.
+    */
+  def liveIvf(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    val df = ivfTable(spark, name)
+    if (!spark.catalog.tableExists(ivfTombsTableName(name))) df
+    else {
+      val t = spark.table(ivfTombsTableName(name)).select(col("vec_id").as("n_id"))
+      if (t.isEmpty) df else df.join(broadcast(t), Seq("n_id"), "left_anti")
+    }
+  }
+
   /** Pruned top-k read path over the persisted IVF index — the vector
     * twin of the posting index's `termHashPrune` design (VERDICT r12
     * #6 ladder work exposed the gap): an interactive query batch is
@@ -337,7 +390,7 @@ object Knn {
       "q_id")
       .select(col("q_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
     val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
-    val idx = ivfTable(spark, name).filter(col("cell").isin(cells: _*))
+    val idx = liveIvf(spark, name).filter(col("cell").isin(cells: _*))
     val scored = broadcast(q)
       .join(idx, Seq("cell"))
       .filter(if (excludeSelf) col("n_id") =!= col("q_id") else lit(true))
@@ -360,8 +413,34 @@ object Knn {
     * rewritten (the model IS the index's identity; the markers are
     * the replay-idempotence commit log).
     */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit =
-    graft.sources.Layout.compact(spark, ivfTableName(name))
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    // tombstone-drop rides the rewrite, then the set clears LAST — the
+    // same crash-ordering as Postings.compactIndex (a crash before the
+    // clear leaves tombstones live and reads still correct)
+    val tombsLive = spark.catalog.tableExists(ivfTombsTableName(name)) &&
+      !spark.table(ivfTombsTableName(name)).isEmpty
+    val dropTombstoned: DataFrame => DataFrame =
+      if (!tombsLive) identity
+      else
+        df =>
+          df.join(
+            broadcast(spark.table(ivfTombsTableName(name)).select(col("vec_id").as("n_id"))),
+            Seq("n_id"),
+            "left_anti")
+            .select(df.columns.map(col).toSeq: _*) // restore column order after the USING join
+    graft.sources.Layout.compact(spark, ivfTableName(name), dropTombstoned)
+    if (tombsLive) {
+      graft.sources.Layout.recoverDanglingSwap(spark, ivfTombsTableName(name))
+      val table = ivfTombsTableName(name)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      graft.sources.Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+        spark.range(0)
+          .select(col("id").as("vec_id"), col("id").as("batch_id"))
+          .write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+      }
+    }
+  }
 
   def ivfTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(ivfTableName(name))
@@ -372,6 +451,7 @@ object Knn {
     spark.sql(s"DROP TABLE IF EXISTS ${ivfTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${centsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${ivfMarkersTableName(name)}")
+    spark.sql(s"DROP TABLE IF EXISTS ${ivfTombsTableName(name)}")
   }
 
   /** Streaming embedding near-dup matcher: arriving vectors matched

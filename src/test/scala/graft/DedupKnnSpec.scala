@@ -760,4 +760,49 @@ class DedupKnnSpec extends SparkTestBase {
         s"cell bucket pruning not applied (selected buckets: $counts, query cells: $nCells)")
     } finally Knn.dropIvfIndex(spark, "t_ivfq_a")
   }
+
+  test("IVF deletion: tombstoned vectors vanish from reads; delete-then-compact == fresh survivor build; re-add works") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfd").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfd").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def topK(n: String) = Knn.ivfTopK(spark, n, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    try {
+      Knn.writeIvfIndex(emb, cents, "vec_id", "embedding", "t_ivfd_a", dirA, buckets = 4)
+      // fresh survivor build: same frozen model, corpus minus the deleted set
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 9 =!= 2), cents, "vec_id", "embedding", "t_ivfd_b", dirB, buckets = 4)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", "t_ivfd_a", batchId = 1L)
+      assert(topK("t_ivfd_a") == topK("t_ivfd_b") && topK("t_ivfd_a").nonEmpty,
+        "tombstoned IVF reads diverged from a fresh survivor build")
+      assert(!topK("t_ivfd_a").exists(r => r._3 % 9 == 2), "a deleted vector still retrieves")
+      // replay of the committed delete batch is a no-op
+      val tombsBefore = spark.table("t_ivfd_a_ivftombs").count()
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", "t_ivfd_a", batchId = 1L)
+      assert(spark.table("t_ivfd_a_ivftombs").count() == tombsBefore)
+      // compaction physically drops the tombstoned rows and clears the set
+      Knn.compactIvfIndex(spark, "t_ivfd_a")
+      assert(Knn.ivfTable(spark, "t_ivfd_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSet ==
+        Knn.ivfTable(spark, "t_ivfd_b").select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSet,
+        "compaction left tombstoned vectors in the files")
+      assert(spark.table("t_ivfd_a_ivftombs").count() == 0, "compaction must clear the tombstone set")
+      assert(topK("t_ivfd_a") == topK("t_ivfd_b"), "answers changed after delete-then-compact")
+      // after the clear, a deleted vector may re-ingest
+      Knn.appendIvfBatch(
+        emb.filter(col("vec_id") === 2), "vec_id", "embedding", "t_ivfd_a", batchId = 5L)
+      assert(Knn.liveIvf(spark, "t_ivfd_a").filter(col("n_id") === 2).count() == 1)
+    } finally {
+      Knn.dropIvfIndex(spark, "t_ivfd_a")
+      Knn.dropIvfIndex(spark, "t_ivfd_b")
+    }
+  }
 }

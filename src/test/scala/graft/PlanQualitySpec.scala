@@ -22,6 +22,13 @@ class PlanQualitySpec extends SparkTestBase {
     "e07_kmeans_step"    -> Set("BroadcastNestedLoopJoin"),
     "e08_semdedup"       -> Set("BroadcastNestedLoopJoin"),
     "e09_incremental_embed_dedup" -> Set("BroadcastNestedLoopJoin"),
+    // e10 (since the r13 pruned-read switch): the returned ivfTopK plan
+    // includes the query batch's assignment — a broadcast K-row
+    // centroid-model cross join, the same shape as e04/e07; the index
+    // side reads its pruned cell buckets with zero exchange
+    "e10_ann_ivf_indexed" -> Set("BroadcastNestedLoopJoin"),
+    // e11: same pruned ivfTopK read over the tombstoned index
+    "e11_ivf_delete"      -> Set("BroadcastNestedLoopJoin"),
     "d09_embed_neardup"  -> Set("BroadcastNestedLoopJoin"),
     // one-row totals frames cross-joined back (broadcast)
     "d37_temperature_mix" -> Set("BroadcastNestedLoopJoin"),
