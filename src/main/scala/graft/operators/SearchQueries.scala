@@ -395,7 +395,7 @@ object SearchQueries {
     * of the corpus, grow it with two committed `appendBatch` batches
     * (each append adds its own file fragments to every bucket), then
     * COMPACT — one file per bucket, per-bucket sort restored,
-    * dictionary partials merged, stats commit markers untouched
+    * dictionary recounted from survivors, stats commit markers untouched
     * (`Postings.compactIndex`) — and answer from the compacted index.
     * The oracle is full-corpus SQL blind to the build/append/compact
     * history, so a hash match proves the maintenance pass is

@@ -415,12 +415,16 @@ object Postings {
     *    cost grows with K; compaction resets both while preserving the
     *    bucket spec, so every zero-shuffle-join and bucket-pruning
     *    plan property of the original build still holds (spec-pinned).
-    *  - **dictionary** partials merge: the per-batch (term_h, term, df)
-    *    rows sum into one row per term, written globally sorted by
-    *    `term` so prefix resolution prunes row groups by min/max term
-    *    range. `termDfs`/`prefixTerms` answers are unchanged (they sum
-    *    /distinct the partials — merging is that same fold, applied
-    *    once at rest instead of per query).
+    *  - **dictionary** is RECOUNTED from the compacted (surviving)
+    *    postings — the same fold a fresh build runs — into one row per
+    *    term, written globally sorted by `term` so prefix resolution
+    *    prunes row groups by min/max term range. Recounting (rather
+    *    than merging the per-batch partials, the pre-r13 form) is what
+    *    restores exact df after deletions: between a delete and its
+    *    compaction the partials overcount, which is documented-safe
+    *    (stop-term screening is policy; over-resolved prefix/fuzzy
+    *    terms contribute an exact 0.0). With no deletions the recount
+    *    equals the merge.
     *  - **stats** (and the positional marker log) are deliberately NOT
     *    compacted: their per-batch rows are the append-idempotence
     *    commit markers (`appendBatch`/`appendPositionalBatch`);
