@@ -381,7 +381,8 @@ object Knn {
       idCol: String,
       vecCol: String,
       k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      maxCells: Int = 4096): DataFrame = {
     val q = assignCells(
       queries
         .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("v"))
@@ -389,7 +390,16 @@ object Knn {
       ivfCentroids(spark, name),
       "q_id")
       .select(col("q_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
-    val cells = q.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+    // REFUSE (rather than silently degrade) a batch whose cell set is
+    // not driver-collect-sized — the same loud-refusal contract as
+    // prefixTerms/fuzzyTerms. A batch touching more than `maxCells`
+    // cells is a BATCH job (join on cell, no pruning needed), not an
+    // interactive lookup; run it as `liveIvf(...).join(assigned, "cell")`.
+    val cells = q.select(col("cell")).distinct().limit(maxCells + 1)
+      .collect().map(_.getLong(0)).toSeq
+    require(
+      cells.size <= maxCells,
+      s"query batch touches more than $maxCells cells; use a batch cell join instead of ivfTopK")
     val idx = liveIvf(spark, name).filter(col("cell").isin(cells: _*))
     val scored = broadcast(q)
       .join(idx, Seq("cell"))

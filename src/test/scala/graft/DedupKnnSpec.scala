@@ -758,6 +758,11 @@ class DedupKnnSpec extends SparkTestBase {
         f.optionalBucketSet.map(_.cardinality()).getOrElse(f.relation.bucketSpec.get.numBuckets))
       assert(counts.exists(_ <= math.max(nCells, 3)),
         s"cell bucket pruning not applied (selected buckets: $counts, query cells: $nCells)")
+      // a batch touching more cells than the driver-collect bound
+      // REFUSES loudly (the prefixTerms contract), never degrades
+      val err = intercept[IllegalArgumentException](
+        Knn.ivfTopK(spark, "t_ivfq_a", emb, "vec_id", "embedding", k = 5, maxCells = 1).collect())
+      assert(err.getMessage.contains("more than 1 cells"))
     } finally Knn.dropIvfIndex(spark, "t_ivfq_a")
   }
 
