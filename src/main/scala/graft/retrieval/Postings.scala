@@ -251,8 +251,13 @@ object Postings {
       name: String,
       batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
+    // marker spaces are SIGN-separated: appends mark with their
+    // (non-negative) stats row, deletes with their negated one — so an
+    // append stream and a delete stream maintaining the same index can
+    // both use their own zero-based foreachBatch ids without colliding
     if (batchId >= 0L &&
-      !spark.table(statsTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
+      !spark.table(statsTableName(name))
+        .filter(col("batch_id") === batchId && col("n_docs") >= 0).isEmpty) return
     // a batch is small by definition (incremental ingest), so the dict
     // partial simply recomputes the batch-postings lineage — cheaper
     // than caching the frame under the append write (same measurement
@@ -316,10 +321,16 @@ object Postings {
       s"index $name has no tombstone table — rebuild with writeIndex/writePositionalIndex before deletes")
     val hasStats = spark.catalog.tableExists(statsTableName(name))
     if (batchId >= 0L) {
-      val markers =
-        if (hasStats) spark.table(statsTableName(name))
-        else spark.table(tombsTableName(name))
-      if (!markers.filter(col("batch_id") === batchId).isEmpty) return
+      // sign-separated marker space (see appendBatch): a delete's
+      // marker is its NEGATIVE stats row, so a delete stream and an
+      // append stream can share the index with independent batch ids
+      val replayed =
+        if (hasStats)
+          !spark.table(statsTableName(name))
+            .filter(col("batch_id") === batchId && col("n_docs") <= 0).isEmpty
+        else
+          !spark.table(tombsTableName(name)).filter(col("batch_id") === batchId).isEmpty
+      if (replayed) return
     }
     docs
       .filter(col(textCol).isNotNull)
@@ -365,6 +376,32 @@ object Postings {
     notTombstoned(spark, name, positionalTable(spark, name))
   def liveForward(spark: SparkSession, name: String): DataFrame =
     notTombstoned(spark, name, forwardTable(spark, name))
+
+  /** Maintain the index from a DELETION stream — the redaction/
+    * contamination-removal side of `maintainFromStream`: each
+    * micro-batch of doc rows tombstones its ids and appends the
+    * negative stats partial (`deleteBatch`), idempotent under
+    * foreachBatch's at-least-once replay via the sign-separated
+    * marker space, so an append stream and a delete stream can
+    * maintain the same index concurrently with independent batch
+    * ids. Owner-session catalog refreshed per batch (the
+    * cloned-session coherence rule).
+    */
+  def maintainDeletesFromStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val owner = docs.sparkSession
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteBatch(batch, idCol, textCol, name, batchId)
+        Seq(tombsTableName(name), statsTableName(name))
+          .filter(owner.catalog.tableExists)
+          .foreach(owner.catalog.refreshTable)
+      }
+  }
 
   /** Maintain the index from a stream: each micro-batch appends its
     * postings + one batch-tagged partial stats row (idempotent under
@@ -510,9 +547,27 @@ object Postings {
     * no-op, above it it runs the full `compactIndex` swap. Returns
     * whether a compaction ran, so callers can log/alert on cadence.
     */
-  def compactIfFragmented(spark: SparkSession, name: String, maxFilesPerBucket: Int): Boolean = {
+  def compactIfFragmented(spark: SparkSession, name: String, maxFilesPerBucket: Int): Boolean =
+    compactIfFragmented(spark, name, maxFilesPerBucket, Long.MaxValue)
+
+  /** Policy form with a TOMBSTONE-pressure trigger: deletes accumulate
+    * read-side cost (every query anti-joins the set, which must stay
+    * broadcast-sized) and dead bytes; above `maxTombstones` distinct
+    * deleted docs the policy compacts even with no fragmentation, which
+    * physically drops them and clears the set. This is where the
+    * "tombstone set is slim by contract" guarantee is actually
+    * enforced, not just documented.
+    */
+  def compactIfFragmented(
+      spark: SparkSession,
+      name: String,
+      maxFilesPerBucket: Int,
+      maxTombstones: Long): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
-    val fragmented = Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
+    val tombHeavy = maxTombstones < Long.MaxValue &&
+      spark.catalog.tableExists(tombsTableName(name)) &&
+      spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count() > maxTombstones
+    val fragmented = tombHeavy || Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
       .filter(spark.catalog.tableExists)
       .exists { table =>
         val meta = spark.sessionState.catalog.getTableMetadata(

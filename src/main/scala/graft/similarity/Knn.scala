@@ -412,6 +412,40 @@ object Knn {
       .select(col("q_id"), col("cell"), col("n_id"), col("rank"), col("cos"))
   }
 
+  /** Compaction POLICY for the IVF index — the `compactIfFragmented`
+    * twin: compacts when cell buckets have fragmented past
+    * `maxFilesPerBucket` appends OR when more than `maxTombstones`
+    * distinct vectors are tombstoned (the read-side anti-join set must
+    * stay broadcast-sized — the policy is where that contract is
+    * enforced). Returns whether a compaction ran.
+    */
+  def compactIvfIfFragmented(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      maxFilesPerBucket: Int,
+      maxTombstones: Long = Long.MaxValue): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val tombHeavy = maxTombstones < Long.MaxValue &&
+      spark.catalog.tableExists(ivfTombsTableName(name)) &&
+      spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count() > maxTombstones
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(ivfTableName(name)))
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(1)
+    val dir = new org.apache.hadoop.fs.Path(meta.location)
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (!fs.exists(dir)) 0
+      else {
+        val it = fs.listFiles(dir, true)
+        var n  = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+    val run = tombHeavy || (files + buckets - 1) / buckets > maxFilesPerBucket
+    if (run) compactIvfIndex(spark, name)
+    run
+  }
+
   /** Compact the IVF index after many incremental appends — the same
     * maintenance pass as `Postings.compactIndex`, for the same reason:
     * each append adds its own file set to every cell bucket, and the

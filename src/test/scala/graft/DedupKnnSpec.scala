@@ -810,4 +810,30 @@ class DedupKnnSpec extends SparkTestBase {
       Knn.dropIvfIndex(spark, "t_ivfd_b")
     }
   }
+
+  test("IVF compaction policy: fragment and tombstone triggers, no-op at rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfp").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 3 === 0), cents, "vec_id", "embedding", "t_ivfp_a", dir, buckets = 4)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", "t_ivfp_a", batchId = 1L)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 3 === 2), "vec_id", "embedding", "t_ivfp_a", batchId = 2L)
+      // fragmented past the cap: compacts
+      assert(Knn.compactIvfIfFragmented(spark, "t_ivfp_a", maxFilesPerBucket = 2))
+      // at rest: no-op
+      assert(!Knn.compactIvfIfFragmented(spark, "t_ivfp_a", maxFilesPerBucket = 2))
+      // tombstone pressure alone triggers (and clears the set)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", "t_ivfp_a", batchId = 3L)
+      assert(Knn.compactIvfIfFragmented(spark, "t_ivfp_a", maxFilesPerBucket = 8, maxTombstones = 1))
+      assert(spark.table("t_ivfp_a_ivftombs").count() == 0)
+      assert(!Knn.compactIvfIfFragmented(spark, "t_ivfp_a", maxFilesPerBucket = 8, maxTombstones = 1))
+    } finally Knn.dropIvfIndex(spark, "t_ivfp_a")
+  }
 }

@@ -1014,4 +1014,23 @@ class RetrievalSpec extends SparkTestBase {
       assert(denorm() == scan(survivors), "denorm facets wrong after delete-then-compact")
     } finally Postings.dropIndex(spark, "t_dnf_a")
   }
+
+  test("compaction policy: tombstone pressure triggers a compact even without fragmentation") {
+    val dir = Files.createTempDirectory("graft_tpol").toString
+    try {
+      Postings.writeIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_tpol_a", dir, buckets = 4)
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_tpol_a", batchId = 1L)
+      // no fragmentation (single build), tombstones under the cap: no-op
+      assert(!Postings.compactIfFragmented(spark, "t_tpol_a", maxFilesPerBucket = 8, maxTombstones = 10))
+      assert(Postings.tombstones(spark, "t_tpol_a").count() == 2)
+      // cap below the live tombstone count: the policy compacts and clears
+      assert(Postings.compactIfFragmented(spark, "t_tpol_a", maxFilesPerBucket = 8, maxTombstones = 1))
+      assert(Postings.tombstones(spark, "t_tpol_a").count() == 0)
+      // idempotent at rest
+      assert(!Postings.compactIfFragmented(spark, "t_tpol_a", maxFilesPerBucket = 8, maxTombstones = 1))
+    } finally Postings.dropIndex(spark, "t_tpol_a")
+  }
 }

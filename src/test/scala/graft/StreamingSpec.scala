@@ -544,4 +544,55 @@ class StreamingSpec extends SparkTestBase {
       Postings.dropIndex(spark, "t_sfwd_b")
     }
   }
+
+  test("streaming DELETION maintenance: tombstone micro-batches; append+delete streams share the index without id collisions") {
+    import graft.retrieval.Postings
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, "spark merge join spark"),
+      (2L, "hash table scan row"),
+      (3L, "spark spark filter sort"),
+      (4L, "merge row spark merge"),
+      (5L, "vector merge spark table"))
+    val dead = Seq(base(2), base(4)) // docs 3 and 5
+    val live = base.filterNot(d => Set(3L, 5L)(d._1))
+    val dir  = java.nio.file.Files.createTempDirectory("graft_sdel").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_sdel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sdel_ckpt").toString
+    Postings.writeIndex(base.toDF("doc_id", "text"), "doc_id", "text", "t_sdel_a", dir, buckets = 4)
+    Postings.writeIndex(live.toDF("doc_id", "text"), "doc_id", "text", "t_sdel_b", dir2, buckets = 4)
+    val stream = MemoryStream[(Long, String)]
+    val q = Postings
+      .maintainDeletesFromStream(stream.toDF().toDF("doc_id", "text"), "doc_id", "text", "t_sdel_a")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      stream.addData(Seq(dead.head)); q.processAllAvailable()
+      stream.addData(Seq(dead(1)));   q.processAllAvailable()
+      def top(name: String) = Postings
+        .bm25TopK(Postings.livePostings(spark, name), Postings.statsTable(spark, name),
+          Seq("spark", "merge"), 10)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(top("t_sdel_a") == top("t_sdel_b") && top("t_sdel_a").nonEmpty,
+        "stream-deleted index diverged from a fresh build over survivors")
+      // replay of a committed delete batch id is a whole-batch no-op
+      val tombs = Postings.tombstones(spark, "t_sdel_a").count()
+      Postings.deleteBatch(Seq(dead.head).toDF("doc_id", "text"), "doc_id", "text", "t_sdel_a", batchId = 0L)
+      assert(Postings.tombstones(spark, "t_sdel_a").count() == tombs)
+      // SIGN-SEPARATED marker spaces: an APPEND with the same batch id 0
+      // (a second stream's own zero-based ids) must still apply
+      val extra = Seq((10L, "spark merge vector"))
+      Postings.appendBatch(extra.toDF("doc_id", "text"), "doc_id", "text", "t_sdel_a", batchId = 0L)
+      Postings.appendBatch(extra.toDF("doc_id", "text"), "doc_id", "text", "t_sdel_b", batchId = 0L)
+      assert(top("t_sdel_a") == top("t_sdel_b") && top("t_sdel_a").exists(_._1 == 10L),
+        "append with a batch id already used by a DELETE stream was wrongly skipped")
+      // and the delete replay STILL no-ops after that append
+      Postings.deleteBatch(Seq(dead.head).toDF("doc_id", "text"), "doc_id", "text", "t_sdel_a", batchId = 0L)
+      assert(top("t_sdel_a") == top("t_sdel_b"))
+    } finally {
+      q.stop()
+      Postings.dropIndex(spark, "t_sdel_a")
+      Postings.dropIndex(spark, "t_sdel_b")
+    }
+  }
 }
