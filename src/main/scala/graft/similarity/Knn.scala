@@ -382,14 +382,25 @@ object Knn {
       vecCol: String,
       k: Int,
       excludeSelf: Boolean = true,
-      maxCells: Int = 4096): DataFrame = {
-    val q = assignCells(
-      queries
-        .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("v"))
-        .withColumn("nrm", norm(col("v"))),
-      ivfCentroids(spark, name),
-      "q_id")
-      .select(col("q_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
+      maxCells: Int = 4096,
+      probes: Int = 1): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    val base = queries
+      .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents = ivfCentroids(spark, name)
+    // probes > 1 is the recall knob (a query near a cell boundary also
+    // searches its runner-up cells); each corpus vector lives in
+    // exactly ONE cell, so multi-probe candidates never duplicate and
+    // probes == K degenerates to the exact brute ranking (spec-pinned)
+    val q =
+      if (probes <= 1)
+        assignCells(base, cents, "q_id")
+          .select(col("q_id"), col("cell"), col("v").as("qv"), col("nrm").as("qn"))
+      else
+        assignCellsMulti(base, cents, "q_id", probes)
+          .select(col("q_id"), col("cell"))
+          .join(base.select(col("q_id"), col("v").as("qv"), col("nrm").as("qn")), Seq("q_id"))
     // REFUSE (rather than silently degrade) a batch whose cell set is
     // not driver-collect-sized — the same loud-refusal contract as
     // prefixTerms/fuzzyTerms. A batch touching more than `maxCells`

@@ -763,6 +763,19 @@ class DedupKnnSpec extends SparkTestBase {
       val err = intercept[IllegalArgumentException](
         Knn.ivfTopK(spark, "t_ivfq_a", emb, "vec_id", "embedding", k = 5, maxCells = 1).collect())
       assert(err.getMessage.contains("more than 1 cells"))
+      // multi-probe recall knob: probes == K (all 8 centroid cells)
+      // degenerates to the EXACT brute ranking over the index corpus
+      val full = Knn.ivfTopK(spark, "t_ivfq_a", queries, "vec_id", "embedding", k = 5, probes = 8)
+        .select(col("q_id"), col("n_id"), col("rank"), col("cos"))
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      val brute = Knn.bruteTopK(queries, emb, "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(full == brute && full.nonEmpty,
+        "ivfTopK at probes == K must equal the exact brute ranking")
+      // probes=2 result is a superset-quality middle ground: each
+      // query's hits are a subset of brute's candidate set by design
+      val p2 = Knn.ivfTopK(spark, "t_ivfq_a", queries, "vec_id", "embedding", k = 5, probes = 2)
+      assert(p2.count() > 0)
     } finally Knn.dropIvfIndex(spark, "t_ivfq_a")
   }
 
