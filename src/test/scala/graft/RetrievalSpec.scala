@@ -1033,4 +1033,51 @@ class RetrievalSpec extends SparkTestBase {
       assert(!Postings.compactIfFragmented(spark, "t_tpol_a", maxFilesPerBucket = 8, maxTombstones = 1))
     } finally Postings.dropIndex(spark, "t_tpol_a")
   }
+
+  test("delete crash window: replay after a torn delete duplicates tombstones, never loses the stats adjustment") {
+    val dirA = Files.createTempDirectory("graft_torn").toString
+    val dirB = Files.createTempDirectory("graft_torn").toString
+    try {
+      Postings.writeIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_torn_a", dirA, buckets = 4)
+      Postings.writeIndex(
+        delLive.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_torn_b", dirB, buckets = 4)
+      // simulate a crash BETWEEN the tombstone append and the stats
+      // marker: the tombstone rows landed, the (negative, marker)
+      // stats row did not
+      delDead.toSeq.map(id => (id, 7L)).toDF("doc_id", "batch_id")
+        .write.mode("append").insertInto("t_torn_a_tombs")
+      // intermediate state is the documented one: reads already
+      // exclude the docs (tombstones are live) ...
+      def ids(n: String) = Postings
+        .bm25TopK(Postings.livePostings(spark, n), Postings.statsTable(spark, n), Seq("spark", "merge"), 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(!ids("t_torn_a").exists(delDead), "torn delete must already hide the docs")
+      // ... and the full REPLAY of the batch completes it: tombstone
+      // rows duplicate (harmless under anti-join), the stats
+      // adjustment applies exactly once
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_torn_a", batchId = 7L)
+      assert(Postings.tombstones(spark, "t_torn_a").count() == 4, "replay should duplicate tombstone rows")
+      def top(n: String) = Postings
+        .bm25TopK(Postings.livePostings(spark, n), Postings.statsTable(spark, n), Seq("spark", "merge"), 10)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(top("t_torn_a") == top("t_torn_b") && top("t_torn_a").nonEmpty,
+        "after the replay, scores must be survivor-exact")
+      // a SECOND replay is now a no-op (marker present)
+      val stats = Postings.statsTable(spark, "t_torn_a").count()
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_torn_a", batchId = 7L)
+      assert(Postings.statsTable(spark, "t_torn_a").count() == stats)
+      // compaction absorbs the duplicated tombstones cleanly
+      Postings.compactIndex(spark, "t_torn_a")
+      assert(Postings.tombstones(spark, "t_torn_a").count() == 0)
+      assert(top("t_torn_a") == top("t_torn_b"))
+    } finally {
+      Postings.dropIndex(spark, "t_torn_a")
+      Postings.dropIndex(spark, "t_torn_b")
+    }
+  }
 }
