@@ -714,6 +714,28 @@ object SearchQueries {
       Seq("merge", "hash", "vector"), 50)
   }
 
+  /** Deletion on a POSITIONAL-only index at the gate — the branch d64
+    * cannot exercise: with no stats table, the tombstone rows
+    * themselves carry the replay marker (`deleteBatch`'s tombs-as-
+    * marker path), and the phrase reader's adjacency arithmetic runs
+    * over the anti-joined live view. Oracle = d49's overlap-correct
+    * full-scan phrase SQL over the SURVIVING corpus only.
+    */
+  val d67_phrase_delete: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_phrdel_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d67_phrase_delete_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writePositionalIndex(
+      t.documents, "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 5 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.phraseTopK(
+      graft.retrieval.Postings.livePositional(s, name), Seq("table", "hash"), 50)
+  }
+
   /** Faceted search over the DENORMALIZED-facets index — the shape the
     * round-13 A/B ADOPTED for facet-dominated workloads
     * (ProfileR13Facets, paired m20/m80: 2.5–2.7× faster than the
@@ -874,6 +896,7 @@ object SearchQueries {
     "d64_index_delete" -> d64_index_delete,
     "d65_classic_bm25" -> d65_classic_bm25,
     "d66_faceted_denorm" -> d66_faceted_denorm,
+    "d67_phrase_delete" -> d67_phrase_delete,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
   )
@@ -994,6 +1017,12 @@ object SearchQueries {
     // d66: identical facet semantics to d60 — same full-scan oracle;
     // only the index-side shape (denormalized, join-free) differs
     "d66_faceted_denorm" -> oraclesBase("d60_faceted_search"),
+    // d67: d49's overlap-correct phrase SQL over the SURVIVING corpus
+    // only — a hash match proves positional tombstone deletion (the
+    // tombs-as-marker branch) == hard deletion for phrase semantics
+    "d67_phrase_delete" -> oraclesBase("d49_phrase_search").replace(
+      "FROM documents WHERE text IS NOT NULL",
+      "FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 1"),
     // e11: e04's oracle restricted to SURVIVING candidates — the
     // tombstoned index must answer exactly like a corpus that never
     // contained the deleted vectors (the frozen model still quantizes
