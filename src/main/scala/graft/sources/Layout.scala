@@ -119,11 +119,20 @@ object Layout {
   /** Recover from a crash inside `swapGeneration`'s DROP→RENAME window:
     * the scratch table exists (fully written next generation) but the
     * live name is gone — rename the scratch into place and drop the
-    * orphaned previous-generation directory. A no-op in every other
-    * state (live table present, or no scratch). Returns whether a
-    * recovery ran. `compact` (and so every index compaction) calls
-    * this first, so the window self-heals on the next maintenance
-    * pass instead of requiring manual re-registration.
+    * orphaned previous-generation directory. Returns whether that
+    * rename-recovery ran. `compact` (and so every index compaction)
+    * calls this first, so the window self-heals on the next
+    * maintenance pass instead of requiring manual re-registration.
+    *
+    * Also heals the OTHER crash window (RENAME done, old-generation
+    * delete not): when the live table exists but the previous
+    * generation of its location is still on disk, that directory is a
+    * leaked orphan — no table points at it (the live table never
+    * points at prevGen of its own location, and swaps only ever move
+    * forward) — so it is deleted here. Without this, a crash between
+    * `swapGeneration`'s RENAME and `fs.delete(oldDir)` leaked the old
+    * generation permanently (the rename-recovery branch only fires
+    * when the live name is missing).
     */
   private[graft] def recoverDanglingSwap(spark: SparkSession, tableName: String): Boolean = {
     val scratch = s"${tableName}_compacting"
@@ -135,14 +144,21 @@ object Layout {
       spark.sql(s"ALTER TABLE $scratch RENAME TO $tableName")
       // the crash happened before the old generation was deleted —
       // remove it now (prevGen of the scratch's own location)
-      prevGen(meta.location.toString).foreach { old =>
-        val p  = new org.apache.hadoop.fs.Path(old)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-      }
+      deleteDir(spark, prevGen(meta.location.toString))
+    } else if (spark.catalog.tableExists(tableName)) {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      deleteDir(spark, prevGen(meta.location.toString))
     }
     recover
   }
+
+  private def deleteDir(spark: SparkSession, dir: Option[String]): Unit =
+    dir.foreach { old =>
+      val p  = new org.apache.hadoop.fs.Path(old)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
 
   /** Write-new/swap/delete-old for a table rewrite: `writeNew` produces
     * the next generation under a scratch table name at the next-gen

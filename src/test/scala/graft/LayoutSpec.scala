@@ -220,4 +220,30 @@ class LayoutSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_swp_compacting")
     }
   }
+
+  test("recoverDanglingSwap heals the RENAME->delete crash window (leaked previous generation)") {
+    val dir = Files.createTempDirectory("graft_swl").toString
+    val v1 = (1L to 100L).map(i => (i, s"a$i")).toDF("key", "x")
+    Layout.bucketize(v1, "b_swl", s"$dir/t", "key", 4)
+    try {
+      // one completed compact: live location moves to …/t.g1, …/t deleted
+      Layout.compact(spark, "b_swl")
+      val liveLoc = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("b_swl")).location.toString
+      assert(liveLoc.endsWith(".g1"))
+      // simulate a crash BETWEEN swapGeneration's RENAME and its
+      // fs.delete(oldDir): resurrect the previous generation directory
+      val prev = new java.io.File(new java.net.URI(Layout.prevGen(liveLoc).get))
+      prev.mkdirs()
+      java.nio.file.Files.writeString(prev.toPath.resolve("stale.parquet"), "x")
+      // the next maintenance pass heals the leak (live table untouched)
+      Layout.compact(spark, "b_swl")
+      assert(!prev.exists, "leaked previous-generation directory must be removed")
+      assert(spark.table("b_swl").as[(Long, String)].collect().toSet ==
+        v1.as[(Long, String)].collect().toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_swl")
+      spark.sql("DROP TABLE IF EXISTS b_swl_compacting")
+    }
+  }
 }
