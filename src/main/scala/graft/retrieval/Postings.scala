@@ -218,15 +218,11 @@ object Postings {
   }
 
   /** (Re)create the index's EMPTY tombstone table — a fresh build has
-    * no deleted docs. Schema `(doc_id, batch_id)`: the doc ids every
-    * read path anti-joins, tagged by the delete batch that wrote them
-    * (replay idempotence for positional-only indexes, which have no
-    * stats table to carry the marker).
+    * no deleted docs (shared lifecycle machinery; see
+    * `graft.sources.IndexLifecycle`).
     */
   private def writeEmptyTombs(spark: SparkSession, name: String, path: String): Unit =
-    spark.range(0)
-      .select(col("id").as("doc_id"), col("id").as("batch_id"))
-      .write.mode("overwrite").option("path", s"$path/tombs").saveAsTable(tombsTableName(name))
+    graft.sources.IndexLifecycle.writeEmptyTombs(spark, tombsTableName(name), s"$path/tombs", "doc_id")
 
   /** Incremental maintenance: append a batch's postings (own bucket
     * files under the existing spec — no rewrite, co-partitioning
@@ -252,12 +248,29 @@ object Postings {
       batchId: Long = -1L): Unit = {
     val spark = docs.sparkSession
     // marker spaces are SIGN-separated: appends mark with their
-    // (non-negative) stats row, deletes with their negated one — so an
-    // append stream and a delete stream maintaining the same index can
-    // both use their own zero-based foreachBatch ids without colliding
+    // (strictly positive) stats row, deletes with their negated one —
+    // so an append stream and a delete stream maintaining the same
+    // index can both use their own zero-based foreachBatch ids without
+    // colliding. Zero belongs to NEITHER side: an empty batch commits
+    // no marker at all (see below), so the check is strict.
     if (batchId >= 0L &&
       !spark.table(statsTableName(name))
-        .filter(col("batch_id") === batchId && col("n_docs") >= 0).isEmpty) return
+        .filter(col("batch_id") === batchId && col("n_docs") > 0).isEmpty) return
+    // caller contract, ENFORCED (was documentation through r13): a doc
+    // whose tombstone is still live cannot re-add — the read anti-join
+    // would hide it while its stats row counts it, silently drifting
+    // every idf and length norm. Compaction clears the set and
+    // re-opens the id.
+    graft.sources.IndexLifecycle.requireNotTombstoned(
+      spark, tombsTableName(name), "doc_id", docs, idCol, s"appendBatch($name)")
+    // the batch's stats are computed FIRST (one tokenize pass, same
+    // longs as statsRow's fold): an EMPTY batch — zero rows or
+    // all-null text — appends nothing and commits NO marker, keeping
+    // the sign-separated marker space disjoint at zero (an n_docs = 0
+    // row would satisfy both sides' replay checks, so a streamed
+    // empty append with id N would block a later delete batch N)
+    val st = statsRow(docs, idCol, textCol, batchId).collect().head
+    if (st.getLong(0) == 0L) return
     // a batch is small by definition (incremental ingest), so the dict
     // partial simply recomputes the batch-postings lineage — cheaper
     // than caching the frame under the append write (same measurement
@@ -278,7 +291,15 @@ object Postings {
         forwardRows(docs, idCol, textCol,
           spark.table(forwardTableName(name)).columns.filterNot(_ == "doc_id").toSeq),
         forwardTableName(name))
-    statsRow(docs, idCol, textCol, batchId).write.mode("append").insertInto(statsTableName(name))
+    // stats row == commit marker, written LAST from the already-
+    // computed literals (marker-first would LOSE a batch on crash;
+    // marker-last can only duplicate one — see the class doc)
+    spark.range(1)
+      .select(
+        lit(st.getLong(0)).as("n_docs"),
+        lit(if (st.isNullAt(1)) null else st.getLong(1)).cast("long").as("sum_dl"),
+        lit(batchId).as("batch_id"))
+      .write.mode("append").insertInto(statsTableName(name))
   }
 
   /** Document DELETION — the curation operation every training-data
@@ -301,13 +322,23 @@ object Postings {
     * batch marker and is written LAST, so a crash mid-delete can only
     * DUPLICATE tombstone rows on replay (harmless — anti-join
     * semantics are idempotent), never lose the stats adjustment. For a
-    * positional-only index (no stats table) the tombstone rows
-    * themselves carry the marker. Caller contract, the mirror of
-    * appendBatch's: each doc is deleted at most once and must be
-    * indexed (deleting an unknown doc would over-subtract N, exactly
-    * as appending a doc twice would over-add it). A doc whose
-    * tombstone is still live cannot be re-added (the anti-join wins);
-    * after compaction clears the set, re-ingest works.
+    * positional-only index (no stats table) the marker is a
+    * `kind = delete` row in the positional marker log — NOT the
+    * tombstone rows themselves (the pre-r14 form): compaction clears
+    * the tombstone set, so a tombs-borne marker would let a replay
+    * arriving after compaction re-apply, re-tombstoning ids already
+    * physically dropped and hiding any doc re-ingested under the same
+    * id. The marker log is never compacted, so the replay check
+    * survives.
+    *
+    * Caller contract, the mirror of appendBatch's and now ENFORCED
+    * for its reachable half: each doc is deleted at most once per
+    * compaction window (`IndexLifecycle.requireNotTombstoned` — a
+    * second delete would subtract its stats twice), with the batch's
+    * own prior tombstones excluded so a torn delete's replay still
+    * completes. Deleting a never-indexed doc has the same
+    * over-subtract signature but would cost a corpus-sized membership
+    * probe to detect — that half stays documented.
     */
   def deleteBatch(
       docs: DataFrame,
@@ -321,28 +352,57 @@ object Postings {
       s"index $name has no tombstone table — rebuild with writeIndex/writePositionalIndex before deletes")
     val hasStats = spark.catalog.tableExists(statsTableName(name))
     if (batchId >= 0L) {
-      // sign-separated marker space (see appendBatch): a delete's
-      // marker is its NEGATIVE stats row, so a delete stream and an
-      // append stream can share the index with independent batch ids
+      // sign-separated marker space (see appendBatch) for stats
+      // indexes — strict, zero belongs to neither side; kind-separated
+      // marker log for positional-only ones. Either way a delete
+      // stream and an append stream can share the index with
+      // independent batch ids.
       val replayed =
         if (hasStats)
           !spark.table(statsTableName(name))
-            .filter(col("batch_id") === batchId && col("n_docs") <= 0).isEmpty
-        else
-          !spark.table(tombsTableName(name)).filter(col("batch_id") === batchId).isEmpty
+            .filter(col("batch_id") === batchId && col("n_docs") < 0).isEmpty
+        else {
+          require(
+            spark.catalog.tableExists(posMarkersTableName(name)),
+            s"positional-only index $name has no marker log — rebuild with writePositionalIndex before idempotent deletes")
+          graft.sources.IndexLifecycle.markerPresent(
+            spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
+        }
       if (replayed) return
     }
-    docs
-      .filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("doc_id"), lit(batchId).as("batch_id"))
-      .write.mode("append").insertInto(tombsTableName(name))
-    if (hasStats)
-      statsRow(docs, idCol, textCol, batchId)
+    graft.sources.IndexLifecycle.requireNotTombstoned(
+      spark, tombsTableName(name), "doc_id",
+      docs.filter(col(textCol).isNotNull), idCol, s"deleteBatch($name)",
+      excludeBatchId = if (batchId >= 0L) Some(batchId) else None)
+    if (hasStats) {
+      // compute the batch's stats FIRST (the same skip-empty rule as
+      // appendBatch: an empty delete batch writes neither tombstones
+      // nor a marker, so it cannot shadow an append batch's id)
+      val st = statsRow(docs, idCol, textCol, batchId).collect().head
+      if (st.getLong(0) == 0L) return
+      docs
+        .filter(col(textCol).isNotNull)
+        .select(col(idCol).cast("long").as("doc_id"), lit(batchId).as("batch_id"))
+        .write.mode("append").insertInto(tombsTableName(name))
+      // negative stats row == commit marker, written LAST
+      spark.range(1)
         .select(
-          (-col("n_docs")).as("n_docs"),
-          (-col("sum_dl")).as("sum_dl"),
-          col("batch_id"))
+          lit(-st.getLong(0)).as("n_docs"),
+          lit(if (st.isNullAt(1)) null else -st.getLong(1)).cast("long").as("sum_dl"),
+          lit(batchId).as("batch_id"))
         .write.mode("append").insertInto(statsTableName(name))
+    } else {
+      val batch = docs.filter(col(textCol).isNotNull)
+      if (batch.isEmpty) return
+      batch
+        .select(col(idCol).cast("long").as("doc_id"), lit(batchId).as("batch_id"))
+        .write.mode("append").insertInto(tombsTableName(name))
+      // marker LAST, in the delete kind space of the (uncompacted)
+      // positional marker log
+      if (batchId >= 0L)
+        graft.sources.IndexLifecycle.writeMarker(
+          spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
+    }
   }
 
   /** The index's live tombstone set (doc ids only). Slim by contract —
@@ -353,19 +413,13 @@ object Postings {
   def tombstones(spark: SparkSession, name: String): DataFrame =
     spark.table(tombsTableName(name)).select(col("doc_id"))
 
-  /** Anti-join `df` against the index's tombstone set. Fast-path: a
-    * missing (pre-deletion layout) or EMPTY tombstone table reads the
-    * frame untouched — the empty probe is a file-listing-sized job,
-    * not a scan. Non-empty: a broadcast anti-join above the bucketed
-    * scan — no exchange on the index side, so every zero-shuffle and
-    * bucket-pruning plan property survives deletion (RetrievalSpec).
+  /** Anti-join `df` against the index's tombstone set (shared
+    * lifecycle fast paths and plan shape — see
+    * `IndexLifecycle.liveView`; zero-shuffle and bucket-pruning plan
+    * properties post-delete are spec-pinned in RetrievalSpec).
     */
   private def notTombstoned(spark: SparkSession, name: String, df: DataFrame): DataFrame =
-    if (!spark.catalog.tableExists(tombsTableName(name))) df
-    else {
-      val t = spark.table(tombsTableName(name)).select(col("doc_id"))
-      if (t.isEmpty) df else df.join(broadcast(t), Seq("doc_id"), "left_anti")
-    }
+    graft.sources.IndexLifecycle.liveView(spark, tombsTableName(name), "doc_id", df, "doc_id")
 
   /** The postings/positional/forward tables with tombstoned docs
     * filtered out — what every query path should read.
@@ -397,7 +451,7 @@ object Postings {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         deleteBatch(batch, idCol, textCol, name, batchId)
-        Seq(tombsTableName(name), statsTableName(name))
+        Seq(tombsTableName(name), statsTableName(name), posMarkersTableName(name))
           .filter(owner.catalog.tableExists)
           .foreach(owner.catalog.refreshTable)
       }
@@ -475,22 +529,14 @@ object Postings {
     // tombstone-drop rides the generation rewrite the compaction was
     // doing anyway: physical deletion costs zero extra passes. The
     // set is read ONCE here (slim by the compaction-cadence contract)
-    // and anti-joined inside each table's rewrite.
-    val tombsLive = spark.catalog.tableExists(tombsTableName(name)) &&
-      !spark.table(tombsTableName(name)).isEmpty
+    // and anti-joined inside each table's rewrite (column order
+    // restored — the rewrite is positional).
+    val tombsLive = graft.sources.IndexLifecycle.tombsLive(spark, tombsTableName(name))
     val dropTombstoned: DataFrame => DataFrame =
       if (!tombsLive) identity
       else
-        df =>
-          df.join(
-            broadcast(spark.table(tombsTableName(name)).select(col("doc_id"))),
-            Seq("doc_id"),
-            "left_anti")
-            // a USING join moves the key column to the front — restore
-            // the table's original column order (the rewrite is written
-            // under the same spec, and later positional appends are
-            // insertInto, i.e. positional)
-            .select(df.columns.map(col).toSeq: _*)
+        graft.sources.IndexLifecycle.dropTombstonedTransform(
+          spark, tombsTableName(name), "doc_id", "doc_id")
     if (spark.catalog.tableExists(postingsTableName(name)))
       Layout.compact(spark, postingsTableName(name), dropTombstoned)
     if (spark.catalog.tableExists(posTableName(name)))
@@ -520,21 +566,13 @@ object Postings {
         recounted.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
       }
     }
-    if (tombsLive) {
+    if (tombsLive)
       // the dropped docs are physically gone from every table — clear
       // the set (LAST, so a crash anywhere above leaves the tombstones
       // live and the reads still correct). Replayed delete batches
-      // stay no-ops: their markers live in the UNcompacted stats rows.
-      Layout.recoverDanglingSwap(spark, tombsTableName(name))
-      val table = tombsTableName(name)
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table))
-      Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
-        spark.range(0)
-          .select(col("id").as("doc_id"), col("id").as("batch_id"))
-          .write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
-      }
-    }
+      // stay no-ops: their markers live in the UNcompacted stats rows
+      // (or, positional-only, the uncompacted marker log).
+      graft.sources.IndexLifecycle.clearTombs(spark, tombsTableName(name), "doc_id")
   }
 
   /** Compaction POLICY: compact the index only when fragmentation has
@@ -564,31 +602,13 @@ object Postings {
       maxFilesPerBucket: Int,
       maxTombstones: Long): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
-    val tombHeavy = maxTombstones < Long.MaxValue &&
-      spark.catalog.tableExists(tombsTableName(name)) &&
-      spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count() > maxTombstones
-    val fragmented = tombHeavy || Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
-      .filter(spark.catalog.tableExists)
-      .exists { table =>
-        val meta = spark.sessionState.catalog.getTableMetadata(
-          spark.sessionState.sqlParser.parseTableIdentifier(table))
-        val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(1)
-        // Hadoop FS listing (recursive), like swapGeneration — a
-        // java.io.File(URI) would throw on any non-file: table location
-        val dir = new org.apache.hadoop.fs.Path(meta.location)
-        val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files =
-          if (!fs.exists(dir)) 0
-          else {
-            val it = fs.listFiles(dir, true)
-            var n  = 0
-            while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-            n
-          }
-        // ceil(files / buckets): appends write <= one file per bucket
-        // per batch, so this bounds the per-bucket fragment count
-        (files + buckets - 1) / buckets > maxFilesPerBucket
-      }
+    val fragmented =
+      graft.sources.IndexLifecycle.tombstonesExceed(
+        spark, tombsTableName(name), "doc_id", maxTombstones) ||
+        graft.sources.IndexLifecycle.bucketsFragmentedBeyond(
+          spark,
+          Seq(postingsTableName(name), posTableName(name), forwardTableName(name)),
+          maxFilesPerBucket)
     if (fragmented) compactIndex(spark, name)
     fragmented
   }
@@ -968,12 +988,13 @@ object Postings {
       buckets: Int): Unit = {
     Layout.bucketize(
       positionalPostings(docs, idCol, textCol), posTableName(name), s"$path/pospostings", Seq("term_h"), buckets)
-    // empty batch-id commit log: the positional analogue of the stats
-    // table's marker role (the positional index carries no corpus
-    // stats, so idempotent streaming appends need their own log)
-    docs.sparkSession.range(0).select(col("id").as("batch_id"))
-      .write.mode("overwrite").option("path", s"$path/posmarkers")
-      .saveAsTable(posMarkersTableName(name))
+    // empty (batch_id, kind) commit log: the positional analogue of
+    // the stats table's marker role (the positional index carries no
+    // corpus stats, so idempotent streaming appends — and deletes,
+    // whose markers must SURVIVE the tombstone-clearing compaction —
+    // need their own log; see IndexLifecycle)
+    graft.sources.IndexLifecycle.writeEmptyMarkers(
+      docs.sparkSession, posMarkersTableName(name), s"$path/posmarkers")
     // tombstone table: CREATE-if-absent (not overwrite) — a positional
     // side built next to an existing frequency index under the same
     // name must not clear that index's live deletions. writeIndex (the
@@ -1000,12 +1021,17 @@ object Postings {
       require(
         spark.catalog.tableExists(posMarkersTableName(name)),
         s"positional index $name has no marker table — rebuild with writePositionalIndex before idempotent appends")
-      if (!spark.table(posMarkersTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
+      if (graft.sources.IndexLifecycle.markerPresent(
+          spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return
     }
+    // same enforced caller contract as appendBatch: a still-tombstoned
+    // doc cannot re-add until compaction clears the set
+    graft.sources.IndexLifecycle.requireNotTombstoned(
+      spark, tombsTableName(name), "doc_id", docs, idCol, s"appendPositionalBatch($name)")
     Layout.append(positionalPostings(docs, idCol, textCol), posTableName(name))
     if (batchId >= 0L)
-      spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
-        .write.mode("append").insertInto(posMarkersTableName(name))
+      graft.sources.IndexLifecycle.writeMarker(
+        spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)
   }
 
   /** Maintain the positional index from a stream — the phrase/proximity

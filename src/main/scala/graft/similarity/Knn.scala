@@ -243,18 +243,20 @@ object Knn {
     graft.sources.Layout.bucketize(
       indexCorpus(corpus, centroids, idCol, vecCol), ivfTableName(name), s"$path/ivf", Seq("cell"), buckets)
     centroids.write.mode("overwrite").option("path", s"$path/cents").saveAsTable(centsTableName(name))
-    // empty batch-id commit log — the IVF twin of the positional
-    // index's marker table (idempotent streaming appends need it; the
-    // IVF index has no stats table to carry the marker)
-    corpus.sparkSession.range(0).select(col("id").as("batch_id"))
-      .write.mode("overwrite").option("path", s"$path/ivfmarkers")
-      .saveAsTable(ivfMarkersTableName(name))
+    // empty (batch_id, kind) commit log — the IVF twin of the
+    // positional index's marker table (the IVF index has no stats
+    // table to carry the marker). Appends and deletes occupy disjoint
+    // kind spaces, so an append stream and a delete stream can share
+    // the index with independent zero-based batch ids (see
+    // IndexLifecycle — through r13 the two shared one undifferentiated
+    // log, so a delete batch id colliding with a prior append's marker
+    // was silently skipped: a lost vector deletion).
+    graft.sources.IndexLifecycle.writeEmptyMarkers(
+      corpus.sparkSession, ivfMarkersTableName(name), s"$path/ivfmarkers")
     // empty tombstone set — vector deletion, same contract as the
     // posting index's (anti-joined by reads, dropped at compaction)
-    corpus.sparkSession.range(0)
-      .select(col("id").as("vec_id"), col("id").as("batch_id"))
-      .write.mode("overwrite").option("path", s"$path/ivftombs")
-      .saveAsTable(ivfTombsTableName(name))
+    graft.sources.IndexLifecycle.writeEmptyTombs(
+      corpus.sparkSession, ivfTombsTableName(name), s"$path/ivftombs", "vec_id")
   }
 
   /** Append new vectors under the frozen model: own bucket files per
@@ -275,13 +277,20 @@ object Knn {
       require(
         spark.catalog.tableExists(ivfMarkersTableName(name)),
         s"IVF index $name has no marker table — rebuild with writeIvfIndex before idempotent appends")
-      if (!spark.table(ivfMarkersTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
+      if (graft.sources.IndexLifecycle.markerPresent(
+          spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return
     }
+    // enforced caller contract (the posting index's rule, mirrored): a
+    // still-tombstoned vector cannot re-add — liveIvf/ivfTopK would
+    // hide it while its index rows accumulate dead bytes; compaction
+    // clears the set and re-opens the id
+    graft.sources.IndexLifecycle.requireNotTombstoned(
+      spark, ivfTombsTableName(name), "vec_id", newVecs, idCol, s"appendIvfBatch($name)")
     graft.sources.Layout.append(
       indexCorpus(newVecs, ivfCentroids(spark, name), idCol, vecCol), ivfTableName(name))
     if (batchId >= 0L)
-      spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
-        .write.mode("append").insertInto(ivfMarkersTableName(name))
+      graft.sources.IndexLifecycle.writeMarker(
+        spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)
   }
 
   /** Maintain the IVF index from a stream — lifecycle parity with the
@@ -320,6 +329,16 @@ object Knn {
     * centroid model is deliberately untouched — centroids are the
     * model, not corpus rows; a deleted vector that seeded a centroid
     * keeps quantizing (re-training is an explicit rebuild).
+    *
+    * Replay idempotence reads ONLY the delete kind space of the
+    * marker log (through r13 appends and deletes shared one
+    * undifferentiated batch-id space, so a delete whose id collided
+    * with a prior append marker was silently skipped — a lost
+    * redaction). The enforced caller contract mirrors
+    * `Postings.deleteBatch`: a vector already tombstoned by a
+    * DIFFERENT batch refuses loudly (double-delete), while the
+    * batch's own rows are excluded so a torn delete's replay
+    * completes.
     */
   def deleteIvfBatch(
       ids: DataFrame,
@@ -330,14 +349,41 @@ object Knn {
     require(
       spark.catalog.tableExists(ivfTombsTableName(name)),
       s"IVF index $name has no tombstone table — rebuild with writeIvfIndex before deletes")
-    if (batchId >= 0L &&
-      !spark.table(ivfMarkersTableName(name)).filter(col("batch_id") === batchId).isEmpty) return
-    ids
-      .select(col(idCol).cast("long").as("vec_id"), lit(batchId).as("batch_id"))
-      .write.mode("append").insertInto(ivfTombsTableName(name))
+    if (batchId >= 0L && graft.sources.IndexLifecycle.markerPresent(
+        spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)) return
+    graft.sources.IndexLifecycle.requireNotTombstoned(
+      spark, ivfTombsTableName(name), "vec_id", ids, idCol, s"deleteIvfBatch($name)",
+      excludeBatchId = if (batchId >= 0L) Some(batchId) else None)
+    graft.sources.IndexLifecycle.appendTombs(
+      ids, idCol, ivfTombsTableName(name), "vec_id", batchId)
     if (batchId >= 0L)
-      spark.range(batchId, batchId + 1).select(col("id").as("batch_id"))
-        .write.mode("append").insertInto(ivfMarkersTableName(name))
+      graft.sources.IndexLifecycle.writeMarker(
+        spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
+  }
+
+  /** Maintain the IVF index from a DELETION stream — the vector twin
+    * of `Postings.maintainDeletesFromStream`, completing the unified
+    * corpus-curation shape (delete a doc → both its text and its
+    * embedding leave every index): each micro-batch tombstones its
+    * vector ids (`deleteIvfBatch`), idempotent under foreachBatch's
+    * at-least-once replay via the delete kind space of the marker
+    * log, so this stream and `maintainIvfFromStream` can share the
+    * index with independent zero-based batch ids. Owner-session
+    * catalog refreshed per batch (the cloned-session coherence rule).
+    */
+  def maintainIvfDeletesFromStream(
+      ids: DataFrame,
+      idCol: String,
+      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val owner = ids.sparkSession
+    ids.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteIvfBatch(batch, idCol, name, batchId)
+        Seq(ivfTombsTableName(name), ivfMarkersTableName(name))
+          .filter(owner.catalog.tableExists)
+          .foreach(owner.catalog.refreshTable)
+      }
   }
 
   /** The IVF index with tombstoned vectors filtered out — what every
@@ -345,14 +391,9 @@ object Knn {
     * the bucketed scan otherwise (no index-side exchange). Missing
     * table = pre-deletion layout, read as-is.
     */
-  def liveIvf(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
-    val df = ivfTable(spark, name)
-    if (!spark.catalog.tableExists(ivfTombsTableName(name))) df
-    else {
-      val t = spark.table(ivfTombsTableName(name)).select(col("vec_id").as("n_id"))
-      if (t.isEmpty) df else df.join(broadcast(t), Seq("n_id"), "left_anti")
-    }
-  }
+  def liveIvf(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
+    graft.sources.IndexLifecycle.liveView(
+      spark, ivfTombsTableName(name), "vec_id", ivfTable(spark, name), "n_id")
 
   /** Pruned top-k read path over the persisted IVF index — the vector
     * twin of the posting index's `termHashPrune` design (VERDICT r12
@@ -436,23 +477,11 @@ object Knn {
       maxFilesPerBucket: Int,
       maxTombstones: Long = Long.MaxValue): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
-    val tombHeavy = maxTombstones < Long.MaxValue &&
-      spark.catalog.tableExists(ivfTombsTableName(name)) &&
-      spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count() > maxTombstones
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(ivfTableName(name)))
-    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(1)
-    val dir = new org.apache.hadoop.fs.Path(meta.location)
-    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files =
-      if (!fs.exists(dir)) 0
-      else {
-        val it = fs.listFiles(dir, true)
-        var n  = 0
-        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-        n
-      }
-    val run = tombHeavy || (files + buckets - 1) / buckets > maxFilesPerBucket
+    val run =
+      graft.sources.IndexLifecycle.tombstonesExceed(
+        spark, ivfTombsTableName(name), "vec_id", maxTombstones) ||
+        graft.sources.IndexLifecycle.bucketsFragmentedBeyond(
+          spark, Seq(ivfTableName(name)), maxFilesPerBucket)
     if (run) compactIvfIndex(spark, name)
     run
   }
@@ -471,30 +500,17 @@ object Knn {
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     // tombstone-drop rides the rewrite, then the set clears LAST — the
     // same crash-ordering as Postings.compactIndex (a crash before the
-    // clear leaves tombstones live and reads still correct)
-    val tombsLive = spark.catalog.tableExists(ivfTombsTableName(name)) &&
-      !spark.table(ivfTombsTableName(name)).isEmpty
+    // clear leaves tombstones live and reads still correct); shared
+    // lifecycle machinery, see IndexLifecycle
+    val tombsLive = graft.sources.IndexLifecycle.tombsLive(spark, ivfTombsTableName(name))
     val dropTombstoned: DataFrame => DataFrame =
       if (!tombsLive) identity
       else
-        df =>
-          df.join(
-            broadcast(spark.table(ivfTombsTableName(name)).select(col("vec_id").as("n_id"))),
-            Seq("n_id"),
-            "left_anti")
-            .select(df.columns.map(col).toSeq: _*) // restore column order after the USING join
+        graft.sources.IndexLifecycle.dropTombstonedTransform(
+          spark, ivfTombsTableName(name), "vec_id", "n_id")
     graft.sources.Layout.compact(spark, ivfTableName(name), dropTombstoned)
-    if (tombsLive) {
-      graft.sources.Layout.recoverDanglingSwap(spark, ivfTombsTableName(name))
-      val table = ivfTombsTableName(name)
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(table))
-      graft.sources.Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
-        spark.range(0)
-          .select(col("id").as("vec_id"), col("id").as("batch_id"))
-          .write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
-      }
-    }
+    if (tombsLive)
+      graft.sources.IndexLifecycle.clearTombs(spark, ivfTombsTableName(name), "vec_id")
   }
 
   def ivfTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =

@@ -849,4 +849,104 @@ class DedupKnnSpec extends SparkTestBase {
       assert(!Knn.compactIvfIfFragmented(spark, "t_ivfp_a", maxFilesPerBucket = 8, maxTombstones = 1))
     } finally Knn.dropIvfIndex(spark, "t_ivfp_a")
   }
+
+  test("IVF marker spaces: append and delete streams share the log with independent batch ids; guards refuse tombstoned ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfm_a", dir, buckets = 4)
+      // an APPEND committed under batch id 0...
+      Knn.appendIvfBatch(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "t_ivfm_a", batchId = 0L)
+      // ...must NOT swallow a DELETE stream's own batch id 0 (pre-r14
+      // the two shared one undifferentiated ivfmarkers log, so this
+      // delete was silently skipped — a lost vector deletion)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", "t_ivfm_a", batchId = 0L)
+      assert(spark.table("t_ivfm_a_ivftombs").count() > 0,
+        "delete batch swallowed by an append marker with the same id")
+      assert(Knn.liveIvf(spark, "t_ivfm_a").filter(col("n_id") % 9 === 2).count() == 0)
+      // and the delete's marker must not swallow a later APPEND id 2
+      // ... nor may a replay of either re-apply
+      val tombs = spark.table("t_ivfm_a_ivftombs").count()
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", "t_ivfm_a", batchId = 0L)
+      assert(spark.table("t_ivfm_a_ivftombs").count() == tombs, "delete replay re-applied")
+      // enforced caller contract: a still-tombstoned vector refuses
+      // re-append (reads would hide it) and re-delete from a
+      // DIFFERENT batch (double-delete)
+      val eA = intercept[IllegalArgumentException](
+        Knn.appendIvfBatch(
+          emb.filter(col("vec_id") === 2), "vec_id", "embedding", "t_ivfm_a", batchId = 3L))
+      assert(eA.getMessage.contains("tombstone"))
+      val eD = intercept[IllegalArgumentException](
+        Knn.deleteIvfBatch(
+          emb.filter(col("vec_id") === 2).select(col("vec_id")), "vec_id", "t_ivfm_a", batchId = 4L))
+      assert(eD.getMessage.contains("tombstone"))
+      // refusals wrote nothing: tombstones and markers undisturbed
+      assert(spark.table("t_ivfm_a_ivftombs").count() == tombs)
+      // a NON-tombstoned append still applies while the set is live
+      Knn.appendIvfBatch(
+        Seq((100000L, Seq.fill(64)(0.5f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "t_ivfm_a", batchId = 5L)
+      assert(Knn.liveIvf(spark, "t_ivfm_a").filter(col("n_id") === 100000L).count() == 1)
+    } finally Knn.dropIvfIndex(spark, "t_ivfm_a")
+  }
+
+  test("IVF streaming DELETION maintenance: tombstone micro-batches mirror the posting index's stream twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfsd").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfsd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivfsd_ckpt").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val dead = emb.filter(col("vec_id") % 9 === 2).select(col("vec_id"))
+      .as[Long].collect().toSeq.sorted
+    val (deadA, deadB) = dead.splitAt(dead.size / 2)
+    val queries = emb.filter(col("vec_id") < 3)
+    def topK(n: String) = Knn.ivfTopK(spark, n, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    try {
+      Knn.writeIvfIndex(emb, cents, "vec_id", "embedding", "t_ivfsd_a", dirA, buckets = 4)
+      // fresh survivor build under the same frozen model
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 9 =!= 2), cents, "vec_id", "embedding", "t_ivfsd_b", dirB, buckets = 4)
+      val stream = MemoryStream[Long]
+      val q = Knn
+        .maintainIvfDeletesFromStream(stream.toDF().toDF("vec_id"), "vec_id", "t_ivfsd_a")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        stream.addData(deadA); q.processAllAvailable()
+        stream.addData(deadB); q.processAllAvailable()
+        assert(topK("t_ivfsd_a") == topK("t_ivfsd_b") && topK("t_ivfsd_a").nonEmpty,
+          "stream-deleted IVF index diverged from a fresh build over survivors")
+        // replay of a committed delete batch id is a whole-batch no-op
+        val tombs = spark.table("t_ivfsd_a_ivftombs").count()
+        Knn.deleteIvfBatch(deadA.toDF("vec_id"), "vec_id", "t_ivfsd_a", batchId = 0L)
+        assert(spark.table("t_ivfsd_a_ivftombs").count() == tombs)
+        // an APPEND with the same batch id 0 (its own stream's
+        // zero-based ids) still applies — kind-separated marker spaces
+        Knn.appendIvfBatch(
+          Seq((100001L, Seq.fill(64)(0.25f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", "t_ivfsd_a", batchId = 0L)
+        assert(Knn.liveIvf(spark, "t_ivfsd_a").filter(col("n_id") === 100001L).count() == 1,
+          "append with a batch id already used by the delete stream was wrongly skipped")
+      } finally q.stop()
+    } finally {
+      Knn.dropIvfIndex(spark, "t_ivfsd_a")
+      Knn.dropIvfIndex(spark, "t_ivfsd_b")
+    }
+  }
 }

@@ -1080,4 +1080,98 @@ class RetrievalSpec extends SparkTestBase {
       Postings.dropIndex(spark, "t_torn_b")
     }
   }
+
+  test("lifecycle guards: tombstoned ids refuse re-append and re-delete; empty batches commit no marker") {
+    val dir = Files.createTempDirectory("graft_grd").toString
+    try {
+      Postings.writeIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_grd_a", dir, buckets = 4)
+      // an EMPTY append batch (all-null text) commits NO marker —
+      // n_docs = 0 belongs to neither side of the sign-separated space
+      Postings.appendBatch(
+        Seq((99L, null: String, "en")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_grd_a", batchId = 0L)
+      assert(
+        Postings.statsTable(spark, "t_grd_a").filter(col("batch_id") === 0L).isEmpty,
+        "empty append batch must not write a stats marker")
+      // ...so a DELETE stream's own batch id 0 still applies (pre-r14
+      // the empty append's n_docs = 0 row satisfied the delete replay
+      // check too — a silently lost redaction)
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_grd_a", batchId = 0L)
+      assert(Postings.tombstones(spark, "t_grd_a").count() == 2,
+        "delete batch shadowed by an empty append batch with the same id")
+      // re-APPEND of a still-tombstoned doc refuses loudly (reads
+      // would hide it while its stats row counts it)
+      val eA = intercept[IllegalArgumentException](
+        Postings.appendBatch(
+          delDocs.filter(_._1 == 3L).toDF("doc_id", "text", "lang"),
+          "doc_id", "text", "t_grd_a", batchId = 1L))
+      assert(eA.getMessage.contains("tombstone"))
+      // re-DELETE from a DIFFERENT batch refuses loudly (stats would
+      // over-subtract)
+      val eD = intercept[IllegalArgumentException](
+        Postings.deleteBatch(
+          delDocs.filter(_._1 == 3L).toDF("doc_id", "text", "lang"),
+          "doc_id", "text", "t_grd_a", batchId = 2L))
+      assert(eD.getMessage.contains("tombstone"))
+      // both refusals happened BEFORE any write: stats stayed
+      // survivor-exact, tombstones undisturbed
+      val st = Postings.statsTable(spark, "t_grd_a")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).as[(Long, Long)].head()
+      val expDl = delLive.map(_._2.trim.split("\\s+").count(_.nonEmpty).toLong).sum
+      assert(st == ((delLive.size.toLong, expDl)), s"stats sums $st drifted through a refused op")
+      assert(Postings.tombstones(spark, "t_grd_a").count() == 2)
+      // an EMPTY delete batch likewise commits no marker: a later
+      // APPEND stream's batch with the same id still applies
+      Postings.deleteBatch(
+        Seq((100L, null: String, "en")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_grd_a", batchId = 5L)
+      Postings.appendBatch(
+        Seq((100L, "fresh spark merge doc", "en")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_grd_a", batchId = 5L)
+      val top = Postings
+        .bm25TopK(Postings.livePostings(spark, "t_grd_a"), Postings.statsTable(spark, "t_grd_a"),
+          Seq("spark", "merge"), 10)
+        .select("doc_id").as[Long].collect().toSet
+      assert(top.contains(100L), "append batch shadowed by an empty delete batch with the same id")
+    } finally Postings.dropIndex(spark, "t_grd_a")
+  }
+
+  test("positional-only deletion: replay markers survive compaction (no re-tombstoning of re-ingested docs)") {
+    val dir = Files.createTempDirectory("graft_pdel").toString
+    try {
+      Postings.writePositionalIndex(
+        delDocs.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_pdel_a", dir, buckets = 4)
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_pdel_a", batchId = 1L)
+      // committed replay is a no-op BEFORE compaction too
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_pdel_a", batchId = 1L)
+      assert(Postings.tombstones(spark, "t_pdel_a").count() == 2)
+      Postings.compactIndex(spark, "t_pdel_a")
+      assert(Postings.tombstones(spark, "t_pdel_a").count() == 0)
+      // the set is clear — a deleted doc may legally re-ingest
+      Postings.appendPositionalBatch(
+        delDocs.filter(_._1 == 3L).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_pdel_a", batchId = 2L)
+      // REPLAY of delete batch 1 arriving after compaction: with the
+      // pre-r14 tombs-as-marker form the marker had been cleared with
+      // the set, so the replay re-applied and hid the re-ingested doc;
+      // the delete marker now lives in the (uncompacted) marker log
+      Postings.deleteBatch(
+        delDocs.filter(d => delDead(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "t_pdel_a", batchId = 1L)
+      assert(Postings.tombstones(spark, "t_pdel_a").count() == 0,
+        "replayed delete batch re-applied after compaction")
+      assert(
+        Postings.livePositional(spark, "t_pdel_a").filter(col("doc_id") === 3L).count() > 0,
+        "re-ingested doc hidden by a post-compaction delete replay")
+      // and doc 5 (deleted, never re-added) stays gone
+      assert(Postings.livePositional(spark, "t_pdel_a").filter(col("doc_id") === 5L).count() == 0)
+    } finally Postings.dropIndex(spark, "t_pdel_a")
+  }
 }
