@@ -797,6 +797,89 @@ object SearchQueries {
     graft.retrieval.Postings.bm25AllClassic(pt, st, terms)
   }
 
+  /** d64's production shape (the d47p pattern applied to the deletion
+    * gate, VERDICT r13 #3): the full build → append → delete lifecycle
+    * runs ONCE per process (`ensureIndex` memo), and the gated query
+    * times only the READ over the already-tombstoned live view — the
+    * latency a curation pipeline pays for every search AFTER a
+    * redaction, which is the amortized shape the index exists for.
+    * d64 stays gated unchanged (the lifecycle round trip IS its
+    * proof); this twin gates the read against the same survivor-only
+    * oracle.
+    */
+  val d64p_delete_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "delprod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.appendBatch(
+        t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", n, batchId = 1L)
+      graft.retrieval.Postings.deleteBatch(
+        t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", n, batchId = 2L)
+    }
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("merge", "hash", "vector"), 50)
+  }
+
+  /** d67's production shape: phrase search over an already-deleted
+    * positional-only index (built + tombstoned once per process);
+    * same survivor oracle as d67.
+    */
+  val d67p_phrase_delete_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "phrdelprod") { (n, p) =>
+      graft.retrieval.Postings.writePositionalIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16)
+      graft.retrieval.Postings.deleteBatch(
+        t.documents.filter(col("doc_id") % 5 === 1), "doc_id", "text", n, batchId = 1L)
+    }
+    graft.retrieval.Postings.phraseTopK(
+      graft.retrieval.Postings.livePositional(s, name), Seq("table", "hash"), 50)
+  }
+
+  /** CLASSIC-mode keyset pagination (VERDICT r13 #5): page 2 of the
+    * ln-idf ranking, with BOTH the rank and the cursor cut taken on
+    * the 5-decimal ROUNDED grid — the proof that the d65 epsilon-
+    * oracle technique composes with rank cuts. Raw transcendental
+    * scores cannot carry a page boundary (a 1-ulp libm divergence
+    * could swap two docs around the cut); on the rounded grid, the
+    * d65 margin guard makes every score bit-identical across engines,
+    * `(score_r DESC, doc_id)` is a strict total order, and so the
+    * oracle's rank-11..20 window lands on the identical row set.
+    */
+  val d68_classic_after: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
+    }
+    val pt    = graft.retrieval.Postings.livePostings(s, name)
+    val st    = graft.retrieval.Postings.statsTable(s, name)
+    val terms = Seq("vector", "merge", "scan")
+    // the d65 margin guard: REFUSE if any raw score sits near a
+    // rounding half-boundary (the one failure mode of the 5-decimal
+    // grid), so a silent cross-engine hash flip becomes a loud error
+    val margin = graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms)
+      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
+      .first().getDouble(0)
+    require(
+      margin > 1e-8,
+      f"classic-BM25 score within $margin%.2e grid units of a rounding half-boundary — " +
+        "the 5-decimal keyset cut is not safe for this corpus")
+    val page1 = graft.retrieval.Postings.bm25TopKClassicRounded(pt, st, terms, 10).collect()
+    if (page1.isEmpty)
+      graft.retrieval.Postings.bm25TopKClassicRounded(pt, st, terms, 10).limit(0)
+    else {
+      val last = page1.last
+      graft.retrieval.Postings.bm25TopKClassicAfter(
+        pt, st, terms, 10,
+        afterScoreR = last.getAs[Double]("score_r"), afterDoc = last.getAs[Long]("doc_id"))
+    }
+  }
+
   /** Persisted-IVF ANN (the embedding twin of d47/d50's round trip):
     * build the cell-bucketed IVF index on HALF the vectors, append the
     * other half under the FROZEN centroid model, then answer e04's
@@ -870,6 +953,32 @@ object SearchQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** e11's production shape (the d64p twin for vectors): the IVF
+    * build → append → delete lifecycle runs once per process; the
+    * gated query times only the pruned `ivfTopK` read over the
+    * tombstoned live view. Same survivor oracle as e11.
+    */
+  val e11p_ivf_delete_prod: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "ivfdelprod") { (n, p) =>
+      val e = t.embeddings
+        .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+      val cents = e
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      graft.similarity.Knn.writeIvfIndex(
+        t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", n, p, buckets = 8)
+      graft.similarity.Knn.appendIvfBatch(
+        t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", n, batchId = 1L)
+      graft.similarity.Knn.deleteIvfBatch(
+        t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", n, batchId = 2L)
+    }
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -897,8 +1006,12 @@ object SearchQueries {
     "d65_classic_bm25" -> d65_classic_bm25,
     "d66_faceted_denorm" -> d66_faceted_denorm,
     "d67_phrase_delete" -> d67_phrase_delete,
+    "d64p_delete_prod" -> d64p_delete_prod,
+    "d67p_phrase_delete_prod" -> d67p_phrase_delete_prod,
+    "d68_classic_after" -> d68_classic_after,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
+    "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
   )
 
   /** Classic-mode oracle: the same full-scan template with
@@ -1036,7 +1149,29 @@ object SearchQueries {
     "d63_search_after" -> oraclesBase("d47_indexed_search").replace(
       "ORDER BY score DESC, doc_id LIMIT 50",
       """QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) BETWEEN 11 AND 20
-        |ORDER BY score DESC, doc_id""".stripMargin))
+        |ORDER BY score DESC, doc_id""".stripMargin),
+    // the deletion _prod twins answer from the once-per-process
+    // pre-deleted index but must give exactly the round-trip gates'
+    // results — same survivor-only oracles
+    "d64p_delete_prod" -> bm25OracleSql(
+      Seq("merge", "hash", "vector"),
+      "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    "d67p_phrase_delete_prod" -> oraclesBase("d49_phrase_search").replace(
+      "FROM documents WHERE text IS NOT NULL",
+      "FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 1"),
+    "e11p_ivf_delete_prod" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
+    // d68: ranks 11-20 of the classic ranking ON THE ROUNDED GRID —
+    // under the margin guard the rounded scores are cross-engine
+    // identical, so (score_r DESC, doc_id) ranks identically and the
+    // keyset cursor lands on the same cut (see bm25TopKClassicRounded)
+    "d68_classic_after" -> bm25ClassicOracleSql(
+      Seq("vector", "merge", "scan"), "text IS NOT NULL").replace(
+      "WHERE n_matched > 0\nORDER BY doc_id",
+      """WHERE n_matched > 0
+        |QUALIFY row_number() OVER (ORDER BY ROUND(score, 5) DESC, doc_id) BETWEEN 11 AND 20
+        |ORDER BY ROUND(score, 5) DESC, doc_id""".stripMargin))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q36_restricted_filters" ->

@@ -1296,6 +1296,55 @@ object Postings {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Classic-mode top-k ranked ON THE ROUNDED GRID — how the epsilon-
+    * oracle technique composes with rank cuts (VERDICT r13 #5): a raw
+    * transcendental score can flip an ORDER at a cut boundary under a
+    * 1-ulp libm divergence, so an oracle-checkable page must take its
+    * cut in a space both engines agree on bit-for-bit. Under d65's
+    * margin guard (no raw score within 1e-8 grid units of a rounding
+    * half-boundary) the 5-decimal-rounded scores are cross-engine
+    * IDENTICAL, and `(score_r DESC, doc_id)` is a strict total order
+    * (doc_id is unique), so every rank — and therefore every page
+    * boundary — is engine-independent. Ranking by the raw score and
+    * returning it rounded would NOT compose: the round is monotone
+    * but not injective, so two docs whose raw scores straddle a grid
+    * point in opposite directions on the two engines could swap
+    * around a page cut while their rounded scores still matched.
+    */
+  def bm25TopKClassicRounded(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int): DataFrame =
+    bm25Scored(postings, stats, terms, classicIdf = true)
+      .withColumn("score_r", round(col("score"), 5))
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("n_matched"), col("score_r"))
+
+  /** Keyset (search-after) page of the rounded-grid classic ranking:
+    * the page after cursor `(afterScoreR, afterDoc)` — the classic-
+    * mode twin of `bm25TopKAfter`, with the cursor cut taken on the
+    * rounded grid for the same reason the rank is (see
+    * `bm25TopKClassicRounded`). Page N costs page 1: same pruned
+    * scan, same TakeOrderedAndProject.
+    */
+  def bm25TopKClassicAfter(
+      postings: DataFrame,
+      stats: DataFrame,
+      terms: Seq[String],
+      k: Int,
+      afterScoreR: Double,
+      afterDoc: Long): DataFrame =
+    bm25Scored(postings, stats, terms, classicIdf = true)
+      .withColumn("score_r", round(col("score"), 5))
+      .filter(
+        col("score_r") < afterScoreR ||
+          (col("score_r") === afterScoreR && col("doc_id") > afterDoc))
+      .orderBy(col("score_r").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("n_matched"), col("score_r"))
+
   private def bm25Scored(
       postings: DataFrame,
       stats: DataFrame,

@@ -83,6 +83,15 @@ class PlanQualitySpec extends SparkTestBase {
     "d64_index_delete"    -> Set("BroadcastNestedLoopJoin"),
     // d65: classic-idf mode of the same plan — one-row stats broadcast
     "d65_classic_bm25"    -> Set("BroadcastNestedLoopJoin"),
+    // d64p: the pre-deleted prod read is d64's query plan (one-row
+    // stats broadcast above the tombstone anti-join)
+    "d64p_delete_prod"    -> Set("BroadcastNestedLoopJoin"),
+    // d68: classic-mode keyset page — d63's plan shape with the
+    // rounded-grid cursor filter, same one-row stats broadcast
+    "d68_classic_after"   -> Set("BroadcastNestedLoopJoin"),
+    // e11p: the pre-deleted prod read is e11's pruned ivfTopK plan
+    // (broadcast K-row centroid-model cross join for the query batch)
+    "e11p_ivf_delete_prod" -> Set("BroadcastNestedLoopJoin"),
     // d51: the one-row bigram-total frame cross-joined back broadcast;
     // marginals join the |vocab|^2-bounded count frame, never the corpus
     "d51_collocations"    -> Set("BroadcastNestedLoopJoin"),

@@ -464,6 +464,26 @@ class RetrievalSpec extends SparkTestBase {
       val tail = Postings.bm25TopK(pt, st, terms, 10000)
         .as[(Long, Long, Long, Double)].collect().toSeq.last
       assert(after(tail).isEmpty)
+
+      // CLASSIC mode on the ROUNDED GRID: cursor pages partition the
+      // rounded-grid ranking exactly (the d68 composition — the rank
+      // AND the cut both live on the grid, where the margin-guarded
+      // scores are engine-independent)
+      val fullC = Postings.bm25TopKClassicRounded(pt, st, terms, 15)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(fullC.size == 15)
+      def afterC(c: (Long, Long, Long, Double)) = Postings
+        .bm25TopKClassicAfter(pt, st, terms, 5, afterScoreR = c._4, afterDoc = c._1)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val pC1 = fullC.take(5)
+      val pC2 = afterC(pC1.last)
+      val pC3 = afterC(pC2.last)
+      assert(pC1 ++ pC2 ++ pC3 == fullC,
+        "classic rounded-grid cursor pages must partition the single-shot ranking")
+      // cursor past the rounded-grid end → empty page
+      val tailC = Postings.bm25TopKClassicRounded(pt, st, terms, 10000)
+        .as[(Long, Long, Long, Double)].collect().toSeq.last
+      assert(afterC(tailC).isEmpty)
     } finally Postings.dropIndex(spark, "t_pag_a")
   }
 
