@@ -1,0 +1,138 @@
+package graft
+
+import graft.retrieval.Postings
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Randomized MODEL-BASED test of the posting-index lifecycle: a
+  * random interleaving of append / delete / compact operations is
+  * applied to both the persisted index and a plain-Scala model of the
+  * live corpus (a Map the contract says the index must be equivalent
+  * to), checking after EVERY operation that
+  *
+  *   - `bm25TopK` over the live view equals the brute-force ranking
+  *     over exactly the model's live docs (same IEEE tree — the
+  *     RetrievalSpec bruteTopK construction), and
+  *   - the stats sums (N, sum_dl) are survivor-exact integers.
+  *
+  * The generator RESPECTS the enforced caller contract (no re-append
+  * or re-delete of a still-tombstoned id — those now refuse loudly,
+  * pinned separately in RetrievalSpec's guard leg) but is otherwise
+  * adversarial: deletes can hit docs from any earlier batch including
+  * the initial build, compactions land at random points (clearing the
+  * tombstone set and re-opening ids, which the generator then MAY
+  * re-add with fresh text), batch ids interleave append/delete spaces,
+  * and token-less ("   ") and null-text docs appear throughout (they
+  * count in N but carry no postings — the hard case for
+  * survivor-exact stats).
+  */
+class LifecycleModelSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val vocab = Vector(
+    "spark", "merge", "join", "hash", "table", "scan", "row", "vector",
+    "filter", "sort", "batch", "window", "group", "slow", "fast")
+
+  private def bruteTopK(
+      docs: Seq[(Long, String)],
+      terms: Seq[String],
+      k: Int): Seq[(Long, Long, Long, Double)] = {
+    def toks(t: String): Seq[String] = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val tokenized = docs.map { case (id, tx) => (id, toks(tx)) }
+    val nDocs  = tokenized.size.toLong
+    val sumDl  = tokenized.map(_._2.size.toLong).sum
+    val avgdl  = sumDl.toDouble / nDocs.toDouble
+    val dfm    = terms.map(tm => tm -> tokenized.count(_._2.contains(tm)).toLong).toMap
+    val scored = tokenized.flatMap { case (id, tk) =>
+      val dl = tk.size.toLong
+      val present = terms.filter(tm => tk.contains(tm))
+      if (present.isEmpty) None
+      else {
+        val score = present.foldLeft(0.0) { (acc, tm) =>
+          val tf  = tk.count(_ == tm).toLong
+          val idf = ((nDocs - dfm(tm)) + 0.5) / (dfm(tm) + 0.5)
+          val tfw = (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl)))
+          acc + idf * tfw
+        }
+        Some((id, dl, present.size.toLong, score))
+      }
+    }
+    scored.sortBy { case (id, _, _, s) => (-s, id) }.take(k)
+  }
+
+  test("random append/delete/compact interleavings: index == plain-Scala model after every operation") {
+    val terms = Seq("spark", "merge", "scan")
+    for (seed <- Seq(7, 23)) {
+      val rnd  = new scala.util.Random(seed)
+      val name = s"t_lcm_$seed"
+      val dir  = Files.createTempDirectory("graft_lcm").toString
+
+      def randText(): String =
+        if (rnd.nextInt(12) == 0) "   " // token-less: counts in N, no postings
+        else Seq.fill(2 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+      // the model: live corpus (null-text docs never enter — the
+      // engine screens them identically) + the live tombstone set
+      var nextId = 100L
+      val live   = scala.collection.mutable.Map[Long, String]()
+      val tombed = scala.collection.mutable.Set[Long]()
+      val freeIds = scala.collection.mutable.Set[Long]() // compacted-away, re-usable
+
+      def freshBatch(n: Int): Seq[(Long, String)] = {
+        val reuse = freeIds.take(if (rnd.nextBoolean()) rnd.nextInt(n + 1) else 0).toSeq
+        reuse.foreach(freeIds.remove)
+        val fresh = (0 until (n - reuse.size)).map { _ => nextId += 1; nextId }
+        (reuse ++ fresh).map(id => (id, if (rnd.nextInt(10) == 0) null else randText()))
+      }
+
+      val init = freshBatch(12)
+      Postings.writeIndex(init.toDF("doc_id", "text"), "doc_id", "text", name, dir, buckets = 4)
+      init.foreach { case (id, tx) => if (tx != null) live(id) = tx }
+
+      def check(op: String): Unit = {
+        val got = Postings
+          .bm25TopK(Postings.livePostings(spark, name), Postings.statsTable(spark, name), terms, 50)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        val exp = bruteTopK(live.toSeq.sortBy(_._1), terms, 50)
+        assert(got == exp, s"seed=$seed after $op: index ranking diverged from the model")
+        val st = Postings.statsTable(spark, name)
+          .agg(sum(col("n_docs")), sum(col("sum_dl"))).as[(Long, Long)].head()
+        val expDl = live.values.map(_.trim.split("\\s+").count(_.nonEmpty).toLong).sum
+        assert(st == ((live.size.toLong, expDl)),
+          s"seed=$seed after $op: stats $st != model (${live.size}, $expDl)")
+      }
+      check("build")
+
+      try {
+        var batchId = 0L
+        for (step <- 1 to 10) {
+          batchId += 1
+          rnd.nextInt(4) match {
+            case 0 | 1 => // append 1-5 docs (never a still-tombstoned id)
+              val batch = freshBatch(1 + rnd.nextInt(5))
+              Postings.appendBatch(batch.toDF("doc_id", "text"), "doc_id", "text", name, batchId)
+              batch.foreach { case (id, tx) => if (tx != null) live(id) = tx }
+              check(s"append#$step")
+            case 2 => // delete 1-3 live, not-yet-tombstoned docs
+              val victims = rnd.shuffle(live.keys.toSeq.filterNot(tombed)).take(1 + rnd.nextInt(3))
+              if (victims.nonEmpty) {
+                Postings.deleteBatch(
+                  victims.map(id => (id, live(id))).toDF("doc_id", "text"),
+                  "doc_id", "text", name, batchId)
+                victims.foreach { id => live.remove(id); tombed += id }
+                check(s"delete#$step")
+              }
+            case 3 => // compact: physical drop, set cleared, ids re-usable
+              Postings.compactIndex(spark, name)
+              freeIds ++= tombed; tombed.clear()
+              check(s"compact#$step")
+          }
+        }
+        // always finish with a compact + final equivalence
+        Postings.compactIndex(spark, name)
+        freeIds ++= tombed; tombed.clear()
+        check("final-compact")
+      } finally Postings.dropIndex(spark, name)
+    }
+  }
+}
