@@ -262,7 +262,8 @@ object Postings {
     // every idf and length norm. Compaction clears the set and
     // re-opens the id.
     graft.sources.IndexLifecycle.requireNotTombstoned(
-      spark, tombsTableName(name), "doc_id", docs, idCol, s"appendBatch($name)")
+      spark, tombsTableName(name), "doc_id",
+      docs.filter(col(textCol).isNotNull), idCol, s"appendBatch($name)")
     // the batch's stats are computed FIRST (one tokenize pass, same
     // longs as statsRow's fold): an EMPTY batch — zero rows or
     // all-null text — appends nothing and commits NO marker, keeping
@@ -1025,9 +1026,11 @@ object Postings {
           spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return
     }
     // same enforced caller contract as appendBatch: a still-tombstoned
-    // doc cannot re-add until compaction clears the set
+    // doc cannot re-add until compaction clears the set (null-text
+    // rows are screened exactly as the append itself screens them)
     graft.sources.IndexLifecycle.requireNotTombstoned(
-      spark, tombsTableName(name), "doc_id", docs, idCol, s"appendPositionalBatch($name)")
+      spark, tombsTableName(name), "doc_id",
+      docs.filter(col(textCol).isNotNull), idCol, s"appendPositionalBatch($name)")
     Layout.append(positionalPostings(docs, idCol, textCol), posTableName(name))
     if (batchId >= 0L)
       graft.sources.IndexLifecycle.writeMarker(

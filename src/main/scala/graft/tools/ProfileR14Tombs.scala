@@ -89,6 +89,71 @@ object ProfileR14Tombs {
     }
     ladder("COMPACTED")
     Seq(20, 80).foreach(m => Postings.dropIndex(spark, name(m)))
+
+    // ---- part 2: the IVF index under the same 30% deletion pressure
+    // (the e11p read shape). Corpus-SCALED centroid model — the
+    // production retrain regime the r13 ladder pinned FLAT on clean
+    // indexes (16 cells @ m20 → 64 @ m80, constant cell size) — so
+    // any non-flat residual here is the tombstone anti-join, not
+    // cell-population growth.
+    import graft.similarity.Knn
+    import spark.implicits._
+    def cents(e: DataFrame, m: Int): DataFrame = {
+      val copies = if (m == 20) 2 else 8
+      e.filter(col("vec_id") % 10000000L < 8 && col("vec_id") < copies * 10000000L)
+        .select(col("vec_id").as("c_id"), Knn.asDouble(col("embedding")).as("cv"))
+        .withColumn("cn", sqrt(Knn.dot(col("cv"), col("cv"))))
+    }
+    def ivfName(m: Int) = s"r14tmbivf_m$m"
+    // interactive queries arrive as literals — materialize the 5-row
+    // batch OUTSIDE the timer (the ProfileR13Ivf lesson: a pushed
+    // vec_id<5 filter over the randomly-ordered amplified parquet
+    // reads every row group of the wide embedding column)
+    val qCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def qOf(m: Int): DataFrame = qCache.getOrElseUpdate(m, {
+      spark.read.parquet(s"/tmp/graft_scale/m$m/embeddings.parquet")
+        .filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect().toSeq
+        .toDF("vec_id", "embedding")
+    })
+    for (m <- Seq(20, 80)) {
+      val e = spark.read.parquet(s"/tmp/graft_scale/m$m/embeddings.parquet")
+      Knn.writeIvfIndex(
+        e, cents(e, m), "vec_id", "embedding", ivfName(m), s"/tmp/graft_scale_idx/r14ivf_m$m", buckets = 32)
+      val t0 = System.nanoTime()
+      Knn.deleteIvfBatch(
+        e.filter(col("vec_id") % 10 < 3).select(col("vec_id")), "vec_id", ivfName(m), batchId = 1L)
+      val td = (System.nanoTime() - t0) / 1e9
+      val nT = spark.table(s"${ivfName(m)}_ivftombs").count()
+      println(f"[r14tmb] ivf build m=$m%-3d tombstoned=$nT%8d delete=$td%6.2fs")
+    }
+    def runIvf(m: Int): Double = graft.Caches.scoped(spark) {
+      val q  = qOf(m)
+      val t0 = System.nanoTime()
+      Knn.ivfTopK(spark, ivfName(m), q, "vec_id", "embedding", k = 5)
+        .queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ivfLadder(tag: String): Unit = {
+      runIvf(20); runIvf(80) // warm
+      val pairs = (1 to reps).map { rep =>
+        val t20 = runIvf(20)
+        val t80 = runIvf(80)
+        println(f"[r14tmb] $tag ivf_topk_scaled      rep=$rep t20=$t20%6.3fs t80=$t80%6.3fs e=${math.log(t80 / t20) / math.log(4.0)}%5.2f")
+        (t20, t80)
+      }
+      val e = math.log(pairs.map(_._2).min / pairs.map(_._1).min) / math.log(4.0)
+      println(f"[r14tmb] $tag ivf_topk_scaled      MIN t20=${pairs.map(_._1).min}%6.3fs t80=${pairs.map(_._2).min}%6.3fs e(min-cells)=$e%5.2f")
+    }
+    ivfLadder("TOMBED   ")
+    for (m <- Seq(20, 80)) {
+      val t0 = System.nanoTime()
+      Knn.compactIvfIndex(spark, ivfName(m))
+      println(f"[r14tmb] ivf compact m=$m%-3d ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    ivfLadder("COMPACTED")
+    Seq(20, 80).foreach(m => Knn.dropIvfIndex(spark, ivfName(m)))
     spark.stop()
   }
 }
