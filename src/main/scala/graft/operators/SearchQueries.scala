@@ -953,6 +953,37 @@ object SearchQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** CLASSIC-mode ranked multi-query retrieval (the second rank-cut
+    * composition of the d65 epsilon-oracle technique, next to d68's
+    * keyset form): per-query ln-idf top-10 for the same 8 standing
+    * queries, with every per-query rank cut taken on the 5-decimal
+    * ROUNDED grid. Under the margin guard (now over ALL (query, doc)
+    * raw scores — ~8× d65's population, so the loud-refusal
+    * probability stays ~a few percent at sf1 and a refusal is an
+    * explicit error, never a silent flip) the rounded scores are
+    * cross-engine bit-identical and `(score_r DESC, doc_id)` is a
+    * strict per-query total order, so all 8 top-10 row sets are
+    * engine-independent.
+    */
+  val d69_classic_multiquery: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
+    }
+    val pt = graft.retrieval.Postings.livePostings(s, name)
+    val st = graft.retrieval.Postings.statsTable(s, name)
+    val margin = graft.retrieval.Postings.bm25MultiScoredClassic(pt, st, standingQueries)
+      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
+      .first().getDouble(0)
+    require(
+      margin > 1e-8,
+      f"classic multi-query score within $margin%.2e grid units of a rounding half-boundary — " +
+        "the 5-decimal per-query rank cut is not safe for this corpus")
+    graft.retrieval.Postings.bm25MultiTopKClassicRounded(pt, st, standingQueries, 10)
+  }
+
   /** e11's production shape (the d64p twin for vectors): the IVF
     * build → append → delete lifecycle runs once per process; the
     * gated query times only the pruned `ivfTopK` read over the
@@ -1009,6 +1040,7 @@ object SearchQueries {
     "d64p_delete_prod" -> d64p_delete_prod,
     "d67p_phrase_delete_prod" -> d67p_phrase_delete_prod,
     "d68_classic_after" -> d68_classic_after,
+    "d69_classic_multiquery" -> d69_classic_multiquery,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
     "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
@@ -1171,7 +1203,23 @@ object SearchQueries {
       "WHERE n_matched > 0\nORDER BY doc_id",
       """WHERE n_matched > 0
         |QUALIFY row_number() OVER (ORDER BY ROUND(score, 5) DESC, doc_id) BETWEEN 11 AND 20
-        |ORDER BY ROUND(score, 5) DESC, doc_id""".stripMargin))
+        |ORDER BY ROUND(score, 5) DESC, doc_id""".stripMargin),
+    // d69: d61's per-query ranking in CLASSIC mode on the rounded
+    // grid — LN(1 + idf_arg) on the identical argument double, the
+    // rank cut and the output both on ROUND(score, 5)
+    "d69_classic_multiquery" -> oraclesBase("d61_multiquery_ranked")
+      .replace(
+        "(((n_docs - dfs.df) + 0.5) / (dfs.df + 0.5))",
+        "LN(1 + (((n_docs - dfs.df) + 0.5) / (dfs.df + 0.5)))")
+      .replace(
+        "SELECT query_id, doc_id, dl, n_matched, score FROM s",
+        "SELECT query_id, doc_id, dl, n_matched, ROUND(score, 5) AS score_r FROM s")
+      .replace(
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) <= 10",
+        "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ROUND(score, 5) DESC, doc_id) <= 10")
+      .replace(
+        "ORDER BY query_id, score DESC, doc_id",
+        "ORDER BY query_id, ROUND(score, 5) DESC, doc_id"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q36_restricted_filters" ->

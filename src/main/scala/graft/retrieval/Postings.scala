@@ -780,7 +780,60 @@ object Postings {
       postings: DataFrame,
       stats: DataFrame,
       queries: Seq[(Long, Seq[String])],
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    bm25MultiScored(postings, stats, queries)
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"), col("n_matched"), col("score"))
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+
+  /** Raw classic-mode multi-query scores (the frame d69's margin
+    * guard reads — one row per (query, matching doc)).
+    */
+  def bm25MultiScoredClassic(
+      postings: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(Long, Seq[String])]): DataFrame =
+    bm25MultiScored(postings, stats, queries, classicIdf = true)
+      .select(col("query_id"), col("doc_id"), col("dl"), col("n_matched"), col("score"))
+
+  /** CLASSIC-mode ranked multi-query retrieval ON THE ROUNDED GRID —
+    * the per-query-rank-cut composition of the d65 epsilon-oracle
+    * technique (the keyset composition is `bm25TopKClassicAfter`):
+    * each standing query's top-k is ranked by `(score_r DESC,
+    * doc_id)` where score_r is the 5-decimal round, so under the
+    * margin guard every per-query rank cut lands on the identical
+    * row set on any engine. Plan shape is `bm25MultiTopK`'s — one
+    * pruned pass over the union of standing terms; only the idf
+    * factor, the grid round, and the window key change.
+    */
+  def bm25MultiTopKClassicRounded(
+      postings: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame =
+    bm25MultiScored(postings, stats, queries, classicIdf = true)
+      .withColumn("score_r", round(col("score"), 5))
+      .withColumn(
+        "rk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("score_r").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("dl"), col("n_matched"), col("score_r"))
+      .orderBy(col("query_id"), col("score_r").desc, col("doc_id"))
+
+  private def bm25MultiScored(
+      postings: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      classicIdf: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "scored multi-query retrieval needs at least one standing query")
     require(queries.forall(_._2.nonEmpty), "every standing query needs at least one term")
     require(queries.map(_._1).distinct.size == queries.size, "standing query ids must be unique")
@@ -805,10 +858,13 @@ object Postings {
     val dfs = matched.groupBy(col("query_id"), col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val tfd   = col("tf").cast("double")
-    val idf   = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    val idfSurrogate = ((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))
+    // classic mode: plain `1.0 +` then ln (see bm25Scored — the oracle
+    // evaluates LN(1 + x) on the identical argument double)
+    val idf = if (classicIdf) log(lit(1.0) + idfSurrogate) else idfSurrogate
     val tfw = (tfd * lit(2.2)) /
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val scored = matched
+    matched
       .join(broadcast(dfs), Seq("query_id", "term"))
       .crossJoin(broadcast(tot)) // one row: N, sum_dl
       .withColumn("contrib", idf * tfw)
@@ -819,16 +875,6 @@ object Postings {
       .withColumn(
         "score",
         aggregate(col("cs"), lit(0.0), (acc, x) => acc + x.getField("contrib")))
-    scored
-      .withColumn(
-        "rk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("doc_id"), col("dl"), col("n_matched"), col("score"))
-      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
   /** Index-free percolation of a document batch against standing

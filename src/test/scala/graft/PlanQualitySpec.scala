@@ -89,6 +89,9 @@ class PlanQualitySpec extends SparkTestBase {
     // d68: classic-mode keyset page — d63's plan shape with the
     // rounded-grid cursor filter, same one-row stats broadcast
     "d68_classic_after"   -> Set("BroadcastNestedLoopJoin"),
+    // d69: classic mode of d61's plan — same one-row stats broadcast;
+    // the per-query window reads the aggregated match frame, not RAW
+    "d69_classic_multiquery" -> Set("BroadcastNestedLoopJoin"),
     // e11p: the pre-deleted prod read is e11's pruned ivfTopK plan
     // (broadcast K-row centroid-model cross join for the query batch)
     "e11p_ivf_delete_prod" -> Set("BroadcastNestedLoopJoin"),

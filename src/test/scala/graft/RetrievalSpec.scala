@@ -509,6 +509,20 @@ class RetrievalSpec extends SparkTestBase {
           s"query $qid diverged: multi=${multi.getOrElse(qid, Nil)} single=$single")
       }
       assert(multi(1L).nonEmpty && !multi.contains(4L))
+      // CLASSIC mode on the rounded grid: the multi form equals the
+      // per-query single form bit for bit (same ln trees, same grid,
+      // same per-query rank cut — the d69 composition)
+      val multiC = Postings.bm25MultiTopKClassicRounded(pt, st, standing, 5)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4, r._5))).toMap
+      for ((qid, terms) <- standing) {
+        val singleC = Postings.bm25TopKClassicRounded(pt, st, terms, 5)
+          .as[(Long, Long, Long, Double)].collect().toSeq
+        assert(
+          multiC.getOrElse(qid, Nil) == singleC,
+          s"classic query $qid diverged: multi=${multiC.getOrElse(qid, Nil)} single=$singleC")
+      }
+      assert(multiC(1L).nonEmpty && !multiC.contains(4L))
     } finally Postings.dropIndex(spark, "t_mqr_a")
   }
 
