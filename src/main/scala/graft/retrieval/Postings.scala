@@ -614,6 +614,89 @@ object Postings {
     fragmented
   }
 
+  /** Maintenance CONSISTENCY CHECK — the fsck a 100 TB index needs
+    * after a crash, a killed maintenance job, or an operator mistake:
+    * verifies the cross-table invariants every query path assumes and
+    * returns one row per check `(check, ok, detail)`. Run it AT REST
+    * (no in-flight append/delete): a torn delete (tombstones landed,
+    * stats marker didn't — the documented crash window whose repair
+    * is replaying the batch) shows up here as
+    * `sum_dl_equals_live_tf_sum = false`, which is exactly what an
+    * operator needs to see to know a replay is owed.
+    *
+    * Invariants (each over the tables that exist):
+    *  - `stats_total_nonnegative` — the survivor totals N/sum_dl can
+    *    never sum negative (a negative total means a delete batch was
+    *    applied twice or against never-indexed docs — the states the
+    *    r14 guards refuse at write time).
+    *  - `sum_dl_equals_live_tf_sum` — Σ tf over the LIVE postings ==
+    *    total sum_dl (Σ tf of a doc's postings is its dl by
+    *    construction; token-less docs contribute 0 to both sides;
+    *    deletion subtracts the same docs from both sides). This is
+    *    the invariant the d64 survivor-exact hash proof rides on.
+    *  - `live_doc_count_le_stats_n` — distinct live posting docs ≤ N
+    *    (token-less docs count in N but carry no postings).
+    *  - `dict_df_covers_live_postings` — dictionary df partials are
+    *    ≥ the live posting count for every term (equality after a
+    *    fresh build or compaction; between a delete and its
+    *    compaction the partials legitimately overcount, never under).
+    *  - `forward_covers_posting_docs` — every live posting doc has a
+    *    live forward row (the decoration join can't drop matches).
+    *  - `marker_log_unique` / `stats_markers_unique` — replay markers
+    *    are unique per (batch_id, kind) / per sign space (a duplicate
+    *    means idempotence is broken for that batch id).
+    */
+  def checkIndex(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val checks   = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    val hasStats = spark.catalog.tableExists(statsTableName(name))
+    val hasPost  = spark.catalog.tableExists(postingsTableName(name))
+    if (hasStats) {
+      val r  = statsTable(spark, name)
+        .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("dl")).head()
+      val n  = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val dl = if (r.isNullAt(1)) 0L else r.getLong(1)
+      checks += (("stats_total_nonnegative", n >= 0L && dl >= 0L, s"N=$n sum_dl=$dl"))
+      if (hasPost) {
+        val tfR    = livePostings(spark, name).agg(sum(col("tf"))).head()
+        val liveTf = if (tfR.isNullAt(0)) 0L else tfR.getLong(0)
+        checks += (("sum_dl_equals_live_tf_sum", liveTf == dl, s"sum(tf)=$liveTf sum_dl=$dl"))
+        val liveDocs = livePostings(spark, name).select(col("doc_id")).distinct().count()
+        checks += (("live_doc_count_le_stats_n", liveDocs <= n, s"live_docs=$liveDocs N=$n"))
+      }
+      val signDups = statsTable(spark, name)
+        .filter(col("batch_id") >= 0)
+        .groupBy(col("batch_id"), (col("n_docs") > 0).as("is_append"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      checks += (("stats_markers_unique", signDups == 0, s"$signDups duplicated batch markers"))
+    }
+    if (hasPost && spark.catalog.tableExists(dictTableName(name))) {
+      val under = dictTable(spark, name)
+        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("dict_df"))
+        .join(
+          livePostings(spark, name)
+            .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("live_df")),
+          Seq("term_h", "term"),
+          "right")
+        .filter(coalesce(col("dict_df"), lit(0L)) < col("live_df"))
+        .count()
+      checks += (("dict_df_covers_live_postings", under == 0, s"$under under-counted terms"))
+    }
+    if (hasPost && spark.catalog.tableExists(forwardTableName(name))) {
+      val orphans = livePostings(spark, name).select(col("doc_id")).distinct()
+        .join(liveForward(spark, name).select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .count()
+      checks += (("forward_covers_posting_docs", orphans == 0, s"$orphans posting docs missing forward rows"))
+    }
+    if (spark.catalog.tableExists(posMarkersTableName(name))) {
+      val dups = spark.table(posMarkersTableName(name))
+        .groupBy(col("batch_id"), col("kind"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      checks += (("marker_log_unique", dups == 0, s"$dups duplicated (batch_id, kind) markers"))
+    }
+    checks.toSeq.toDF("check", "ok", "detail")
+  }
+
   def dropIndex(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")

@@ -518,6 +518,44 @@ object Knn {
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(centsTableName(name))
 
+  /** Maintenance CONSISTENCY CHECK for the IVF index — the vector
+    * twin of `Postings.checkIndex` (run at rest; one row per check):
+    *
+    *  - `vector_unique` — every live vector appears EXACTLY once
+    *    (each corpus vector lives in one primary cell; a duplicate
+    *    means a replayed batch re-appended — the marker log's job —
+    *    or an id was re-ingested while tombstoned, the guard's job).
+    *  - `cells_from_model` — every live cell id exists in the frozen
+    *    centroid table (an unknown cell is unreachable by any query's
+    *    assignment: its vectors would silently never retrieve).
+    *  - `norms_consistent` — the stored norm equals sqrt(dot(v, v))
+    *    recomputed, bit-for-bit (assignment and scoring build the
+    *    identical IEEE tree; a drifted norm skews every cosine).
+    *  - `marker_log_unique` — replay markers unique per
+    *    (batch_id, kind).
+    */
+  def checkIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val checks = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    val live = liveIvf(spark, name)
+    val r = live.agg(count(lit(1)).as("c"), countDistinct(col("n_id")).as("d")).head()
+    val (cnt, dcnt) = (r.getLong(0), r.getLong(1))
+    checks += (("vector_unique", cnt == dcnt, s"rows=$cnt distinct=$dcnt"))
+    val unknown = live.select(col("cell")).distinct()
+      .join(ivfCentroids(spark, name).select(col("c_id").as("cell")), Seq("cell"), "left_anti")
+      .count()
+    checks += (("cells_from_model", unknown == 0, s"$unknown cells missing from the centroid model"))
+    val badNorms = live.filter(col("nn") =!= sqrt(dot(col("nv"), col("nv")))).count()
+    checks += (("norms_consistent", badNorms == 0, s"$badNorms stored norms diverge from recompute"))
+    if (spark.catalog.tableExists(ivfMarkersTableName(name))) {
+      val dups = spark.table(ivfMarkersTableName(name))
+        .groupBy(col("batch_id"), col("kind"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      checks += (("marker_log_unique", dups == 0, s"$dups duplicated (batch_id, kind) markers"))
+    }
+    checks.toSeq.toDF("check", "ok", "detail")
+  }
+
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${ivfTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${centsTableName(name)}")
