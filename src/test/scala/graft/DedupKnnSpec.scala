@@ -850,6 +850,77 @@ class DedupKnnSpec extends SparkTestBase {
     } finally Knn.dropIvfIndex(spark, "t_ivfp_a")
   }
 
+  test("IVF bucket-scoped compaction: only fragmented cell buckets rewritten; per-bucket tombstone accounting is exact") {
+    // VERDICT r14 #1, vector side. Unlike postings (a doc spans many
+    // term buckets) an IVF vector lives in ONE cell bucket, so a
+    // bucket rewrite fully drops its tombstoned vectors and those ids
+    // may leave the set while the rest stay.
+    import graft.sources.Layout
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def topK(n: String) = Knn.ivfTopK(spark, n, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfb_a", dirA, buckets = 4)
+      // tiny append: 3 vectors land in <= 3 cells -> <= 3 of 4 buckets fragment
+      Knn.appendIvfBatch(
+        emb.filter(col("vec_id").isin(9L, 11L, 13L)), "vec_id", "embedding", "t_ivfb_a", batchId = 1L)
+      val frag = Layout.fragmentedBucketIds(spark, "t_ivfb_a_ivf", 1)
+      assert(frag.nonEmpty && frag.size < 4, s"fixture should fragment a strict subset of buckets, got $frag")
+      val inTouched = spark.read
+        .parquet(Layout.bucketFiles(spark, "t_ivfb_a_ivf", frag.toSet): _*)
+        .select(col("n_id")).as[Long].collect().toSet
+      assert(inTouched.contains(9L), "appended vector must sit in a touched bucket")
+      // one deleted id per accounting class: 9 (touched bucket — must
+      // clear), plus an id provably in an UNTOUCHED bucket (must stay)
+      val untouchedIds = Knn.ivfTable(spark, "t_ivfb_a")
+        .select(col("n_id")).as[Long].collect().toSet -- inTouched
+      assert(untouchedIds.nonEmpty, "fixture needs vectors in untouched buckets")
+      val stayId = untouchedIds.min
+      Knn.deleteIvfBatch(
+        Seq(9L, stayId).toDF("vec_id"), "vec_id", "t_ivfb_a", batchId = 2L)
+      // fresh survivor build: frozen model, corpus minus both deletions
+      Knn.writeIvfIndex(
+        emb.filter(
+          (col("vec_id") % 2 === 0 || col("vec_id").isin(9L, 11L, 13L)) &&
+            !col("vec_id").isin(9L, stayId)),
+        cents, "vec_id", "embedding", "t_ivfb_b", dirB, buckets = 4)
+
+      assert(Knn.compactFragmentedIvfBuckets(spark, "t_ivfb_a", 1) == frag)
+      // per-bucket accounting: 9 left the set, stayId remains
+      val tombsNow = spark.table("t_ivfb_a_ivftombs").select(col("vec_id")).as[Long].collect().toSet
+      assert(tombsNow == Set(stayId),
+        s"expected only the untouched-bucket tombstone to remain, got $tombsNow")
+      // reads equal the fresh survivor build; fsck green; no-op at rest
+      assert(Knn.liveIvf(spark, "t_ivfb_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSet ==
+        Knn.liveIvf(spark, "t_ivfb_b").select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSet)
+      assert(topK("t_ivfb_a") == topK("t_ivfb_b") && topK("t_ivfb_a").nonEmpty)
+      val fsck = Knn.checkIvfIndex(spark, "t_ivfb_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after bucket-scoped IVF compaction: $fsck")
+      assert(Knn.compactFragmentedIvfBuckets(spark, "t_ivfb_a", 1).isEmpty)
+      // a later full compaction drops the remaining tombstone and
+      // still equals the fresh survivor build
+      Knn.compactIvfIndex(spark, "t_ivfb_a")
+      assert(spark.table("t_ivfb_a_ivftombs").count() == 0)
+      assert(Knn.ivfTable(spark, "t_ivfb_a")
+        .select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSet ==
+        Knn.ivfTable(spark, "t_ivfb_b").select(col("cell"), col("n_id")).as[(Long, Long)].collect().toSet)
+    } finally {
+      Knn.dropIvfIndex(spark, "t_ivfb_a")
+      Knn.dropIvfIndex(spark, "t_ivfb_b")
+    }
+  }
+
   test("IVF marker spaces: append and delete streams share the log with independent batch ids; guards refuse tombstoned ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -66,6 +66,27 @@ class IndexCheckSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, name)
   }
 
+  test("legacy single-column marker log refuses loudly instead of mis-reading replay state") {
+    // a pre-r14 index persisted its marker log as bare (batch_id);
+    // under the kind-separated contract that log is unreadable —
+    // committed appends would be invisible to a kind-filtered replay
+    // check, so a replayed batch would silently re-apply. The
+    // lifecycle refuses with the rebuild message instead.
+    val dir = Files.createTempDirectory("graft_legacy").toString
+    try {
+      spark.range(0).select(col("id").as("batch_id"))
+        .write.mode("overwrite").option("path", s"$dir/m").saveAsTable("t_legacy_markers")
+      val e1 = intercept[IllegalArgumentException] {
+        graft.sources.IndexLifecycle.markerPresent(spark, "t_legacy_markers", 0L, "a")
+      }
+      assert(e1.getMessage.contains("legacy") && e1.getMessage.contains("rebuild"))
+      val e2 = intercept[IllegalArgumentException] {
+        graft.sources.IndexLifecycle.writeMarker(spark, "t_legacy_markers", 0L, "d")
+      }
+      assert(e2.getMessage.contains("legacy"))
+    } finally spark.sql("DROP TABLE IF EXISTS t_legacy_markers")
+  }
+
   test("IVF fsck: green through the lifecycle; duplicate vector, foreign cell, drifted norm flip the right checks") {
     val dir = Files.createTempDirectory("graft_fsckv").toString
     val name = "t_fsck_v"

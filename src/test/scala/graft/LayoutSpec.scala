@@ -193,6 +193,64 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("bucket-scoped compaction: crash windows — pre-journal orphan discarded, post-journal swap replayed to convergence") {
+    val dir = Files.createTempDirectory("graft_bcr").toString
+    val v1 = (1L to 400L).map(i => (i, s"a$i")).toDF("key", "x")
+    val v2 = (401L to 440L).map(i => (i, s"b$i")).toDF("key", "x")
+    Layout.bucketize(v1, "b_bcr", s"$dir/t", "key", 4)
+    try {
+      Layout.append(v2, "b_bcr") // fragments every bucket the batch touches
+      val loc = new java.io.File(new java.net.URI(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier("b_bcr")).location.toString))
+      val expected = spark.table("b_bcr").as[(Long, String)].collect().toSet
+
+      // crash window A: scratch dir exists, journal never written —
+      // the live table is byte-identical; recovery discards the orphan
+      val scratch = new java.io.File(loc, "_bucket_compact")
+      scratch.mkdirs()
+      java.nio.file.Files.writeString(scratch.toPath.resolve("part-junk_00000.c000.snappy.parquet"), "x")
+      assert(!Layout.recoverBucketCompact(spark, "b_bcr"))
+      assert(!scratch.exists, "pre-journal orphan scratch must be discarded")
+      assert(spark.table("b_bcr").as[(Long, String)].collect().toSet == expected)
+
+      // crash window B: replacement written AND journal committed, swap
+      // only partially applied (one fragment already deleted) — the
+      // journal replay must converge to the compacted state
+      val frag = Layout.fragmentedBucketIds(spark, "b_bcr", 1)
+      assert(frag.nonEmpty)
+      val oldFiles = Layout.bucketFiles(spark, "b_bcr", frag.toSet)
+      val cur = spark.read.schema(spark.table("b_bcr").schema).parquet(oldFiles: _*)
+      Layout.bucketize(
+        cur.repartition(4, cur("key")), "b_bcr_bucketcompacting", s"$loc/_bucket_compact", Seq("key"), 4)
+      val newFiles = new java.io.File(loc, "_bucket_compact").listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+      val journal = (oldFiles.map(p => s"D ${new java.io.File(p).getName}") ++
+        newFiles.map(n => s"M $n")).mkString("\n")
+      java.nio.file.Files.writeString(loc.toPath.resolve("_bucket_compact_journal"), journal)
+      // partial application: one old fragment already gone
+      assert(new java.io.File(new java.net.URI(oldFiles.head)).delete())
+      assert(Layout.recoverBucketCompact(spark, "b_bcr"), "journal must replay")
+      assert(spark.table("b_bcr").as[(Long, String)].collect().toSet == expected,
+        "replayed swap lost or duplicated rows")
+      frag.foreach { b =>
+        val n = loc.listFiles.count(f =>
+          f.getName.endsWith(".parquet") && Layout.bucketIdOf(f.getName).contains(b))
+        assert(n == 1, s"bucket $b not converged to one file after replay")
+      }
+      assert(!new java.io.File(loc, "_bucket_compact_journal").exists)
+      assert(!new java.io.File(loc, "_bucket_compact").exists)
+      // and the real API end-to-end still works after the recovery
+      Layout.append(v2.filter($"key" > 430), "b_bcr")
+      Layout.compactBuckets(spark, "b_bcr", Layout.fragmentedBucketIds(spark, "b_bcr", 1).toSet)
+      assert(spark.table("b_bcr").as[(Long, String)].collect().toSet ==
+        expected ++ v2.filter($"key" > 430).as[(Long, String)].collect().toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_bcr")
+      spark.sql("DROP TABLE IF EXISTS b_bcr_bucketcompacting")
+    }
+  }
+
   test("recoverDanglingSwap heals the DROP->RENAME crash window") {
     val dir = Files.createTempDirectory("graft_swp").toString
     val v1 = (1L to 100L).map(i => (i, s"a$i")).toDF("key", "x")
@@ -211,13 +269,53 @@ class LayoutSpec extends SparkTestBase {
       assert(spark.table("b_swp").as[(Long, String)].collect().toSet ==
         v2.as[(Long, String)].collect().toSet,
         "recovered table must hold the finished next generation")
-      // the orphaned previous generation was cleaned up
+      // the orphaned previous generation is RETAINED by the recovery
+      // (the crash may be seconds old — a reader could still hold its
+      // paths); the FOLLOWING maintenance pass reclaims the whole chain
+      assert(new java.io.File(new java.net.URI(oldLoc)).exists,
+        "recovery must retain the previous generation for in-flight readers")
+      Layout.compact(spark, "b_swp")
       assert(!new java.io.File(new java.net.URI(oldLoc)).exists,
-        "old generation files must be removed by the recovery")
+        "the following maintenance pass must reclaim the retired chain")
       assert(!spark.catalog.tableExists("b_swp_compacting"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_swp")
       spark.sql("DROP TABLE IF EXISTS b_swp_compacting")
+    }
+  }
+
+  test("a reader planned before compaction completes against the retained generation") {
+    // VERDICT r14 #2: swapGeneration used to delete the old generation
+    // at swap time, so a reader that had resolved file paths
+    // pre-compaction failed mid-query with FileNotFoundException. With
+    // reader-safe retention the old generation survives until the NEXT
+    // maintenance pass.
+    val dir = Files.createTempDirectory("graft_ret").toString
+    val v1 = (1L to 500L).map(i => (i, s"a$i")).toDF("key", "x")
+    Layout.bucketize(v1, "b_ret", s"$dir/t", "key", 4)
+    try {
+      // the reader resolves its file listing NOW (spark.table caches
+      // the relation's InMemoryFileIndex at creation)
+      val reader = spark.table("b_ret")
+      // compact WITH a row transform so the generations differ — the
+      // proof the reader really answered from the retained one
+      Layout.compact(spark, "b_ret", (df: org.apache.spark.sql.DataFrame) => df.filter($"key" <= 400))
+      assert(reader.collect().length == 500,
+        "pre-compaction reader must complete against the retained generation")
+      assert(spark.table("b_ret").collect().length == 400,
+        "a fresh reader must see the new generation")
+      // the retained generation is LEGAL single-generation retention,
+      // not a dangling leak
+      assert(Layout.retiredGenerations(spark, "b_ret").size == 1)
+      assert(Layout.danglingGenerations(spark, "b_ret").isEmpty,
+        "the immediate previous generation is legal retention")
+      // the NEXT maintenance pass reclaims it (bounded retention)
+      Layout.compact(spark, "b_ret")
+      val retired = Layout.retiredGenerations(spark, "b_ret")
+      assert(retired.size == 1 && Layout.danglingGenerations(spark, "b_ret").isEmpty,
+        s"steady state retains exactly the newest retired generation, got $retired")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_ret")
     }
   }
 

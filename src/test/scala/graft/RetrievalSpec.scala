@@ -927,6 +927,95 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("bucket-scoped compaction: only fragmented buckets rewritten, answers unchanged, full compact still equals fresh survivor build") {
+    // VERDICT r14 #1: a bucket-local fragment/tombstone trigger must
+    // not pay an index-sized rewrite. Fixture: a full build (one file
+    // per bucket), then a TINY append whose two distinct terms
+    // fragment at most two term_h buckets, then a delete.
+    val dirA = Files.createTempDirectory("graft_bsc").toString
+    val dirB = Files.createTempDirectory("graft_bsc").toString
+    import graft.sources.Layout
+    def files(table: String): Map[String, Long] = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      new java.io.File(meta.location).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    val extra = Seq(
+      (900001L, "qqqalpha qqqbeta qqqalpha", "en"),
+      (900002L, "qqqalpha spark", "de"))
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_bsc_a", dirA, buckets = 8)
+      Postings.appendBatch(extra.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_bsc_a", batchId = 1L)
+      Postings.deleteBatch(
+        extra.take(1).toDF("doc_id", "text", "lang"), "doc_id", "text", "t_bsc_a", batchId = 2L)
+
+      val frag = Layout.fragmentedBucketIds(spark, "t_bsc_a_postings", 1)
+      assert(frag.nonEmpty && frag.size <= 3,
+        s"fixture should fragment only the appended terms' buckets, got $frag")
+      val before    = files("t_bsc_a_postings")
+      val untouched = before.keySet.filterNot(n => Layout.bucketIdOf(n).exists(frag.toSet))
+      val answerBefore = Postings
+        .bm25TopK(Postings.livePostings(spark, "t_bsc_a"), Postings.statsTable(spark, "t_bsc_a"),
+          Seq("spark", "qqqalpha", "merge"), 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+
+      val rewritten = Postings.compactFragmentedBuckets(spark, "t_bsc_a", maxFilesPerBucket = 1)
+      assert(rewritten == Map("t_bsc_a_postings" -> frag),
+        s"policy must rewrite exactly the fragmented buckets, got $rewritten")
+
+      // untouched buckets: files byte-identical (same names, sizes);
+      // touched buckets: back to one file each
+      val after = files("t_bsc_a_postings")
+      assert(untouched.forall(n => after.get(n) == before.get(n)),
+        "bucket-scoped compaction perturbed an untouched bucket's files")
+      frag.foreach { b =>
+        assert(after.keySet.count(n => Layout.bucketIdOf(n).contains(b)) == 1,
+          s"bucket $b not collapsed to one file")
+      }
+
+      // tombstone SET stays live (a doc's postings span many buckets —
+      // only the full compaction may clear it), but the rewritten
+      // buckets' tombstoned rows were dropped opportunistically
+      assert(Postings.tombstones(spark, "t_bsc_a").count() == 1,
+        "bucket-scoped compaction must NOT clear the tombstone set")
+      val deadInTouched = spark.read
+        .parquet(Layout.bucketFiles(spark, "t_bsc_a_postings", frag.toSet): _*)
+        .filter(col("doc_id") === 900001L).count()
+      assert(deadInTouched == 0, "tombstoned rows survived inside a rewritten bucket")
+
+      // answers and fsck unchanged
+      val answerAfter = Postings
+        .bm25TopK(Postings.livePostings(spark, "t_bsc_a"), Postings.statsTable(spark, "t_bsc_a"),
+          Seq("spark", "qqqalpha", "merge"), 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      assert(answerAfter == answerBefore && answerAfter.exists(_._1 == 900002L))
+      val fsck = Postings.checkIndex(spark, "t_bsc_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after bucket-scoped compaction: $fsck")
+
+      // idempotent at rest: nothing fragmented → no-op
+      assert(Postings.compactFragmentedBuckets(spark, "t_bsc_a", 1).isEmpty)
+
+      // a later FULL compaction still equals a fresh survivor build
+      Postings.compactIndex(spark, "t_bsc_a")
+      Postings.writeIndex(
+        docsDf.select(col("doc_id"), col("text"))
+          .unionByName(extra.drop(1).toDF("doc_id", "text", "lang").select(col("doc_id"), col("text"))),
+        "doc_id", "text", "t_bsc_b", dirB, buckets = 8)
+      assert(Postings.postingsTable(spark, "t_bsc_a")
+        .as[(Long, String, Long, Long, Long)].collect().toSet ==
+        Postings.postingsTable(spark, "t_bsc_b")
+          .as[(Long, String, Long, Long, Long)].collect().toSet,
+        "full compaction after a bucket-scoped pass diverged from the fresh survivor build")
+      assert(Postings.tombstones(spark, "t_bsc_a").count() == 0)
+    } finally {
+      Postings.dropIndex(spark, "t_bsc_a")
+      Postings.dropIndex(spark, "t_bsc_b")
+    }
+  }
+
   // ---------- classic (ln-idf) scoring mode ----------
 
   /** Plain-Scala classic-BM25 reference: same IEEE tree as the engine
