@@ -1020,6 +1020,109 @@ object SearchQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** BUCKET-SCOPED compaction AT THE GATE (VERDICT r14 #1): the d64
+    * lifecycle (build even half → committed append of the odd half →
+    * delete doc_id % 7 == 3) followed by
+    * `Postings.compactFragmentedBuckets` — the incremental maintenance
+    * pass that rewrites ONLY policy-triggered buckets and leaves the
+    * tombstone set live (a doc's postings span many term buckets; only
+    * the full compaction may clear it). The oracle is d64's survivor
+    * full-scan SQL, blind to the whole index history — a hash match
+    * proves the bucket-scoped rewrite is invisible to every query
+    * while it collapses the fragmented buckets' files (the
+    * only-touched-buckets and later-full-compact≡fresh-build
+    * properties are spec-pinned in RetrievalSpec).
+    */
+  val d70_bucket_compact: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_bcomp_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d70_bucket_compact_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
+    graft.retrieval.Postings.compactFragmentedBuckets(s, name, maxFilesPerBucket = 1)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("merge", "hash", "vector"), 50)
+  }
+
+  /** CLASSIC-mode faceted search on the rounded grid (VERDICT r14 #5):
+    * facet counts over the ln-idf top-20 — the proof the d65
+    * epsilon-oracle technique composes with DECORATION, not just
+    * pagination. The rank cut is taken on the 5-decimal grid under the
+    * margin guard (cross-engine bit-identical scores + strict total
+    * order ⇒ the top-20 row SET is engine-independent), so the facet
+    * aggregation downstream of the cut is over the identical docs on
+    * both engines and the all-integer counts hash-match. Decoration is
+    * the d62 point-fetch shape: the k-bounded ranked ids become a
+    * pushed `IN` on the doc_id-bucketed forward table — row-group
+    * pruned point reads, never a corpus join.
+    */
+  val d71_classic_facets: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
+    }
+    val pt    = graft.retrieval.Postings.livePostings(s, name)
+    val st    = graft.retrieval.Postings.statsTable(s, name)
+    val terms = Seq("vector", "merge", "scan")
+    val margin = roundingGridMargin(graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms))
+    require(
+      margin > 1e-8,
+      f"classic-BM25 score within $margin%.2e grid units of a rounding half-boundary — " +
+        "the 5-decimal rank cut under the facet aggregation is not safe for this corpus")
+    val top = graft.retrieval.Postings.bm25TopKClassicRounded(pt, st, terms, 20)
+    val ids = top.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    graft.retrieval.Postings.liveForward(s, name)
+      .filter(col("doc_id").isin(ids: _*))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** IVF MODEL-REFRESH migration AT THE GATE (VERDICT r14 #4): build
+    * the index on the even half under model A (centroids = vectors
+    * 0..7), append the odd half committed, then `retrainIvfIndex` to
+    * model B (vectors 8..15) — the explicit generation-swap migration
+    * that re-assigns every live vector under the new model. The oracle
+    * is e04's full-scan SQL with model B's centroid set over the full
+    * corpus, blind to the build/append/retrain history — a hash match
+    * proves retrained ≡ a fresh build under the new model (recall
+    * motivation and bit-for-bit table equality are spec-pinned in
+    * DedupKnnSpec).
+    */
+  val e12_ivf_retrain: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_ivfrt_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/e12_ivf_retrain_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+    def model(lo: Long, hi: Long) = e
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    graft.similarity.Knn.writeIvfIndex(
+      t.embeddings.filter(col("vec_id") % 2 === 0), model(0, 8), "vec_id", "embedding", name, path, buckets = 8)
+    graft.similarity.Knn.appendIvfBatch(
+      t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name, batchId = 1L)
+    graft.similarity.Knn.retrainIvfIndex(s, name, model(8, 16))
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -1051,9 +1154,12 @@ object SearchQueries {
     "d67p_phrase_delete_prod" -> d67p_phrase_delete_prod,
     "d68_classic_after" -> d68_classic_after,
     "d69_classic_multiquery" -> d69_classic_multiquery,
+    "d70_bucket_compact" -> d70_bucket_compact,
+    "d71_classic_facets" -> d71_classic_facets,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
     "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
+    "e12_ivf_retrain" -> e12_ivf_retrain,
   )
 
   /** Classic-mode oracle: the same full-scan template with
@@ -1229,7 +1335,31 @@ object SearchQueries {
         "QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY ROUND(score, 5) DESC, doc_id) <= 10")
       .replace(
         "ORDER BY query_id, score DESC, doc_id",
-        "ORDER BY query_id, ROUND(score, 5) DESC, doc_id"))
+        "ORDER BY query_id, ROUND(score, 5) DESC, doc_id"),
+    // d70: d64's survivor full-scan oracle VERBATIM — bucket-scoped
+    // compaction must be invisible to every query (same terms, same
+    // delete predicate; only the index's physical file layout differs)
+    "d70_bucket_compact" -> bm25OracleSql(
+      Seq("merge", "hash", "vector"),
+      "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    // d71: facet counts downstream of the classic rounded-grid top-20 —
+    // the rank cut on ROUND(score, 5) lands on the identical row set
+    // (margin-guarded), so the all-integer facet counts hash-match
+    "d71_classic_facets" -> {
+      val inner = bm25ClassicOracleSql(Seq("vector", "merge", "scan"), "text IS NOT NULL")
+      s"""WITH ranked AS (
+         |  SELECT doc_id FROM ($inner) q
+         |  QUALIFY row_number() OVER (ORDER BY score_r DESC, doc_id) <= 20)
+         |SELECT d.lang AS lang, d.source AS source, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents d JOIN ranked ON d.doc_id = ranked.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // e12: e04's oracle with model B's centroid set (vectors 8..15)
+    // over the full corpus — blind to the build/append/retrain history
+    "e12_ivf_retrain" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
+      "WHERE vec_id < 8",
+      "WHERE vec_id >= 8 AND vec_id < 16"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q36_restricted_filters" ->

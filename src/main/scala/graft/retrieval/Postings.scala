@@ -762,6 +762,165 @@ object Postings {
     checks.toSeq.toDF("check", "ok", "detail")
   }
 
+  /** The compaction dict-recount exposed standalone (VERDICT r14 #3):
+    * rewrite the dictionary as the EXACT per-term df over the live
+    * postings — the repair for both a corrupted (under-counting)
+    * dictionary and the legitimate between-delete-and-compaction
+    * overcount drift, without paying a full compaction. Same
+    * term-sorted layout as the compaction rewrite.
+    */
+  def recountDict(spark: SparkSession, name: String): Unit = {
+    val table = dictTableName(name)
+    Layout.recoverDanglingSwap(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val recounted = livePostings(spark, name)
+      .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
+      .sort(col("term"))
+    Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+      recounted.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+    }
+  }
+
+  /** fsck that HEALS (VERDICT r14 #3): map each red `checkIndex` row to
+    * a repair DERIVED from the surviving tables, apply it, and report
+    * one row per repair `(repair, applied, detail)`. Run AT REST, like
+    * `checkIndex`. The derivations:
+    *
+    *  - **torn deletes** (`sum_dl_equals_live_tf_sum` red): a delete
+    *    whose tombstones landed but whose negative stats marker didn't
+    *    is identified by batch id (tombstone batch ids with no negative
+    *    stats row — ad-hoc `-1` deletes carry no replay identity and
+    *    stay out of scope, see `deleteBatch`). The missing row is
+    *    derived from the index itself: every physical posting (and
+    *    positional) row carries the doc's `dl`, and the tombstoned rows
+    *    are still present before compaction — so `sum_dl` is the sum of
+    *    per-doc dl over the batch's traceable docs, and `n_docs` counts
+    *    docs with any trace (postings ∪ positional ∪ forward; the
+    *    forward side is what makes a zero-token doc traceable — without
+    *    it such a doc leaves no mark and the repair under-subtracts N,
+    *    which is the conservative direction: every ≤-invariant still
+    *    holds).
+    *  - **dictionary under-count** (`dict_df_covers_live_postings`
+    *    red): recount from the live postings (`recountDict` — the
+    *    compaction subroutine standalone).
+    *  - **forward orphans** (`forward_covers_posting_docs` red): the
+    *    missing rows are re-fetched from `corpus` (the one repair that
+    *    needs data the index doesn't hold — metadata was never in the
+    *    postings); reported-not-applied when `corpus` is None.
+    *  - **duplicated markers** (`marker_log_unique` red): the marker
+    *    log is pure replay state — duplicates are byte-identical by
+    *    construction and collapse to one row per (batch_id, kind).
+    */
+  def repairIndex(
+      spark: SparkSession,
+      name: String,
+      corpus: Option[DataFrame] = None,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    val hasStats = spark.catalog.tableExists(statsTableName(name))
+    val hasTombs = spark.catalog.tableExists(tombsTableName(name))
+    val hasPos   = spark.catalog.tableExists(posTableName(name))
+    val hasFwd   = spark.catalog.tableExists(forwardTableName(name))
+
+    // ---- torn deletes: write the missing negative stats rows ----
+    if (hasStats && hasTombs) {
+      val torn = spark.table(tombsTableName(name))
+        .filter(col("batch_id") >= 0).select(col("batch_id")).distinct()
+        .join(
+          statsTable(spark, name).filter(col("n_docs") < 0).select(col("batch_id")),
+          Seq("batch_id"), "left_anti")
+        .as[Long].collect().sorted
+      if (torn.isEmpty) out += (("torn_delete_stats", false, "no torn delete batches"))
+      torn.foreach { b =>
+        val ids = spark.table(tombsTableName(name))
+          .filter(col("batch_id") === b).select(col("doc_id")).distinct()
+        val dlTraces = {
+          val fromPost = postingsTable(spark, name).select(col("doc_id"), col("dl"))
+          if (hasPos) fromPost.unionByName(positionalTable(spark, name).select(col("doc_id"), col("dl")))
+          else fromPost
+        }
+        val perDoc = ids.join(dlTraces, Seq("doc_id")).groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        val traced =
+          if (hasFwd) perDoc.select(col("doc_id"))
+            .unionByName(ids.join(forwardTable(spark, name), Seq("doc_id"), "left_semi"))
+            .distinct()
+          else perDoc.select(col("doc_id"))
+        val r = traced.join(perDoc, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+        val n = r.getLong(0)
+        val s = if (r.isNullAt(1)) 0L else r.getLong(1)
+        if (n == 0L)
+          out += (("torn_delete_stats", false, s"batch $b: no traceable docs — replay the delete batch manually"))
+        else {
+          spark.range(1)
+            .select(lit(-n).as("n_docs"), lit(-s).as("sum_dl"), lit(b).as("batch_id"))
+            .write.mode("append").insertInto(statsTableName(name))
+          out += (("torn_delete_stats", true, s"batch $b: restored n_docs=-$n sum_dl=-$s"))
+        }
+      }
+    }
+
+    // ---- dictionary under-count: recount from live postings ----
+    if (spark.catalog.tableExists(dictTableName(name)) &&
+      spark.catalog.tableExists(postingsTableName(name))) {
+      val under = dictTable(spark, name)
+        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("dict_df"))
+        .join(
+          livePostings(spark, name)
+            .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("live_df")),
+          Seq("term_h", "term"), "right")
+        .filter(coalesce(col("dict_df"), lit(0L)) < col("live_df"))
+        .count()
+      if (under > 0) {
+        recountDict(spark, name)
+        out += (("dict_recount", true, s"$under under-counted terms recounted from live postings"))
+      } else out += (("dict_recount", false, "dictionary covers live postings"))
+    }
+
+    // ---- forward orphans: re-fetch from the corpus ----
+    if (hasFwd && spark.catalog.tableExists(postingsTableName(name))) {
+      val orphanIds = livePostings(spark, name).select(col("doc_id")).distinct()
+        .join(liveForward(spark, name).select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val nOrphans = orphanIds.count()
+      if (nOrphans == 0) out += (("forward_orphans", false, "forward covers all posting docs"))
+      else
+        corpus match {
+          case None =>
+            out += (("forward_orphans", false,
+              s"$nOrphans orphaned posting docs — pass the corpus frame to re-fetch their forward rows"))
+          case Some(c) =>
+            val metaCols = spark.table(forwardTableName(name)).columns.filterNot(_ == "doc_id").toSeq
+            Layout.append(
+              forwardRows(c, idCol, textCol, metaCols)
+                .join(orphanIds, Seq("doc_id"), "left_semi"),
+              forwardTableName(name))
+            out += (("forward_orphans", true, s"$nOrphans forward rows re-fetched from the corpus"))
+        }
+    }
+
+    // ---- duplicated replay markers: collapse the log ----
+    if (spark.catalog.tableExists(posMarkersTableName(name))) {
+      val table = posMarkersTableName(name)
+      val dups = spark.table(table)
+        .groupBy(col("batch_id"), col("kind"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      if (dups > 0) {
+        Layout.recoverDanglingSwap(spark, table)
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val deduped = spark.read.schema(meta.schema).parquet(meta.location.toString).distinct()
+        Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+          deduped.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+        }
+        out += (("marker_dedup", true, s"$dups duplicated (batch_id, kind) markers collapsed"))
+      } else out += (("marker_dedup", false, "marker log unique"))
+    }
+    out.toSeq.toDF("repair", "applied", "detail")
+  }
+
   def dropIndex(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS ${postingsTableName(name)}")
     spark.sql(s"DROP TABLE IF EXISTS ${statsTableName(name)}")

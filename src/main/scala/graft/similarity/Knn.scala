@@ -569,6 +569,149 @@ object Knn {
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(centsTableName(name))
 
+  /** Rewrite the IVF table's generation with `rows` (same bucket spec,
+    * same swap discipline as every rewrite) — shared by repair and
+    * retrain.
+    */
+  private def rewriteIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      rows: DataFrame): Unit = {
+    val table = ivfTableName(name)
+    graft.sources.Layout.recoverDanglingSwap(spark, table)
+    graft.sources.Layout.recoverBucketCompact(spark, table)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table has no bucket spec"))
+    graft.sources.Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+      graft.sources.Layout.bucketize(
+        rows.repartition(spec.numBuckets, rows("cell")),
+        scratch, newDir, Seq("cell"), spec.numBuckets)
+    }
+  }
+
+  /** fsck that HEALS, vector side (VERDICT r14 #3): map each red
+    * `checkIvfIndex` row to a repair derived from the index and the
+    * frozen model, apply it in ONE generation rewrite, and report
+    * `(repair, applied, detail)` rows. Derivations:
+    *
+    *  - **drifted norms** (`norms_consistent` red): `nn` is a pure
+    *    function of `nv` — recompute `sqrt(dot(nv, nv))`, the identical
+    *    IEEE tree assignment and scoring build (bit-identity on healthy
+    *    rows, so the rewrite is a no-op for them).
+    *  - **foreign cells** (`cells_from_model` red): a cell absent from
+    *    the centroid table is unreachable by any query's assignment —
+    *    re-assign those rows under the FROZEN model (`assignCells`,
+    *    the same pure per-row function appends use).
+    *  - **duplicate vectors** (`vector_unique` red): replays that
+    *    bypassed the marker log write byte-identical rows — keep one
+    *    per id (deterministic smallest-(cell, nn) pick for the
+    *    corrupted-divergent case).
+    *  - **duplicated markers** (`marker_log_unique` red): collapse to
+    *    one row per (batch_id, kind), as in `Postings.repairIndex`.
+    */
+  def repairIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    val raw   = ivfTable(spark, name)
+    val cents = ivfCentroids(spark, name)
+    val badNorms = raw.filter(col("nn") =!= sqrt(dot(col("nv"), col("nv")))).count()
+    val foreign = raw
+      .join(broadcast(cents.select(col("c_id").as("cell"))), Seq("cell"), "left_anti").count()
+    val stats = raw.agg(count(lit(1)), countDistinct(col("n_id"))).head()
+    val dups  = stats.getLong(0) - stats.getLong(1)
+    if (badNorms == 0 && foreign == 0 && dups == 0) {
+      out += (("ivf_rewrite", false, "norms, cells and uniqueness all consistent"))
+    } else {
+      // one pass, one rewrite: recompute norms (identity on healthy
+      // rows), re-assign only the foreign-cell rows, dedupe by id
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(ivfTableName(name)))
+      val fixed = spark.read.schema(meta.schema).parquet(meta.location.toString)
+        .withColumn("nn", sqrt(dot(col("nv"), col("nv"))))
+      val known = fixed.join(
+        broadcast(cents.select(col("c_id").as("cell"))), Seq("cell"), "left_semi")
+      val reassigned = assignCells(
+        fixed.join(broadcast(cents.select(col("c_id").as("cell"))), Seq("cell"), "left_anti")
+          .select(col("n_id"), col("nv").as("v"), col("nn").as("nrm")),
+        cents, "n_id")
+        .select(col("cell"), col("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_id")).orderBy(col("cell"), col("nn"))
+      val deduped = known.select(col("cell"), col("n_id"), col("nv"), col("nn"))
+        .unionByName(reassigned)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+      rewriteIvf(spark, name, deduped)
+      out += (("ivf_rewrite", true,
+        s"$badNorms drifted norms recomputed, $foreign foreign-cell rows re-assigned, $dups duplicates dropped"))
+    }
+    if (spark.catalog.tableExists(ivfMarkersTableName(name))) {
+      val table = ivfMarkersTableName(name)
+      val mdups = spark.table(table)
+        .groupBy(col("batch_id"), col("kind"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      if (mdups > 0) {
+        graft.sources.Layout.recoverDanglingSwap(spark, table)
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table))
+        val deduped = spark.read.schema(meta.schema).parquet(meta.location.toString).distinct()
+        graft.sources.Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
+          deduped.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+        }
+        out += (("marker_dedup", true, s"$mdups duplicated (batch_id, kind) markers collapsed"))
+      } else out += (("marker_dedup", false, "marker log unique"))
+    }
+    out.toSeq.toDF("repair", "applied", "detail")
+  }
+
+  /** MODEL-REFRESH migration (VERDICT r14 #4) — un-freeze the centroid
+    * model safely: re-assign every LIVE vector under `newCentroids`
+    * and swap the index to the new model as an explicit generation
+    * rewrite, never a silent drift. The motivation is recall: the
+    * frozen model is what keeps appends bit-exact, but a corpus that
+    * drifts away from the centroids' training distribution packs into
+    * few cells and same-cell recall decays (measured in DedupKnnSpec's
+    * drifted-corpus leg) — re-training restores it without rebuilding
+    * the vectors themselves.
+    *
+    * Semantics: identical to a FRESH `writeIvfIndex` of the surviving
+    * corpus under the new model, bit for bit (spec-pinned — stored
+    * `nv`/`nn` are the same doubles a fresh build would recompute, and
+    * assignment is a pure function of them). Like compaction, the
+    * rewrite reads the LIVE view, so tombstoned vectors drop
+    * physically and the set clears LAST; the marker log is untouched
+    * (replayed batches stay no-ops). Swap order index-then-model: a
+    * crash in between leaves cells the OLD model can't reach, which
+    * `checkIvfIndex.cells_from_model` flags and a RE-RUN of the same
+    * retrain heals (assignment is pure and the live view is already
+    * the survivor set).
+    */
+  def retrainIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      newCentroids: DataFrame): Unit = {
+    require(
+      Seq("c_id", "cv", "cn").forall(newCentroids.columns.contains),
+      "newCentroids must carry (c_id, cv, cn)")
+    val tombsWere = graft.sources.IndexLifecycle.tombsLive(spark, ivfTombsTableName(name))
+    val reassigned = assignCells(
+      liveIvf(spark, name).select(col("n_id"), col("nv").as("v"), col("nn").as("nrm")),
+      newCentroids, "n_id")
+      .select(col("cell"), col("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    rewriteIvf(spark, name, reassigned)
+    // model swap second (see crash-window note above)
+    val centsTable = centsTableName(name)
+    graft.sources.Layout.recoverDanglingSwap(spark, centsTable)
+    val centsMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(centsTable))
+    graft.sources.Layout.swapGeneration(spark, centsTable, centsMeta) { (scratch, newDir) =>
+      newCentroids.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+    }
+    if (tombsWere)
+      graft.sources.IndexLifecycle.clearTombs(spark, ivfTombsTableName(name), "vec_id")
+  }
+
   /** Maintenance CONSISTENCY CHECK for the IVF index — the vector
     * twin of `Postings.checkIndex` (run at rest; one row per check):
     *

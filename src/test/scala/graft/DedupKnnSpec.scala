@@ -850,6 +850,122 @@ class DedupKnnSpec extends SparkTestBase {
     } finally Knn.dropIvfIndex(spark, "t_ivfp_a")
   }
 
+  test("IVF retrain migration: retrained index == fresh build under the new model bit-for-bit; tombstones drop, markers survive") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    def model(lo: Long, hi: Long) = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      // lifecycle under model A: build evens, append odds, delete some
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), model(0, 8), "vec_id", "embedding", "t_rt_a", dirA, buckets = 4)
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "t_rt_a", batchId = 1L)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", "t_rt_a", batchId = 2L)
+      // migrate to model B (an explicit retrain, never a silent drift)
+      Knn.retrainIvfIndex(spark, "t_rt_a", model(8, 16))
+      // fresh build of the SURVIVING corpus under model B
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 9 =!= 2), model(8, 16), "vec_id", "embedding", "t_rt_b", dirB, buckets = 4)
+      // bit-for-bit: same (cell, id, norm) rows, and the vectors match
+      assert(Knn.ivfTable(spark, "t_rt_a")
+        .select(col("cell"), col("n_id"), col("nn")).as[(Long, Long, Double)].collect().toSet ==
+        Knn.ivfTable(spark, "t_rt_b")
+          .select(col("cell"), col("n_id"), col("nn")).as[(Long, Long, Double)].collect().toSet,
+        "retrained index diverged from the fresh build under the new model")
+      val vecMismatch = Knn.ivfTable(spark, "t_rt_a").select(col("n_id"), col("nv"))
+        .join(Knn.ivfTable(spark, "t_rt_b").select(col("n_id"), col("nv").as("nv_b")), Seq("n_id"))
+        .filter(!(col("nv") === col("nv_b"))).count()
+      assert(vecMismatch == 0, "stored vectors changed under retrain")
+      // tombstoned vectors dropped physically, set cleared; model swapped
+      assert(spark.table("t_rt_a_ivftombs").count() == 0)
+      assert(Knn.ivfCentroids(spark, "t_rt_a").select(col("c_id")).as[Long].collect().toSet ==
+        (8L until 16L).toSet)
+      // marker log untouched: the committed append replays as a no-op
+      val rows = Knn.ivfTable(spark, "t_rt_a").count()
+      Knn.appendIvfBatch(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "t_rt_a", batchId = 1L)
+      assert(Knn.ivfTable(spark, "t_rt_a").count() == rows,
+        "retrain lost the marker log — replayed batch re-appended")
+      // reads equal the fresh build; fsck green
+      val q = emb.filter(col("vec_id") < 3)
+      def topK(n: String) = Knn.ivfTopK(spark, n, q, "vec_id", "embedding", k = 5)
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+      assert(topK("t_rt_a") == topK("t_rt_b") && topK("t_rt_a").nonEmpty)
+      val fsck = Knn.checkIvfIndex(spark, "t_rt_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after retrain: $fsck")
+    } finally {
+      Knn.dropIvfIndex(spark, "t_rt_a")
+      Knn.dropIvfIndex(spark, "t_rt_b")
+    }
+  }
+
+  test("IVF retrain recall re-gate: a drifted corpus's recall is restored by re-training the model") {
+    // the MOTIVATION leg (VERDICT r14 #4): a corpus clustered far from
+    // the frozen model's training distribution splits clusters across
+    // cells and same-cell recall decays; retraining on the true
+    // centers restores it. Fully deterministic synthetic fixture:
+    // 4 tight clusters on orthogonal axes; the STALE model's centroids
+    // are the pairwise cluster midpoints, so each cluster's members
+    // split between two cells by jitter sign.
+    // Each cluster j sweeps an angular gradient on its own axis pair
+    // (dims 2j, 2j+1): theta_k = 4k - 38.8 degrees, so the cluster
+    // crosses theta = 0 between k=9 and k=10. The STALE model has two
+    // centroids per cluster at theta = ±45°, splitting every cluster
+    // at theta = 0 — a query next to the boundary provably loses
+    // same-cluster neighbors on the other side. The TRUE model has one
+    // centroid per cluster at theta = 0: the whole cluster shares a
+    // cell and recall is exact. Cross-cluster cosines are 0 (disjoint
+    // axis pairs), so nothing interferes.
+    val dim = 8
+    val points = for { j <- 0 until 4; k <- 0 until 20 } yield {
+      val theta = math.toRadians(4.0 * k - 38.8)
+      val v = Array.fill(dim)(0.0f)
+      v(2 * j) = (5.0 * math.cos(theta)).toFloat
+      v(2 * j + 1) = (5.0 * math.sin(theta)).toFloat
+      (j * 100L + k, v.toSeq)
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    def centroidDf(cs: Seq[(Long, Seq[Double])]) = {
+      val df = cs.toDF("c_id", "cv")
+      df.withColumn("cn", sqrt(Knn.dot(col("cv"), col("cv"))))
+    }
+    val trueModel = centroidDf(
+      (0 until 4).map(j => (j.toLong, Seq.tabulate(dim)(d => if (d == 2 * j) 1.0 else 0.0))))
+    val staleModel = centroidDf(
+      for { j <- 0 until 4; s <- Seq(1, -1) } yield (
+        (10 + 2 * j + (1 - s) / 2).toLong,
+        Seq.tabulate(dim)(d =>
+          if (d == 2 * j) math.cos(math.toRadians(45.0))
+          else if (d == 2 * j + 1) s * math.sin(math.toRadians(45.0))
+          else 0.0)))
+    // queries = the two boundary-adjacent points of each cluster — the
+    // ones whose nearest neighbors straddle the stale split
+    val queries = corpus.filter(col("vec_id") % 100 === 9 || col("vec_id") % 100 === 10)
+    val truth = Knn.bruteTopK(queries, corpus, "vec_id", "embedding", 3)
+      .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+    def recall(n: String): Double = {
+      val got = Knn.ivfTopK(spark, n, queries, "vec_id", "embedding", k = 3)
+        .select(col("q_id"), col("n_id")).as[(Long, Long)].collect().toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rtr").toString
+    try {
+      Knn.writeIvfIndex(corpus, staleModel, "vec_id", "embedding", "t_rtr_a", dir, buckets = 4)
+      val recallStale = recall("t_rtr_a")
+      Knn.retrainIvfIndex(spark, "t_rtr_a", trueModel)
+      val recallTrue = recall("t_rtr_a")
+      info(s"recall stale=$recallStale retrained=$recallTrue")
+      assert(recallTrue >= 0.95, s"retrained recall $recallTrue below the gate")
+      assert(recallTrue > recallStale + 0.1,
+        s"fixture must demonstrate the recall motivation: stale=$recallStale retrained=$recallTrue")
+    } finally Knn.dropIvfIndex(spark, "t_rtr_a")
+  }
+
   test("IVF bucket-scoped compaction: only fragmented cell buckets rewritten; per-bucket tombstone accounting is exact") {
     // VERDICT r14 #1, vector side. Unlike postings (a doc spans many
     // term buckets) an IVF vector lives in ONE cell bucket, so a

@@ -66,6 +66,160 @@ class IndexCheckSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, name)
   }
 
+  test("repairIndex heals every derived corruption: torn delete, dict undercount, forward orphans, marker dups") {
+    val dirA = Files.createTempDirectory("graft_rep").toString
+    val dirB = Files.createTempDirectory("graft_rep").toString
+    val name = "t_rep_a"
+    val twin = "t_rep_b"
+    def repMap(df: org.apache.spark.sql.DataFrame): Map[String, (Boolean, String)] =
+      df.select("repair", "applied", "detail").as[(String, Boolean, String)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    try {
+      Postings.writeIndex(
+        docs.take(6).toDF("doc_id", "text", "lang"), "doc_id", "text", name, dirA,
+        buckets = 4, metaCols = Seq("lang"))
+      Postings.writePositionalIndex(
+        docs.take(6).toDF("doc_id", "text", "lang"), "doc_id", "text", name, s"$dirA/pos", buckets = 4)
+      Postings.appendBatch(
+        docs.drop(6).toDF("doc_id", "text", "lang"), "doc_id", "text", name, batchId = 1L)
+      Postings.appendPositionalBatch(
+        docs.drop(6).toDF("doc_id", "text", "lang"), "doc_id", "text", name, batchId = 1L)
+      // the clean twin: the lifecycle repair must converge to — same
+      // corpus with docs 2 and 6 genuinely deleted (live view)
+      Postings.writeIndex(
+        docs.filterNot(d => Set(2L, 6L)(d._1)).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", twin, dirB, buckets = 4, metaCols = Seq("lang"))
+
+      // on a HEALTHY index every repair is a no-op
+      val noop = repMap(Postings.repairIndex(spark, name))
+      assert(noop.values.forall(!_._1), s"healthy index must need no repairs: $noop")
+
+      // ---- torn delete: tombstones for docs 2 (4 tokens) and 6
+      // (token-less — only the forward row makes it traceable) landed,
+      // the negative stats marker did not ----
+      Seq((2L, 9L), (6L, 9L)).toDF("doc_id", "batch_id")
+        .write.mode("append").insertInto(s"${name}_tombs")
+      assert(!checkMap(Postings.checkIndex(spark, name))("sum_dl_equals_live_tf_sum"))
+      val r1 = repMap(Postings.repairIndex(spark, name))
+      assert(r1("torn_delete_stats")._1, s"torn delete not repaired: $r1")
+      assert(checkMap(Postings.checkIndex(spark, name)).values.forall(identity),
+        "fsck not green after the torn-delete repair")
+      // the restored stats equal a genuine deleteBatch's: survivor
+      // totals match the clean twin's
+      def totals(n: String) = Postings.statsTable(spark, n)
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).as[(Long, Long)].head()
+      assert(totals(name) == totals(twin), s"repaired stats ${totals(name)} != twin ${totals(twin)}")
+      def bm25(n: String) = Postings.bm25TopK(
+        Postings.livePostings(spark, n), Postings.statsTable(spark, n),
+        Seq("spark", "merge", "vector"), 10).as[(Long, Long, Long, Double)].collect().toSeq
+      assert(bm25(name) == bm25(twin) && bm25(name).nonEmpty,
+        "post-repair ranking diverged from the genuine-delete twin")
+
+      // ---- dictionary under-count: a negative partial makes the df
+      // sum under-cover the live postings ----
+      val mergeRow = Postings.dictTable(spark, name).filter(col("term") === "merge")
+        .limit(1).collect().head
+      spark.range(1)
+        .select(
+          lit(mergeRow.getLong(0)).as("term_h"), lit("merge").as("term"),
+          lit(-mergeRow.getLong(2)).as("df"))
+        .write.mode("append").insertInto(s"${name}_dict")
+      assert(!checkMap(Postings.checkIndex(spark, name))("dict_df_covers_live_postings"))
+      val r2 = repMap(Postings.repairIndex(spark, name))
+      assert(r2("dict_recount")._1)
+      assert(checkMap(Postings.checkIndex(spark, name)).values.forall(identity))
+      // recounted df == the twin's (same live corpus)
+      assert(Postings.termDfs(spark, name, Seq("spark", "merge", "scan")) ==
+        Postings.termDfs(spark, twin, Seq("spark", "merge", "scan")))
+
+      // ---- forward orphans: recreate the forward table minus doc 5 ----
+      val kept = Postings.forwardTable(spark, name).filter(col("doc_id") =!= 5L)
+      val keptLocal = spark.createDataFrame(
+        java.util.Arrays.asList(kept.collect(): _*), kept.schema)
+      spark.sql(s"DROP TABLE ${name}_forward")
+      graft.sources.Layout.bucketize(
+        keptLocal, s"${name}_forward", s"$dirA/forward2", Seq("doc_id"), 4)
+      assert(!checkMap(Postings.checkIndex(spark, name))("forward_covers_posting_docs"))
+      // without the corpus the repair is reported, not applied
+      val r3a = repMap(Postings.repairIndex(spark, name))
+      assert(!r3a("forward_orphans")._1 && r3a("forward_orphans")._2.contains("corpus"))
+      val r3 = repMap(Postings.repairIndex(
+        spark, name, corpus = Some(docs.toDF("doc_id", "text", "lang"))))
+      assert(r3("forward_orphans")._1)
+      assert(checkMap(Postings.checkIndex(spark, name)).values.forall(identity))
+      assert(Postings.liveForward(spark, name).as[(Long, String)].collect().toSet ==
+        Postings.liveForward(spark, twin).as[(Long, String)].collect().toSet,
+        "re-fetched forward rows diverged from the twin")
+
+      // ---- duplicated marker: replay idempotence restored by dedup ----
+      Seq((1L, "a")).toDF("batch_id", "kind").write.mode("append")
+        .insertInto(s"${name}_posmarkers")
+      assert(!checkMap(Postings.checkIndex(spark, name))("marker_log_unique"))
+      val r4 = repMap(Postings.repairIndex(spark, name))
+      assert(r4("marker_dedup")._1)
+      assert(checkMap(Postings.checkIndex(spark, name)).values.forall(identity))
+      // and the replay check still holds: committed batch 1 stays a no-op
+      val posRows = Postings.positionalTable(spark, name).count()
+      Postings.appendPositionalBatch(
+        docs.drop(6).toDF("doc_id", "text", "lang"), "doc_id", "text", name, batchId = 1L)
+      assert(Postings.positionalTable(spark, name).count() == posRows)
+    } finally {
+      Postings.dropIndex(spark, name)
+      Postings.dropIndex(spark, twin)
+    }
+  }
+
+  test("repairIvfIndex turns every red IVF check green; healthy index is a no-op") {
+    val dir = Files.createTempDirectory("graft_repv").toString
+    val name = "t_rep_v"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      Knn.writeIvfIndex(emb, cents, "vec_id", "embedding", name, dir, buckets = 4)
+      Knn.appendIvfBatch(emb.limit(0), "vec_id", "embedding", name, batchId = 1L) // marker table exercised
+      val healthy = Knn.repairIvfIndex(spark, name)
+        .select("repair", "applied").as[(String, Boolean)].collect().toMap
+      assert(healthy.values.forall(!identity(_)), s"healthy IVF index must need no repairs: $healthy")
+      val cleanRows = Knn.ivfTable(spark, name)
+        .select(col("cell"), col("n_id"), col("nn")).as[(Long, Long, Double)].collect().toSet
+
+      def oneRow() = {
+        val t = Knn.ivfTable(spark, name)
+        spark.createDataFrame(java.util.Arrays.asList(t.limit(1).collect(): _*), t.schema)
+      }
+      // all three structural corruptions at once + a duplicated marker
+      oneRow().write.mode("append").insertInto(s"${name}_ivf") // duplicate id
+      oneRow()
+        .select(lit(999L).as("cell"), lit(999999L).as("n_id"), col("nv"), col("nn"))
+        .write.mode("append").insertInto(s"${name}_ivf") // foreign cell
+      oneRow()
+        .select(col("cell"), lit(999998L).as("n_id"), col("nv"), (col("nn") + 1.0).as("nn"))
+        .write.mode("append").insertInto(s"${name}_ivf") // drifted norm
+      Seq((7L, "a"), (7L, "a")).toDF("batch_id", "kind")
+        .write.mode("append").insertInto(s"${name}_ivfmarkers") // dup marker
+      val red = checkMap(Knn.checkIvfIndex(spark, name))
+      assert(!red("vector_unique") && !red("cells_from_model") &&
+        !red("norms_consistent") && !red("marker_log_unique"))
+
+      val rep = Knn.repairIvfIndex(spark, name)
+        .select("repair", "applied").as[(String, Boolean)].collect().toMap
+      assert(rep("ivf_rewrite") && rep("marker_dedup"), s"repairs not applied: $rep")
+      val green = checkMap(Knn.checkIvfIndex(spark, name))
+      assert(green.values.forall(identity), s"fsck not green after repairIvfIndex: $green")
+      // the original vectors are untouched (the two injected fresh ids
+      // are structurally valid after repair and remain — a repair can
+      // heal invariants, not unknow data)
+      val repaired = Knn.ivfTable(spark, name)
+        .select(col("cell"), col("n_id"), col("nn")).as[(Long, Long, Double)].collect().toSet
+      assert(cleanRows.subsetOf(repaired), "repair lost healthy rows")
+      assert(repaired.size == cleanRows.size + 2)
+    } finally Knn.dropIvfIndex(spark, name)
+  }
+
   test("legacy single-column marker log refuses loudly instead of mis-reading replay state") {
     // a pre-r14 index persisted its marker log as bare (batch_id);
     // under the kind-separated contract that log is unreadable —

@@ -92,6 +92,16 @@ class PlanQualitySpec extends SparkTestBase {
     // d69: classic mode of d61's plan — same one-row stats broadcast;
     // the per-query window reads the aggregated match frame, not RAW
     "d69_classic_multiquery" -> Set("BroadcastNestedLoopJoin"),
+    // d70: the post-bucket-compaction read is d64's bm25TopK plan —
+    // same one-row corpus-stats broadcast (the bucket-scoped rewrite
+    // happens eagerly in the builder, not in the returned plan)
+    "d70_bucket_compact" -> Set("BroadcastNestedLoopJoin"),
+    // (d71 returns the forward-table facet agg over a pushed IN — the
+    // classic ranking and margin guard run eagerly in the builder, so
+    // the returned plan is clean and needs no exception)
+    // e12: the post-retrain read is the pruned ivfTopK plan — the same
+    // broadcast K-row centroid-model cross join as e10/e11
+    "e12_ivf_retrain" -> Set("BroadcastNestedLoopJoin"),
     // e11p: the pre-deleted prod read is e11's pruned ivfTopK plan
     // (broadcast K-row centroid-model cross join for the query batch)
     "e11p_ivf_delete_prod" -> Set("BroadcastNestedLoopJoin"),
