@@ -1089,6 +1089,66 @@ object SearchQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** CLASSIC-mode snippet (KWIC) extraction on the rounded grid — the
+    * second decoration consumer from VERDICT r14 #5 (facets landed as
+    * d71): a ±3-token window around each top-10 doc's first query-term
+    * occurrence, downstream of the ln-idf rank cut. The cut is taken
+    * on the 5-decimal grid under the margin guard (cross-engine
+    * bit-identical rounded scores + strict total order ⇒ the top-10
+    * row SET is engine-independent), so the string-valued snippet
+    * stage operates on the identical docs on both engines and the
+    * snippets hash-match exactly (all array arithmetic native and
+    * 1-based on both: `array_position`/`slice`/`concat_ws`). Fetch is
+    * the d62 point-fetch shape — the k-bounded ranked ids become a
+    * pushed `IN` on the corpus scan, never a corpus join.
+    */
+  val d72_classic_snippets: Q = (s, dir) => {
+    val t = Tables(s, dir)
+    val name = ensureIndex(s, dir, "bm25prod") { (n, p) =>
+      graft.retrieval.Postings.writeIndex(
+        t.documents, "doc_id", "text", n, p, buckets = 16, metaCols = Seq("lang", "source"),
+        denormFacets = true)
+    }
+    val pt    = graft.retrieval.Postings.livePostings(s, name)
+    val st    = graft.retrieval.Postings.statsTable(s, name)
+    val terms = Seq("vector", "merge", "scan")
+    val margin = roundingGridMargin(graft.retrieval.Postings.bm25ScoredClassic(pt, st, terms))
+    require(
+      margin > 1e-8,
+      f"classic-BM25 score within $margin%.2e grid units of a rounding half-boundary — " +
+        "the 5-decimal rank cut under the snippet stage is not safe for this corpus")
+    val top = graft.retrieval.Postings.bm25TopKClassicRounded(pt, st, terms, 10)
+    // k-bounded (10) driver collect: the id list becomes a pushed
+    // IN filter on the corpus scan — the point-fetch stage
+    val ids = top.select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (ids.isEmpty) {
+      t.documents
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          lit(null).cast("long").as("pos"),
+          lit(null).cast("string").as("snippet"))
+        .limit(0)
+    } else {
+      t.documents
+        .filter(col("doc_id").isin(ids: _*))
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("tk"))
+        // array_position yields 0 for "absent" — nullif() it so least()
+        // (null-skipping on both engines) picks the first PRESENT term
+        .withColumn(
+          "pos",
+          least(terms.map(tm => nullif(array_position(col("tk"), tm), lit(0L))): _*)
+            .cast("long"))
+        .withColumn("start", greatest(col("pos") - 3, lit(1L)))
+        .select(
+          col("doc_id"),
+          col("pos"),
+          concat_ws(" ", slice(col("tk"), col("start").cast("int"), lit(7))).as("snippet"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** IVF MODEL-REFRESH migration AT THE GATE (VERDICT r14 #4): build
     * the index on the even half under model A (centroids = vectors
     * 0..7), append the odd half committed, then `retrainIvfIndex` to
@@ -1156,6 +1216,7 @@ object SearchQueries {
     "d69_classic_multiquery" -> d69_classic_multiquery,
     "d70_bucket_compact" -> d70_bucket_compact,
     "d71_classic_facets" -> d71_classic_facets,
+    "d72_classic_snippets" -> d72_classic_snippets,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
     "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
@@ -1359,7 +1420,31 @@ object SearchQueries {
     // over the full corpus — blind to the build/append/retrain history
     "e12_ivf_retrain" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
       "WHERE vec_id < 8",
-      "WHERE vec_id >= 8 AND vec_id < 16"))
+      "WHERE vec_id >= 8 AND vec_id < 16"),
+    // d72: KWIC snippets downstream of the classic rounded-grid top-10 —
+    // the rank cut on ROUND(score, 5) lands on the identical row set
+    // (margin-guarded), so the string-valued snippets hash-match
+    "d72_classic_snippets" -> {
+      val inner = bm25ClassicOracleSql(Seq("vector", "merge", "scan"), "text IS NOT NULL")
+      s"""WITH ranked AS (
+         |  SELECT doc_id FROM ($inner) q
+         |  QUALIFY row_number() OVER (ORDER BY score_r DESC, doc_id) <= 10),
+         |tk2 AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+         |  FROM documents JOIN ranked USING (doc_id)),
+         |pos AS (
+         |  SELECT doc_id, tk,
+         |         CAST(least(nullif(list_position(tk, 'vector'), 0),
+         |                    nullif(list_position(tk, 'merge'),  0),
+         |                    nullif(list_position(tk, 'scan'),   0)) AS BIGINT) AS pos
+         |  FROM tk2)
+         |SELECT doc_id, pos,
+         |       array_to_string(list_slice(tk, CAST(greatest(pos - 3, 1) AS INT),
+         |                                  CAST(greatest(pos - 3, 1) + 6 AS INT)), ' ') AS snippet
+         |FROM pos
+         |ORDER BY doc_id""".stripMargin
+    })
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "q36_restricted_filters" ->
