@@ -61,14 +61,20 @@ object ProfileR15Buckets {
     Seq(20, 80).foreach(build)
     var batchId = 1L
     for (m <- Seq(20, 80)) {
+      // cycle 0 is discarded: it compacts the BUILD's fragmentation
+      // (one file per write task per bucket), not the append's — only
+      // steady-state cycles measure the bucket-local maintenance cost
+      batchId += 1; cycle(m, smallTerms, batchId)
       val small = (1 to reps).map { _ =>
-        batchId += 1; cycle(m, smallTerms, batchId)
+        batchId += 1; val c = cycle(m, smallTerms, batchId)
+        println(f"[r15bkt] m=$m%-3d small cycle k=${c._1}%2d t=${c._2}%7.3fs"); c
       }
       val wide = (1 to reps).map { _ =>
-        batchId += 1; cycle(m, wideTerms, batchId)
+        batchId += 1; val c = cycle(m, wideTerms, batchId)
+        println(f"[r15bkt] m=$m%-3d wide  cycle k=${c._1}%2d t=${c._2}%7.3fs"); c
       }
-      val tS = small.map(_._2).min; val kS = small.head._1
-      val tW = wide.map(_._2).min; val kW = wide.head._1
+      val tS = small.map(_._2).min; val kS = small.map(_._1).max
+      val tW = wide.map(_._2).min; val kW = wide.map(_._1).max
       // full compaction baseline (the index is clean again after the
       // cycles — append once more so the full pass has work to do)
       batchId += 1
