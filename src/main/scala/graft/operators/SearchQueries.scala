@@ -1149,6 +1149,73 @@ object SearchQueries {
     }
   }
 
+  /** Tombstone RETIREMENT at the gate (round 15): d64's full lifecycle
+    * (build even half → append odd half → delete every 7th) followed by
+    * `maintainIncremental` with a zero tombstone budget — the
+    * never-full-rewrite maintenance policy: the tombstoned docs'
+    * physical rows are dropped by rewriting exactly the buckets that
+    * hold them (trace-scan → `Layout.compactBuckets`), the set clears,
+    * and fragmentation defrags bucket-locally — no generation swap
+    * anywhere. The oracle is d64's survivor full-scan SQL VERBATIM,
+    * blind to the whole maintenance history: a hash match proves
+    * retirement is invisible to every query while it bounds the
+    * tombstone set (physical-drop and post-clear re-ingest parity are
+    * spec-pinned in RetrievalSpec).
+    */
+  val d73_tombstone_retire: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_retire_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d73_tombstone_retire_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
+    graft.retrieval.Postings.maintainIncremental(
+      s, name, maxFilesPerBucket = 1, maxTombstones = 0L)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("merge", "hash", "vector"), 50)
+  }
+
+  /** IVF tombstone RETIREMENT at the gate — e11's lifecycle followed
+    * by `maintainIvfIncremental` with a zero tombstone budget: the
+    * tombstoned vectors' cell buckets are rewritten (a vector lives in
+    * ONE cell bucket, so the touched set is minimal by construction),
+    * the set clears, fragmentation defrags — never a generation swap.
+    * Oracle: e11's survivor SQL verbatim, blind to the maintenance.
+    */
+  val e13_ivf_retire: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_ivfret_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/e13_ivf_retire_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    graft.similarity.Knn.writeIvfIndex(
+      t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", name, path, buckets = 8)
+    graft.similarity.Knn.appendIvfBatch(
+      t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name, batchId = 1L)
+    graft.similarity.Knn.deleteIvfBatch(
+      t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", name, batchId = 2L)
+    graft.similarity.Knn.maintainIvfIncremental(
+      s, name, maxFilesPerBucket = 1, maxTombstones = 0L)
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** IVF MODEL-REFRESH migration AT THE GATE (VERDICT r14 #4): build
     * the index on the even half under model A (centroids = vectors
     * 0..7), append the odd half committed, then `retrainIvfIndex` to
@@ -1217,6 +1284,8 @@ object SearchQueries {
     "d70_bucket_compact" -> d70_bucket_compact,
     "d71_classic_facets" -> d71_classic_facets,
     "d72_classic_snippets" -> d72_classic_snippets,
+    "d73_tombstone_retire" -> d73_tombstone_retire,
+    "e13_ivf_retire" -> e13_ivf_retire,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
     "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
@@ -1421,6 +1490,16 @@ object SearchQueries {
     "e12_ivf_retrain" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
       "WHERE vec_id < 8",
       "WHERE vec_id >= 8 AND vec_id < 16"),
+    // d73: d64's survivor full-scan oracle VERBATIM — tombstone
+    // retirement (bucket-scoped physical drop + set clear) must be
+    // invisible to every query, exactly like d70's defrag pass
+    "d73_tombstone_retire" -> bm25OracleSql(
+      Seq("merge", "hash", "vector"),
+      "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    // e13: e11's survivor oracle VERBATIM — IVF retirement likewise
+    "e13_ivf_retire" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
     // d72: KWIC snippets downstream of the classic rounded-grid top-10 —
     // the rank cut on ROUND(score, 5) lands on the identical row set
     // (margin-guarded), so the string-valued snippets hash-match

@@ -668,6 +668,90 @@ object Postings {
       .toMap
   }
 
+  /** Retire the tombstone set WITHOUT a full-generation rewrite
+    * (round 15 — the last index-sized maintenance cost): rewrite
+    * exactly the buckets that still hold PHYSICAL rows of tombstoned
+    * docs (dropping those rows), then clear the set. Cost profile at
+    * scale: one column-pruned trace scan per table (doc_id + bucket
+    * key — a fraction of index bytes, no shuffle past the distinct)
+    * plus `Layout.compactBuckets` of the touched buckets only —
+    * versus `compactIndex`'s full read+sort+rewrite, dict recount and
+    * generation swap. A slim tombstone set touches few buckets (a
+    * doc's postings live in its TERMS' hash buckets; the doc_id-keyed
+    * forward side is computable from the ids alone); a 30%-of-corpus
+    * set degenerates to every bucket — still cheaper than the full
+    * pass, and incremental (per-bucket journaled swaps, readers see
+    * committed buckets throughout, bounded scratch).
+    *
+    * Contract parity with `compactIndex`'s clear: the tombstone
+    * EVIDENCE is gone afterwards, so a retired id may re-ingest (the
+    * spec-pinned post-clear contract) and the dictionary's legitimate
+    * overcount persists until the next `recountDict`/full compaction.
+    * Crash windows: each bucket rewrite is journal-protected
+    * (`recoverBucketCompact`, run here before the trace scans so a
+    * prior crash's state is committed before being measured); the set
+    * clears LAST, so a crash anywhere earlier leaves tombstones live
+    * and reads correct — a re-run's scans find only the remaining
+    * traces and converge to the clear. Single-writer maintenance, like
+    * every compaction entry point. Returns the rewritten buckets per
+    * table.
+    */
+  def retireTombstones(spark: SparkSession, name: String): Map[String, Seq[Int]] = {
+    val tombsT = tombsTableName(name)
+    if (!graft.sources.IndexLifecycle.tombsLive(spark, tombsT)) return Map.empty
+    val tombIds = broadcast(spark.table(tombsT).select(col("doc_id")).distinct())
+    val out = Seq(
+      postingsTableName(name) -> "term_h",
+      posTableName(name)      -> "term_h",
+      forwardTableName(name)  -> "doc_id")
+      .filter { case (t, _) => spark.catalog.tableExists(t) }
+      .flatMap { case (table, key) =>
+        Layout.recoverBucketCompact(spark, table)
+        val nb = Layout.numBuckets(spark, table)
+        val touched = spark.table(table)
+          .join(tombIds, Seq("doc_id"), "left_semi")
+          .select(Layout.bucketIdExpr(col(key), nb).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (touched.isEmpty) None
+        else {
+          Layout.compactBuckets(
+            spark, table, touched,
+            graft.sources.IndexLifecycle.dropTombstonedTransform(
+              spark, tombsT, "doc_id", "doc_id"))
+          Some(table -> touched.toSeq.sorted)
+        }
+      }
+      .toMap
+    graft.sources.IndexLifecycle.clearTombs(spark, tombsT, "doc_id")
+    out
+  }
+
+  /** The never-full-rewrite maintenance policy (round 15): tombstone
+    * pressure retires via bucket-scoped rewrites
+    * (`retireTombstones`), fragmentation defrags via
+    * `compactFragmentedBuckets` — the same triggers as
+    * `compactIfFragmented`, but no trigger ever costs a
+    * full-generation rewrite. `compactIfFragmented` remains the
+    * simpler policy where a periodic full pass is acceptable (it also
+    * restores dictionary exactness, which this one leaves to an
+    * explicit `recountDict`). Returns whether any maintenance ran.
+    */
+  def maintainIncremental(
+      spark: SparkSession,
+      name: String,
+      maxFilesPerBucket: Int,
+      maxTombstones: Long): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val retired =
+      if (graft.sources.IndexLifecycle.tombstonesExceed(
+        spark, tombsTableName(name), "doc_id", maxTombstones)) {
+        retireTombstones(spark, name) // clears the set even when every
+        true                          // trace was already dropped
+      } else false
+    val defragged = compactFragmentedBuckets(spark, name, maxFilesPerBucket).nonEmpty
+    retired || defragged
+  }
+
   /** Maintenance CONSISTENCY CHECK — the fsck a 100 TB index needs
     * after a crash, a killed maintenance job, or an operator mistake:
     * verifies the cross-table invariants every query path assumes and

@@ -564,6 +564,62 @@ object Knn {
     frag
   }
 
+  /** Retire the IVF tombstone set WITHOUT a full-generation rewrite —
+    * the vector-side twin of `Postings.retireTombstones`: one
+    * column-pruned trace scan (n_id + cell) finds the cell buckets
+    * still holding tombstoned vectors, exactly those are rewritten
+    * with the drop transform (journal-protected, readers see committed
+    * buckets throughout), and the set clears LAST. A vector lives in
+    * one cell bucket, so a slim set touches few buckets by
+    * construction. Post-clear, a retired id may re-ingest — the same
+    * contract as `compactIvfIndex`'s clear. Returns the rewritten
+    * bucket ids.
+    */
+  def retireIvfTombstones(spark: org.apache.spark.sql.SparkSession, name: String): Seq[Int] = {
+    val tombsT = ivfTombsTableName(name)
+    if (!graft.sources.IndexLifecycle.tombsLive(spark, tombsT)) return Nil
+    val table = ivfTableName(name)
+    graft.sources.Layout.recoverBucketCompact(spark, table)
+    val nb = graft.sources.Layout.numBuckets(spark, table)
+    val tombIds = broadcast(
+      spark.table(tombsT).select(col("vec_id").as("n_id")).distinct())
+    val touched = spark.table(table)
+      .join(tombIds, Seq("n_id"), "left_semi")
+      .select(graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty)
+      graft.sources.Layout.compactBuckets(
+        spark, table, touched,
+        graft.sources.IndexLifecycle.dropTombstonedTransform(
+          spark, tombsT, "vec_id", "n_id"))
+    graft.sources.IndexLifecycle.clearTombs(spark, tombsT, "vec_id")
+    touched.toSeq.sorted
+  }
+
+  /** The never-full-rewrite IVF maintenance policy — the vector-side
+    * twin of `Postings.maintainIncremental`: tombstone pressure
+    * retires via bucket-scoped rewrites, fragmentation defrags via
+    * `compactFragmentedIvfBuckets`; no trigger ever costs a
+    * full-generation rewrite (the model stays frozen either way —
+    * `retrainIvfIndex` is the explicit migration). Returns whether any
+    * maintenance ran.
+    */
+  def maintainIvfIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      maxFilesPerBucket: Int,
+      maxTombstones: Long): Boolean = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val retired =
+      if (graft.sources.IndexLifecycle.tombstonesExceed(
+        spark, ivfTombsTableName(name), "vec_id", maxTombstones)) {
+        retireIvfTombstones(spark, name)
+        true
+      } else false
+    val defragged = compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket).nonEmpty
+    retired || defragged
+  }
+
   def ivfTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =
     spark.table(ivfTableName(name))
   def ivfCentroids(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =

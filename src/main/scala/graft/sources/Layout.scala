@@ -253,6 +253,27 @@ object Layout {
     case _              => None
   }
 
+  /** The bucket id Spark's bucketed write assigns to `key` —
+    * `pmod(murmur3(key), numBuckets)`: `functions.hash` IS the
+    * bucketing hash (Murmur3, seed 42, the same expression
+    * `HashPartitioning.partitionIdExpression` evaluates). Lets
+    * maintenance compute WHICH buckets hold a given key set from the
+    * keys alone, without listing or reading data files (spec-pinned
+    * against the physical `_NNNNN` file suffixes in LayoutSpec).
+    */
+  private[graft] def bucketIdExpr(key: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    pmod(hash(key), lit(numBuckets))
+  }
+
+  /** Bucket count of a bucketed table (loud on a non-bucketed one). */
+  private[graft] def numBuckets(spark: SparkSession, tableName: String): Int =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      .bucketSpec.getOrElse(
+        throw new IllegalArgumentException(s"$tableName has no bucket spec"))
+      .numBuckets
+
   private def listParquet(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {

@@ -1037,6 +1037,75 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("IVF tombstone retirement: only the tombstoned vectors' cell buckets rewritten, set cleared, re-ingest allowed") {
+    // Round 15: the tombstone-pressure trigger costs the TOUCHED cell
+    // buckets, never a generation rewrite — and unlike the
+    // fragmentation path, retirement selects buckets by TRACE (where
+    // the tombstoned vectors physically sit), so a clean-file delete
+    // retires without touching fragmented-but-trace-free buckets.
+    import graft.sources.Layout
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfr").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfr").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def topK(n: String) = Knn.ivfTopK(spark, n, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    def files(table: String): Map[String, Long] = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      new java.io.File(meta.location).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfr_a", dirA, buckets = 4)
+      Knn.deleteIvfBatch(Seq(10L, 12L).toDF("vec_id"), "vec_id", "t_ivfr_a", batchId = 1L)
+      val before = files("t_ivfr_a_ivf")
+      // expected touched buckets: the two vectors' cells' buckets,
+      // computed from the index rows + bucketIdExpr
+      val expected = Knn.ivfTable(spark, "t_ivfr_a")
+        .filter(col("n_id").isin(10L, 12L))
+        .select(Layout.bucketIdExpr(col("cell"), 4)).as[Int].collect().toSet
+      assert(expected.nonEmpty && expected.size < 4,
+        s"fixture should touch a strict subset of buckets, got $expected")
+
+      val rewritten = Knn.retireIvfTombstones(spark, "t_ivfr_a")
+      assert(rewritten.toSet == expected,
+        s"retirement rewrote $rewritten, traces live in $expected")
+      val after = files("t_ivfr_a_ivf")
+      val untouched = before.keySet.filterNot(n => Layout.bucketIdOf(n).exists(expected))
+      assert(untouched.forall(n => after.get(n) == before.get(n)),
+        "IVF retirement perturbed an untouched bucket's files")
+      assert(spark.table("t_ivfr_a_ivftombs").count() == 0)
+      assert(Knn.ivfTable(spark, "t_ivfr_a").filter(col("n_id").isin(10L, 12L)).isEmpty)
+
+      // reads equal a fresh survivor build under the same frozen model
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0 && !col("vec_id").isin(10L, 12L)),
+        cents, "vec_id", "embedding", "t_ivfr_b", dirB, buckets = 4)
+      assert(topK("t_ivfr_a") == topK("t_ivfr_b") && topK("t_ivfr_a").nonEmpty)
+      val fsck = Knn.checkIvfIndex(spark, "t_ivfr_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after IVF retirement: $fsck")
+
+      // no-op at rest; post-clear re-ingest allowed
+      assert(Knn.retireIvfTombstones(spark, "t_ivfr_a").isEmpty)
+      Knn.appendIvfBatch(
+        emb.filter(col("vec_id") === 10L), "vec_id", "embedding", "t_ivfr_a", batchId = 2L)
+      assert(!Knn.ivfTable(spark, "t_ivfr_a").filter(col("n_id") === 10L).isEmpty,
+        "retired vector invisible after re-ingest")
+    } finally {
+      Knn.dropIvfIndex(spark, "t_ivfr_a")
+      Knn.dropIvfIndex(spark, "t_ivfr_b")
+    }
+  }
+
   test("IVF marker spaces: append and delete streams share the log with independent batch ids; guards refuse tombstoned ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

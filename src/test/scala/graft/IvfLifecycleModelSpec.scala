@@ -71,7 +71,7 @@ class IvfLifecycleModelSpec extends SparkTestBase {
         var batchId = 0L
         for (step <- 1 to 8) {
           batchId += 1
-          rnd.nextInt(4) match {
+          rnd.nextInt(6) match {
             case 0 | 1 =>
               val batch = freshBatch(1 + rnd.nextInt(4))
               if (batch.nonEmpty) {
@@ -95,6 +95,14 @@ class IvfLifecycleModelSpec extends SparkTestBase {
               Knn.compactIvfIndex(spark, name)
               freeIds ++= tombed; tombed.clear()
               check(s"compact#$step")
+            case 4 => // retire (r15): same model effect as compact,
+              // via bucket-scoped rewrites of the traced cells only
+              Knn.retireIvfTombstones(spark, name)
+              freeIds ++= tombed; tombed.clear()
+              check(s"retire#$step")
+            case 5 => // bucket-scoped defrag (r15): query-invisible
+              Knn.compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket = 1)
+              check(s"bucket-defrag#$step")
           }
         }
         Knn.compactIvfIndex(spark, name)

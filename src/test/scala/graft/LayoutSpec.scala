@@ -344,4 +344,35 @@ class LayoutSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS b_swl_compacting")
     }
   }
+
+  test("bucketIdExpr matches the physical bucket-file assignment for long and string keys") {
+    // Round 15: tombstone retirement computes WHICH buckets hold a key
+    // set from the keys alone — pmod(murmur3(key), numBuckets) must be
+    // exactly the bucket id Spark's bucketed write stamped into the
+    // `_NNNNN` file suffix, for every row.
+    val dir = Files.createTempDirectory("graft_bie").toString
+    val df  = (1L to 500L).map(i => (i, s"key_$i")).toDF("lkey", "skey")
+    Layout.bucketize(df, "b_bie_l", s"$dir/l", "lkey", 8)
+    Layout.bucketize(df, "b_bie_s", s"$dir/s", "skey", 8)
+    try {
+      for (t <- Seq("b_bie_l" -> "lkey", "b_bie_s" -> "skey")) {
+        val (table, key) = t
+        val rows = spark.table(table)
+          .select(
+            input_file_name().as("f"),
+            Layout.bucketIdExpr(col(key), 8).as("b"))
+          .collect()
+        assert(rows.length == 500)
+        val bad = rows.filterNot { r =>
+          val name = r.getAs[String]("f").split('/').last
+          Layout.bucketIdOf(name).contains(r.getAs[Int]("b"))
+        }
+        assert(bad.isEmpty,
+          s"$table: ${bad.length} rows whose computed bucket id disagrees with the file suffix")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_bie_l")
+      spark.sql("DROP TABLE IF EXISTS b_bie_s")
+    }
+  }
 }

@@ -107,7 +107,7 @@ class LifecycleModelSpec extends SparkTestBase {
         var batchId = 0L
         for (step <- 1 to 10) {
           batchId += 1
-          rnd.nextInt(4) match {
+          rnd.nextInt(6) match {
             case 0 | 1 => // append 1-5 docs (never a still-tombstoned id)
               val batch = freshBatch(1 + rnd.nextInt(5))
               Postings.appendBatch(batch.toDF("doc_id", "text"), "doc_id", "text", name, batchId)
@@ -126,6 +126,15 @@ class LifecycleModelSpec extends SparkTestBase {
               Postings.compactIndex(spark, name)
               freeIds ++= tombed; tombed.clear()
               check(s"compact#$step")
+            case 4 => // retire (r15): same model effect as compact —
+              // physical drop of tombstoned rows, set cleared, ids
+              // re-usable — via bucket-scoped rewrites only
+              Postings.retireTombstones(spark, name)
+              freeIds ++= tombed; tombed.clear()
+              check(s"retire#$step")
+            case 5 => // bucket-scoped defrag (r15): query-invisible
+              Postings.compactFragmentedBuckets(spark, name, maxFilesPerBucket = 1)
+              check(s"bucket-defrag#$step")
           }
         }
         // always finish with a compact + final equivalence

@@ -102,6 +102,16 @@ class PlanQualitySpec extends SparkTestBase {
     // e12: the post-retrain read is the pruned ivfTopK plan — the same
     // broadcast K-row centroid-model cross join as e10/e11
     "e12_ivf_retrain" -> Set("BroadcastNestedLoopJoin"),
+    // d73: the post-retirement read is d64's bm25TopK plan (one-row
+    // stats broadcast); the cleared tombstone set means no anti-join —
+    // retirement itself ran eagerly in the builder
+    // (d72 snippets: like d62, the returned frame is the k-bounded
+    // pushed-IN point fetch — the classic ranking and margin guard ran
+    // eagerly in the builder, so the plan is clean)
+    "d73_tombstone_retire" -> Set("BroadcastNestedLoopJoin"),
+    // e13: the post-retirement read is the pruned ivfTopK plan — the
+    // same broadcast K-row centroid-model cross join as e10/e11/e12
+    "e13_ivf_retire" -> Set("BroadcastNestedLoopJoin"),
     // e11p: the pre-deleted prod read is e11's pruned ivfTopK plan
     // (broadcast K-row centroid-model cross join for the query batch)
     "e11p_ivf_delete_prod" -> Set("BroadcastNestedLoopJoin"),

@@ -1016,6 +1016,100 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("tombstone retirement: trace-holding buckets rewritten, physical drop complete, set cleared, re-ingest allowed") {
+    // Round 15: the tombstone-pressure trigger must not pay an
+    // index-sized rewrite either. Fixture: full build, tiny append
+    // whose UNIQUE terms pin the touched buckets, delete the appended
+    // doc — retirement must rewrite only the buckets holding its rows.
+    val dir = Files.createTempDirectory("graft_ret").toString
+    import graft.sources.Layout
+    def files(table: String): Map[String, Long] = {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table))
+      new java.io.File(meta.location).listFiles.toSeq
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).toMap
+    }
+    val extra = Seq(
+      (900001L, "qqqalpha qqqbeta qqqalpha", "en"),
+      (900002L, "qqqalpha spark", "de"))
+    try {
+      Postings.writeIndex(
+        docsDf, "doc_id", "text", "t_ret_a", dir, buckets = 8, metaCols = Seq("lang"))
+      Postings.appendBatch(extra.toDF("doc_id", "text", "lang"), "doc_id", "text", "t_ret_a", batchId = 1L)
+      Postings.deleteBatch(
+        extra.take(1).toDF("doc_id", "text", "lang"), "doc_id", "text", "t_ret_a", batchId = 2L)
+
+      def bm25() = Postings
+        .bm25TopK(Postings.livePostings(spark, "t_ret_a"), Postings.statsTable(spark, "t_ret_a"),
+          Seq("spark", "qqqalpha", "merge"), 50)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val answerBefore = bm25()
+      val statsBefore = Postings.statsTable(spark, "t_ret_a")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).as[(Long, Long)].head()
+      val beforeP = files("t_ret_a_postings")
+      val beforeF = files("t_ret_a_forward")
+
+      val rewritten = Postings.retireTombstones(spark, "t_ret_a")
+      // the touched postings buckets are exactly the deleted doc's
+      // TERMS' buckets (its append also fragmented them, but
+      // retirement selects by trace, not fragmentation)
+      val termBuckets = Seq("qqqalpha", "qqqbeta")
+        .map(tm => spark.range(1).select(
+          Layout.bucketIdExpr(lit(graft.functions.Hashing.hash60Jvm(tm)), 8)).as[Int].head()).toSet
+      assert(rewritten.get("t_ret_a_postings").map(_.toSet).contains(termBuckets),
+        s"retirement rewrote ${rewritten.get("t_ret_a_postings")}, traces live in $termBuckets")
+      // the forward side: exactly the deleted doc_id's bucket
+      val fwdBucket = spark.range(1)
+        .select(Layout.bucketIdExpr(lit(900001L), 8)).as[Int].head()
+      assert(rewritten.get("t_ret_a_forward").contains(Seq(fwdBucket)))
+
+      // untouched buckets byte-identical per table
+      def untouchedIdentical(table: String, before: Map[String, Long]): Unit = {
+        val touched = rewritten.getOrElse(table, Nil).toSet
+        val after   = files(table)
+        val untouched = before.keySet.filterNot(n => Layout.bucketIdOf(n).exists(touched))
+        assert(untouched.forall(n => after.get(n) == before.get(n)),
+          s"retirement perturbed an untouched bucket of $table")
+      }
+      untouchedIdentical("t_ret_a_postings", beforeP)
+      untouchedIdentical("t_ret_a_forward", beforeF)
+
+      // physical drop COMPLETE: no trace of the retired doc anywhere
+      assert(Postings.postingsTable(spark, "t_ret_a").filter(col("doc_id") === 900001L).isEmpty)
+      assert(Postings.forwardTable(spark, "t_ret_a").filter(col("doc_id") === 900001L).isEmpty)
+      // and the set is CLEARED
+      assert(Postings.tombstones(spark, "t_ret_a").count() == 0)
+
+      // stats untouched (deletion already subtracted at deleteBatch
+      // time — retirement moves bytes, never counts), answers identical
+      val statsAfter = Postings.statsTable(spark, "t_ret_a")
+        .agg(sum(col("n_docs")), sum(col("sum_dl"))).as[(Long, Long)].head()
+      assert(statsAfter == statsBefore, "retirement changed the stats totals")
+      assert(bm25() == answerBefore && answerBefore.exists(_._1 == 900002L))
+      val fsck = Postings.checkIndex(spark, "t_ret_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after retirement: $fsck")
+
+      // idempotent at rest: empty set → no-op
+      assert(Postings.retireTombstones(spark, "t_ret_a").isEmpty)
+
+      // post-clear re-ingest: the retired id may return (compaction's
+      // spec-pinned contract, shared by retirement)
+      Postings.appendBatch(
+        extra.take(1).toDF("doc_id", "text", "lang"), "doc_id", "text", "t_ret_a", batchId = 3L)
+      assert(bm25().exists(_._1 == 900001L), "retired doc invisible after re-ingest")
+
+      // a replayed delete batch stays a no-op after retirement (the
+      // marker is the UNretired negative stats row)
+      Postings.deleteBatch(
+        extra.take(1).toDF("doc_id", "text", "lang"), "doc_id", "text", "t_ret_a", batchId = 2L)
+      assert(Postings.tombstones(spark, "t_ret_a").count() == 0)
+    } finally {
+      Postings.dropIndex(spark, "t_ret_a")
+    }
+  }
+
   // ---------- classic (ln-idf) scoring mode ----------
 
   /** Plain-Scala classic-BM25 reference: same IEEE tree as the engine
