@@ -708,10 +708,15 @@ object Postings {
       .flatMap { case (table, key) =>
         Layout.recoverBucketCompact(spark, table)
         val nb = Layout.numBuckets(spark, table)
-        val touched = spark.table(table)
-          .join(tombIds, Seq("doc_id"), "left_semi")
-          .select(Layout.bucketIdExpr(col(key), nb).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
+        // the forward side is bucketed BY doc_id, so its touched
+        // buckets are computable from the slim tombstone set alone —
+        // no scan; the term-hash sides need the column-pruned trace
+        // scan (the terms of a tombstoned doc are only in the index)
+        val touched =
+          (if (key == "doc_id") tombIds
+           else spark.table(table).join(tombIds, Seq("doc_id"), "left_semi"))
+            .select(Layout.bucketIdExpr(col(key), nb).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
         if (touched.isEmpty) None
         else {
           Layout.compactBuckets(
@@ -726,27 +731,44 @@ object Postings {
     out
   }
 
-  /** The never-full-rewrite maintenance policy (round 15): tombstone
+  /** The incremental-first maintenance policy (round 15): tombstone
     * pressure retires via bucket-scoped rewrites
     * (`retireTombstones`), fragmentation defrags via
     * `compactFragmentedBuckets` — the same triggers as
-    * `compactIfFragmented`, but no trigger ever costs a
-    * full-generation rewrite. `compactIfFragmented` remains the
-    * simpler policy where a periodic full pass is acceptable (it also
-    * restores dictionary exactness, which this one leaves to an
-    * explicit `recountDict`). Returns whether any maintenance ran.
+    * `compactIfFragmented`, but a bucket-LOCAL trigger never costs a
+    * full-generation rewrite. COST-BASED fallback: when the tombstone
+    * set exceeds `heavyFraction` of the index's live docs, a massive
+    * delete has touched effectively every term bucket anyway, and the
+    * measured crossover (ProfileR15Retire: an all-buckets retirement
+    * reads ~3× a full pass — per-table journaled swaps and the trace
+    * scans cost more than the one-shot generation rewrite once every
+    * byte moves regardless) says run `compactIndex` — which also
+    * restores dictionary exactness for free. Below the fraction,
+    * retirement's cost is the column-pruned trace scan plus the
+    * TOUCHED buckets (flat in corpus size at fixed touch count —
+    * measured), and the dictionary stays with `recountDict`. Returns
+    * whether any maintenance ran.
     */
   def maintainIncremental(
       spark: SparkSession,
       name: String,
       maxFilesPerBucket: Int,
-      maxTombstones: Long): Boolean = {
+      maxTombstones: Long,
+      heavyFraction: Double = 0.2): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val retired =
       if (graft.sources.IndexLifecycle.tombstonesExceed(
         spark, tombsTableName(name), "doc_id", maxTombstones)) {
-        retireTombstones(spark, name) // clears the set even when every
-        true                          // trace was already dropped
+        val nTombs = spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count()
+        val liveN =
+          if (spark.catalog.tableExists(statsTableName(name)))
+            statsTable(spark, name).agg(sum(col("n_docs"))).head().getLong(0)
+          else livePostings(spark, name).select(col("doc_id")).distinct().count()
+        if (liveN > 0 && nTombs.toDouble > heavyFraction * liveN.toDouble)
+          compactIndex(spark, name) // measured-cheaper once every bucket moves
+        else
+          retireTombstones(spark, name) // clears the set even when every
+        true                            // trace was already dropped
       } else false
     val defragged = compactFragmentedBuckets(spark, name, maxFilesPerBucket).nonEmpty
     retired || defragged
@@ -843,6 +865,15 @@ object Postings {
       .flatMap(t => Layout.danglingGenerations(spark, t).map(d => s"$t -> $d"))
     checks += (("dangling_generation", leaks.isEmpty,
       if (leaks.isEmpty) "retention bounded at one generation" else leaks.mkString("; ")))
+    // a committed-but-uncompleted bucket compaction (crash between the
+    // journal write and the file swap) — a replay is owed; every
+    // maintenance entry point replays it, repairIndex heals it at rest
+    val pendingJ = Seq(
+      postingsTableName(name), posTableName(name), forwardTableName(name))
+      .filter(t => Layout.pendingBucketJournal(spark, t))
+    checks += (("bucket_journal_pending", pendingJ.isEmpty,
+      if (pendingJ.isEmpty) "no pending bucket-compaction journal"
+      else s"committed journal awaiting replay: ${pendingJ.mkString(", ")}"))
     checks.toSeq.toDF("check", "ok", "detail")
   }
 
@@ -908,6 +939,17 @@ object Postings {
     val hasTombs = spark.catalog.tableExists(tombsTableName(name))
     val hasPos   = spark.catalog.tableExists(posTableName(name))
     val hasFwd   = spark.catalog.tableExists(forwardTableName(name))
+
+    // ---- crashed bucket compaction: replay the committed journal ----
+    // (FIRST — every other repair derives from table state, which a
+    // mid-swap file set would corrupt rather than heal)
+    val replayed = Seq(
+      postingsTableName(name), posTableName(name), forwardTableName(name))
+      .filter(spark.catalog.tableExists)
+      .filter(t => Layout.recoverBucketCompact(spark, t))
+    out += (("bucket_journal_replay", replayed.nonEmpty,
+      if (replayed.isEmpty) "no pending bucket-compaction journal"
+      else s"journal replayed to convergence: ${replayed.mkString(", ")}"))
 
     // ---- torn deletes: write the missing negative stats rows ----
     if (hasStats && hasTombs) {

@@ -596,24 +596,33 @@ object Knn {
     touched.toSeq.sorted
   }
 
-  /** The never-full-rewrite IVF maintenance policy — the vector-side
+  /** The incremental-first IVF maintenance policy — the vector-side
     * twin of `Postings.maintainIncremental`: tombstone pressure
     * retires via bucket-scoped rewrites, fragmentation defrags via
-    * `compactFragmentedIvfBuckets`; no trigger ever costs a
-    * full-generation rewrite (the model stays frozen either way —
-    * `retrainIvfIndex` is the explicit migration). Returns whether any
-    * maintenance ran.
+    * `compactFragmentedIvfBuckets`; a bucket-local trigger never costs
+    * a full-generation rewrite (the model stays frozen either way —
+    * `retrainIvfIndex` is the explicit migration). Same cost-based
+    * fallback as the posting side: above `heavyFraction` of the live
+    * vectors tombstoned, effectively every cell bucket moves and the
+    * one-shot `compactIvfIndex` generation rewrite is cheaper than
+    * per-bucket journaled swaps. Returns whether any maintenance ran.
     */
   def maintainIvfIncremental(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
       maxFilesPerBucket: Int,
-      maxTombstones: Long): Boolean = {
+      maxTombstones: Long,
+      heavyFraction: Double = 0.2): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val retired =
       if (graft.sources.IndexLifecycle.tombstonesExceed(
         spark, ivfTombsTableName(name), "vec_id", maxTombstones)) {
-        retireIvfTombstones(spark, name)
+        val nTombs = spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count()
+        val liveN  = liveIvf(spark, name).count()
+        if (liveN > 0 && nTombs.toDouble > heavyFraction * liveN.toDouble)
+          compactIvfIndex(spark, name)
+        else
+          retireIvfTombstones(spark, name)
         true
       } else false
     val defragged = compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket).nonEmpty
@@ -670,6 +679,12 @@ object Knn {
   def repairIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
     import spark.implicits._
     val out = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    // crashed bucket compaction FIRST — the rewrite below derives from
+    // table state, which a mid-swap file set would corrupt, not heal
+    val jReplayed = graft.sources.Layout.recoverBucketCompact(spark, ivfTableName(name))
+    out += (("bucket_journal_replay", jReplayed,
+      if (jReplayed) s"journal replayed to convergence: ${ivfTableName(name)}"
+      else "no pending bucket-compaction journal"))
     val raw   = ivfTable(spark, name)
     val cents = ivfCentroids(spark, name)
     val badNorms = raw.filter(col("nn") =!= sqrt(dot(col("nv"), col("nv")))).count()
@@ -813,6 +828,14 @@ object Knn {
       .flatMap(t => graft.sources.Layout.danglingGenerations(spark, t).map(d => s"$t -> $d"))
     checks += (("dangling_generation", leaks.isEmpty,
       if (leaks.isEmpty) "retention bounded at one generation" else leaks.mkString("; ")))
+    // crashed bucket compaction — see Postings.checkIndex
+    val pendingJ =
+      if (graft.sources.Layout.pendingBucketJournal(spark, ivfTableName(name)))
+        Seq(ivfTableName(name))
+      else Nil
+    checks += (("bucket_journal_pending", pendingJ.isEmpty,
+      if (pendingJ.isEmpty) "no pending bucket-compaction journal"
+      else s"committed journal awaiting replay: ${pendingJ.mkString(", ")}"))
     checks.toSeq.toDF("check", "ok", "detail")
   }
 

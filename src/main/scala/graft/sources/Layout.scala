@@ -443,6 +443,22 @@ object Layout {
     replayed
   }
 
+  /** Whether a crashed `compactBuckets` left a committed journal on
+    * `tableName` — the fsck probe (`bucket_journal_pending`): a
+    * journal on disk means a swap was committed but not completed, so
+    * the table's file set may be mid-transition until
+    * `recoverBucketCompact` replays it (every maintenance entry point
+    * replays first; this surfaces the owed replay to an operator
+    * BETWEEN maintenance passes).
+    */
+  private[graft] def pendingBucketJournal(spark: SparkSession, tableName: String): Boolean = {
+    if (!spark.catalog.tableExists(tableName)) return false
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val dir = new org.apache.hadoop.fs.Path(meta.location)
+    dir.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(journalPath(dir))
+  }
+
   private def journalPath(dir: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(dir, "_bucket_compact_journal")
 

@@ -290,4 +290,51 @@ class IndexCheckSpec extends SparkTestBase {
       assert(!checkMap(Knn.checkIvfIndex(spark, name))("norms_consistent"))
     } finally Knn.dropIvfIndex(spark, name)
   }
+
+  test("crashed bucket compaction: fsck flags the committed journal, repairIndex replays it to convergence") {
+    // the crash window BETWEEN the journal write and the file swap —
+    // simulated exactly as compactBuckets leaves it: the replacement
+    // file complete under _bucket_compact/ (a byte-copy of the
+    // fragment, so the data is row-identical), the journal committed,
+    // neither delete nor rename performed.
+    val dir  = Files.createTempDirectory("graft_jcrash").toString
+    val name = "t_jcrash_a"
+    try {
+      Postings.writeIndex(
+        docs.toDF("doc_id", "text", "lang"), "doc_id", "text", name, dir,
+        buckets = 4, metaCols = Seq("lang"))
+      def bm25() = Postings
+        .bm25TopK(Postings.livePostings(spark, name), Postings.statsTable(spark, name),
+          Seq("spark", "merge"), 20)
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      val before = bm25()
+
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_postings"))
+      val loc = new java.io.File(meta.location)
+      val frag = loc.listFiles.filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+      val scratch = new java.io.File(loc, "_bucket_compact")
+      scratch.mkdirs()
+      val repl = new java.io.File(scratch, s"replay-${frag.getName}")
+      java.nio.file.Files.copy(frag.toPath, repl.toPath)
+      java.nio.file.Files.write(
+        new java.io.File(loc, "_bucket_compact_journal").toPath,
+        s"D ${frag.getName}\nM ${repl.getName}".getBytes("UTF-8"))
+
+      val red = checkMap(Postings.checkIndex(spark, name))
+      assert(!red("bucket_journal_pending"), "fsck missed the committed journal")
+      assert(red.filterNot(_._1 == "bucket_journal_pending").values.forall(identity),
+        s"journal crash must flip ONLY the journal check: $red")
+
+      val repairs = Postings.repairIndex(spark, name)
+        .select("repair", "applied").as[(String, Boolean)].collect().toMap
+      assert(repairs("bucket_journal_replay"), "repairIndex did not replay the journal")
+      val green = checkMap(Postings.checkIndex(spark, name))
+      assert(green.values.forall(identity), s"fsck red after journal replay: $green")
+      assert(bm25() == before && before.nonEmpty,
+        "reads diverged across the crash-and-replay (replacement was a byte-copy)")
+      assert(!new java.io.File(loc, "_bucket_compact_journal").exists())
+      assert(!scratch.exists())
+    } finally Postings.dropIndex(spark, name)
+  }
 }
