@@ -217,12 +217,66 @@ object Postings {
     writeEmptyTombs(docs.sparkSession, name, path)
   }
 
-  /** (Re)create the index's EMPTY tombstone table — a fresh build has
-    * no deleted docs (shared lifecycle machinery; see
-    * `graft.sources.IndexLifecycle`).
+  /** (Re)create the index's EMPTY tombstone table. Beyond the shared
+    * (doc_id, batch_id) core, posting-family tombstones carry BUCKET
+    * MASKS (round 15): `pb`/`xb` are the distinct postings/positional
+    * term-hash bucket ids of the deleted doc's text, computed at
+    * DELETE time — so `retireTombstones` finds its touched buckets
+    * from the slim tombstone set alone, with no index scan at all.
+    * Nullable: a pre-r15 tombstone table lacks the columns (deletes
+    * fall back to the 2-column write, retirement to the trace scan),
+    * and a doc whose index family lacks the corresponding table gets
+    * null for that mask.
     */
   private def writeEmptyTombs(spark: SparkSession, name: String, path: String): Unit =
-    graft.sources.IndexLifecycle.writeEmptyTombs(spark, tombsTableName(name), s"$path/tombs", "doc_id")
+    spark.range(0)
+      .select(
+        col("id").as("doc_id"), col("id").as("batch_id"),
+        lit(null).cast("array<int>").as("pb"), lit(null).cast("array<int>").as("xb"))
+      .write.mode("overwrite").option("path", s"$path/tombs").saveAsTable(tombsTableName(name))
+
+  /** The distinct term-hash bucket ids of `textCol` under `nb` buckets
+    * — the per-doc bucket mask a delete batch stores so retirement
+    * never scans the index (`pmod(murmur3(hash60(term)), nb)`, the
+    * exact file-placement expression, all native HOFs).
+    */
+  private def bucketMask(textCol: Column, nb: Int): Column =
+    array_sort(array_distinct(transform(
+      graft.functions.TextAnalysis.tokens(textCol),
+      t => Layout.bucketIdExpr(graft.functions.Hashing.hash60(t), nb))))
+
+  /** Append a delete batch's tombstone rows. On a mask-capable table
+    * (r15 schema) the per-doc `pb`/`xb` bucket masks ride each row,
+    * derived from the batch's OWN text — the same caller contract the
+    * stats subtraction already rides (the delete batch carries the
+    * indexed text; a wrong text corrupts sum_dl today and would
+    * under-retire here, both surfacing as a red
+    * `sum_dl_equals_live_tf_sum` fsck row). Legacy 2-column tables get
+    * the legacy write and keep trace-scan retirement.
+    */
+  private def writeTombRows(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      name: String,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val table = tombsTableName(name)
+    if (!spark.table(table).columns.contains("pb")) {
+      graft.sources.IndexLifecycle.appendTombs(batch, idCol, table, "doc_id", batchId)
+      return
+    }
+    def maskFor(t: String): Column =
+      if (spark.catalog.tableExists(t)) bucketMask(col(textCol), Layout.numBuckets(spark, t))
+      else lit(null).cast("array<int>")
+    batch
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        lit(batchId).as("batch_id"),
+        maskFor(postingsTableName(name)).as("pb"),
+        maskFor(posTableName(name)).as("xb"))
+      .write.mode("append").insertInto(table)
+  }
 
   /** Incremental maintenance: append a batch's postings (own bucket
     * files under the existing spec — no rewrite, co-partitioning
@@ -388,10 +442,7 @@ object Postings {
       // nor a marker, so it cannot shadow an append batch's id)
       val st = statsRow(docs, idCol, textCol, batchId).collect().head
       if (st.getLong(0) == 0L) return
-      docs
-        .filter(col(textCol).isNotNull)
-        .select(col(idCol).cast("long").as("doc_id"), lit(batchId).as("batch_id"))
-        .write.mode("append").insertInto(tombsTableName(name))
+      writeTombRows(docs.filter(col(textCol).isNotNull), idCol, textCol, name, batchId)
       // negative stats row == commit marker, written LAST
       spark.range(1)
         .select(
@@ -402,9 +453,7 @@ object Postings {
     } else {
       val batch = docs.filter(col(textCol).isNotNull)
       if (batch.isEmpty) return
-      batch
-        .select(col(idCol).cast("long").as("doc_id"), lit(batchId).as("batch_id"))
-        .write.mode("append").insertInto(tombsTableName(name))
+      writeTombRows(batch, idCol, textCol, name, batchId)
       // marker LAST, in the delete kind space of the (uncompacted)
       // positional marker log
       if (batchId >= 0L)
@@ -699,24 +748,36 @@ object Postings {
   def retireTombstones(spark: SparkSession, name: String): Map[String, Seq[Int]] = {
     val tombsT = tombsTableName(name)
     if (!graft.sources.IndexLifecycle.tombsLive(spark, tombsT)) return Map.empty
-    val tombIds = broadcast(spark.table(tombsT).select(col("doc_id")).distinct())
+    val tombs   = spark.table(tombsT)
+    val tombIds = broadcast(tombs.select(col("doc_id")).distinct())
+    // mask fast path: every tombstone row carries the bucket mask its
+    // delete batch computed (r15 schema, non-null for this family's
+    // table) — touched buckets come from the SLIM set alone, no index
+    // scan. Fallback (legacy 2-col table, or rows whose mask is null
+    // because the table family didn't exist at delete time): the
+    // column-pruned trace scan.
+    def maskedBuckets(maskCol: String): Option[Set[Int]] =
+      if (!tombs.columns.contains(maskCol)) None
+      else if (tombs.filter(col(maskCol).isNull).limit(1).count() > 0) None
+      else Some(
+        tombs.select(explode(col(maskCol)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet)
     val out = Seq(
-      postingsTableName(name) -> "term_h",
-      posTableName(name)      -> "term_h",
-      forwardTableName(name)  -> "doc_id")
-      .filter { case (t, _) => spark.catalog.tableExists(t) }
-      .flatMap { case (table, key) =>
+      (postingsTableName(name), "term_h", Some("pb")),
+      (posTableName(name),      "term_h", Some("xb")),
+      (forwardTableName(name),  "doc_id", None))
+      .filter { case (t, _, _) => spark.catalog.tableExists(t) }
+      .flatMap { case (table, key, mask) =>
         Layout.recoverBucketCompact(spark, table)
         val nb = Layout.numBuckets(spark, table)
         // the forward side is bucketed BY doc_id, so its touched
-        // buckets are computable from the slim tombstone set alone —
-        // no scan; the term-hash sides need the column-pruned trace
-        // scan (the terms of a tombstoned doc are only in the index)
-        val touched =
+        // buckets are computable from the tombstone ids directly
+        val touched = mask.flatMap(maskedBuckets).getOrElse {
           (if (key == "doc_id") tombIds
            else spark.table(table).join(tombIds, Seq("doc_id"), "left_semi"))
             .select(Layout.bucketIdExpr(col(key), nb).as("b"))
             .distinct().collect().map(_.getInt(0)).toSet
+        }
         if (touched.isEmpty) None
         else {
           Layout.compactBuckets(

@@ -130,15 +130,19 @@ object IndexLifecycle {
     * rows — called LAST in the compaction order, so a crash anywhere
     * earlier leaves the tombstones live and the reads still correct.
     * Same write-new/swap/delete-old discipline as every rewrite
-    * (`Layout.swapGeneration`).
+    * (`Layout.swapGeneration`). The rebuilt empty table preserves the
+    * LIVE schema (a posting-family tombstone table carries bucket-mask
+    * columns beyond the shared (id, batch_id) core — see
+    * `Postings.writeEmptyTombs`); `idName` is kept for call-site
+    * symmetry with the other tombstone entry points.
     */
   def clearTombs(spark: SparkSession, table: String, idName: String): Unit = {
     Layout.recoverDanglingSwap(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
+    require(meta.schema.fieldNames.contains(idName), s"$table has no $idName column")
     Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
-      spark.range(0)
-        .select(col("id").as(idName), col("id").as("batch_id"))
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), meta.schema)
         .write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
     }
   }

@@ -47,7 +47,9 @@ class IndexCheckSpec extends SparkTestBase {
       // TORN delete: tombstones landed, the negative stats row did not
       // (the documented crash window) — fsck must report exactly the
       // stats invariant broken, i.e. "a delete replay is owed"
-      Seq((1L, 9L)).toDF("doc_id", "batch_id").write.mode("append").insertInto(s"${name}_tombs")
+      Seq((1L, 9L)).toDF("doc_id", "batch_id")
+        .withColumn("pb", lit(null).cast("array<int>")).withColumn("xb", lit(null).cast("array<int>"))
+        .write.mode("append").insertInto(s"${name}_tombs")
       val torn = checkMap(Postings.checkIndex(spark, name))
       assert(!torn("sum_dl_equals_live_tf_sum"), "torn delete not detected")
       assert(torn("stats_total_nonnegative") && torn("marker_log_unique"))
@@ -98,6 +100,7 @@ class IndexCheckSpec extends SparkTestBase {
       // (token-less — only the forward row makes it traceable) landed,
       // the negative stats marker did not ----
       Seq((2L, 9L), (6L, 9L)).toDF("doc_id", "batch_id")
+        .withColumn("pb", lit(null).cast("array<int>")).withColumn("xb", lit(null).cast("array<int>"))
         .write.mode("append").insertInto(s"${name}_tombs")
       assert(!checkMap(Postings.checkIndex(spark, name))("sum_dl_equals_live_tf_sum"))
       val r1 = repMap(Postings.repairIndex(spark, name))

@@ -1050,13 +1050,17 @@ class RetrievalSpec extends SparkTestBase {
       val beforeP = files("t_ret_a_postings")
       val beforeF = files("t_ret_a_forward")
 
-      val rewritten = Postings.retireTombstones(spark, "t_ret_a")
-      // the touched postings buckets are exactly the deleted doc's
-      // TERMS' buckets (its append also fragmented them, but
-      // retirement selects by trace, not fragmentation)
+      // the tombstone row carries the bucket MASK its delete batch
+      // computed (r15 schema) — the scan-free retirement input
       val termBuckets = Seq("qqqalpha", "qqqbeta")
         .map(tm => spark.range(1).select(
           Layout.bucketIdExpr(lit(graft.functions.Hashing.hash60Jvm(tm)), 8)).as[Int].head()).toSet
+      val storedMask = spark.table("t_ret_a_tombs")
+        .select(explode(col("pb"))).as[Int].collect().toSet
+      assert(storedMask == termBuckets,
+        s"tombstone bucket mask $storedMask != the terms' buckets $termBuckets")
+
+      val rewritten = Postings.retireTombstones(spark, "t_ret_a")
       assert(rewritten.get("t_ret_a_postings").map(_.toSet).contains(termBuckets),
         s"retirement rewrote ${rewritten.get("t_ret_a_postings")}, traces live in $termBuckets")
       // the forward side: exactly the deleted doc_id's bucket
@@ -1107,6 +1111,42 @@ class RetrievalSpec extends SparkTestBase {
       assert(Postings.tombstones(spark, "t_ret_a").count() == 0)
     } finally {
       Postings.dropIndex(spark, "t_ret_a")
+    }
+  }
+
+  test("legacy 2-column tombstone table: deletes fall back to the maskless write, retirement to the trace scan") {
+    // a pre-r15 index's tombstone table has no bucket-mask columns —
+    // the delete path must keep writing it (no arity error) and
+    // retirement must reach the same physical drop via the
+    // column-pruned trace scan; the schema survives the clear.
+    val dir = Files.createTempDirectory("graft_retleg").toString
+    import graft.sources.Layout
+    try {
+      Postings.writeIndex(
+        docsDf, "doc_id", "text", "t_retl_a", dir, buckets = 8, metaCols = Seq("lang"))
+      spark.sql("DROP TABLE t_retl_a_tombs")
+      graft.sources.IndexLifecycle.writeEmptyTombs(
+        spark, "t_retl_a_tombs", s"$dir/tombs_legacy", "doc_id")
+      val extra = Seq((900001L, "qqqleg1 qqqleg2", "en")).toDF("doc_id", "text", "lang")
+      Postings.appendBatch(extra, "doc_id", "text", "t_retl_a", batchId = 1L)
+      Postings.deleteBatch(extra, "doc_id", "text", "t_retl_a", batchId = 2L)
+      assert(!spark.table("t_retl_a_tombs").columns.contains("pb"),
+        "fixture must exercise the LEGACY schema")
+      val termBuckets = Seq("qqqleg1", "qqqleg2")
+        .map(tm => spark.range(1).select(
+          Layout.bucketIdExpr(lit(graft.functions.Hashing.hash60Jvm(tm)), 8)).as[Int].head()).toSet
+      val rewritten = Postings.retireTombstones(spark, "t_retl_a")
+      assert(rewritten.get("t_retl_a_postings").map(_.toSet).contains(termBuckets),
+        s"trace-scan fallback rewrote ${rewritten.get("t_retl_a_postings")}, expected $termBuckets")
+      assert(Postings.postingsTable(spark, "t_retl_a").filter(col("doc_id") === 900001L).isEmpty)
+      val tombsAfter = spark.table("t_retl_a_tombs")
+      assert(tombsAfter.count() == 0 && !tombsAfter.columns.contains("pb"),
+        "clearTombs must preserve the legacy schema")
+      val fsck = Postings.checkIndex(spark, "t_retl_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after legacy retirement: $fsck")
+    } finally {
+      Postings.dropIndex(spark, "t_retl_a")
     }
   }
 
@@ -1263,6 +1303,7 @@ class RetrievalSpec extends SparkTestBase {
       // marker: the tombstone rows landed, the (negative, marker)
       // stats row did not
       delDead.toSeq.map(id => (id, 7L)).toDF("doc_id", "batch_id")
+        .withColumn("pb", lit(null).cast("array<int>")).withColumn("xb", lit(null).cast("array<int>"))
         .write.mode("append").insertInto("t_torn_a_tombs")
       // intermediate state is the documented one: reads already
       // exclude the docs (tombstones are live) ...
