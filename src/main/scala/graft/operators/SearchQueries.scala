@@ -1183,11 +1183,57 @@ object SearchQueries {
       Seq("merge", "hash", "vector"), 50)
   }
 
+  /** Dict-EXACT retirement at the gate (round 15 — the dict-credit
+    * seam closed): d73's lifecycle (build even half → append odd half
+    * → delete every 7th) followed by tombstone retirement, and the
+    * output is the DICTIONARY itself — per query term, the summed df
+    * and its stop/keep classification under the ⌊4N/5⌋ cutoff over
+    * the survivor N (the exact read `screenStopTerms` makes before
+    * every screened query). The oracle recomputes each term's df from
+    * the survivor corpus by full scan, blind to the whole
+    * build/append/delete/retire history: a hash match proves
+    * retirement left the dictionary EXACT — the staged negative
+    * partials credited every dropped posting row — because any
+    * residual overcount shifts a df VALUE, not just a downstream
+    * ranking. (Before the r15 dict credit, this query fails: the
+    * deleted docs' terms keep their pre-delete df until a full
+    * compaction.)
+    */
+  val d74_screened_retire: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_dictret_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d74_screened_retire_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
+    graft.retrieval.Postings.maintainIncremental(
+      s, name, maxFilesPerBucket = 1, maxTombstones = 0L)
+    val terms = Seq("batch", "scan", "vector", "spark")
+    val nDocs = graft.retrieval.Postings.statsTable(s, name)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    val cutoff = 4L * nDocs / 5L
+    val dfs = graft.retrieval.Postings.termDfs(s, name, terms)
+    import s.implicits._
+    terms.map(tm => (tm, dfs.getOrElse(tm, 0L), dfs.getOrElse(tm, 0L) <= cutoff))
+      .toDF("term", "df", "kept")
+      .orderBy(col("term"))
+  }
+
   /** IVF tombstone RETIREMENT at the gate — e11's lifecycle followed
     * by `maintainIvfIncremental` with a zero tombstone budget: the
     * tombstoned vectors' cell buckets are rewritten (a vector lives in
     * ONE cell bucket, so the touched set is minimal by construction),
     * the set clears, fragmentation defrags — never a generation swap.
+    * The delete carries the VECTORS (the unified curation shape), so
+    * the tombstone rows ride cell-bucket masks and the retirement is
+    * SCAN-FREE — touched buckets come from the slim set alone (the
+    * ids-only trace-scan fallback is spec-pinned in DedupKnnSpec).
     * Oracle: e11's survivor SQL verbatim, blind to the maintenance.
     */
   val e13_ivf_retire: Q = (s, dir) => {
@@ -1208,7 +1254,8 @@ object SearchQueries {
     graft.similarity.Knn.appendIvfBatch(
       t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name, batchId = 1L)
     graft.similarity.Knn.deleteIvfBatch(
-      t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id")), "vec_id", name, batchId = 2L)
+      t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id"), col("embedding")),
+      "vec_id", name, batchId = 2L, vecCol = Some("embedding"))
     graft.similarity.Knn.maintainIvfIncremental(
       s, name, maxFilesPerBucket = 1, maxTombstones = 0L)
     graft.similarity.Knn
@@ -1285,6 +1332,7 @@ object SearchQueries {
     "d71_classic_facets" -> d71_classic_facets,
     "d72_classic_snippets" -> d72_classic_snippets,
     "d73_tombstone_retire" -> d73_tombstone_retire,
+    "d74_screened_retire" -> d74_screened_retire,
     "e13_ivf_retire" -> e13_ivf_retire,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
@@ -1496,6 +1544,30 @@ object SearchQueries {
     "d73_tombstone_retire" -> bm25OracleSql(
       Seq("merge", "hash", "vector"),
       "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    // d74: the dictionary itself as the gate — per-term survivor df by
+    // full scan with the same ⌊4N/5⌋ integer cutoff; a hash match
+    // proves the retirement-time dict credit left summed df EXACT
+    "d74_screened_retire" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 <> 3),
+        |st AS (SELECT COUNT(*) AS n_docs FROM tk),
+        |df AS (
+        |  SELECT 'batch' AS term,
+        |         CAST(SUM(CASE WHEN list_contains(tk, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS df FROM tk
+        |  UNION ALL
+        |  SELECT 'scan' AS term,
+        |         CAST(SUM(CASE WHEN list_contains(tk, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS df FROM tk
+        |  UNION ALL
+        |  SELECT 'vector' AS term,
+        |         CAST(SUM(CASE WHEN list_contains(tk, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df FROM tk
+        |  UNION ALL
+        |  SELECT 'spark' AS term,
+        |         CAST(SUM(CASE WHEN list_contains(tk, 'spark') THEN 1 ELSE 0 END) AS BIGINT) AS df FROM tk)
+        |SELECT term, df, df <= (4 * n_docs) // 5 AS kept
+        |FROM df, st
+        |ORDER BY term""".stripMargin,
     // e13: e11's survivor oracle VERBATIM — IVF retirement likewise
     "e13_ivf_retire" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
       "ON q.cell = t.cell AND t.vec_id <> q.vec_id",

@@ -622,6 +622,9 @@ object Postings {
       Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
         recounted.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
       }
+      // the recount supersedes any pending staged credit — a stale
+      // decrement applied later would UNDERCOUNT the fresh exact df
+      condemnDictDeltas(spark, name)
     }
     if (tombsLive)
       // the dropped docs are physically gone from every table — clear
@@ -685,10 +688,13 @@ object Postings {
     *    buckets (bucket = hash(term)), so only the full compaction —
     *    which provably rewrites every bucket — may clear the set.
     *    Reads are unaffected either way (the anti-join is idempotent).
-    *  - the dictionary is NOT recounted: its partials legitimately
-    *    overcount between a delete and the full compaction (documented
-    *    in `compactIndex`), and a bucket-scoped pass doesn't change
-    *    that contract.
+    *  - the dictionary is not RECOUNTED, but it IS credited (round 15):
+    *    the per-term counts of the rows the rewrite drops are staged
+    *    before and applied as negative partials after
+    *    (`stageDictDeltas`/`applyDictDeltas`), so the summed df stays
+    *    exact for everything this pass physically dropped — at
+    *    touched-bucket cost, with every crash window degrading to the
+    *    documented-conservative overcount.
     * The query-visible result is therefore IDENTICAL to not compacting
     * at all — and after a later full `compactIndex`, identical to a
     * fresh survivor build (both spec-pinned in RetrievalSpec).
@@ -704,13 +710,24 @@ object Postings {
       else
         graft.sources.IndexLifecycle.dropTombstonedTransform(
           spark, tombsTableName(name), "doc_id", "doc_id")
+    val tombIds =
+      if (!tombsLive) spark.emptyDataFrame
+      else broadcast(spark.table(tombsTableName(name)).select(col("doc_id")).distinct())
     Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
       .filter(spark.catalog.tableExists)
       .flatMap { table =>
         val frag = Layout.fragmentedBucketIds(spark, table, maxFilesPerBucket)
         if (frag.isEmpty) None
         else {
+          // the opportunistic tombstone-drop credits the dictionary
+          // too (round 15): without this, rows dropped here were the
+          // one source of df overcount that even retirement could not
+          // see (their physical evidence is gone by then)
+          val staged = tombsLive &&
+            table == postingsTableName(name) &&
+            stageDictDeltas(spark, name, frag.toSet, tombIds)
           Layout.compactBuckets(spark, table, frag.toSet, dropTombstoned)
+          if (staged) applyDictDeltas(spark, name)
           Some(table -> frag)
         }
       }
@@ -734,8 +751,13 @@ object Postings {
     *
     * Contract parity with `compactIndex`'s clear: the tombstone
     * EVIDENCE is gone afterwards, so a retired id may re-ingest (the
-    * spec-pinned post-clear contract) and the dictionary's legitimate
-    * overcount persists until the next `recountDict`/full compaction.
+    * spec-pinned post-clear contract). The DICTIONARY is credited in
+    * the same pass (round 15 — closing the seam that made retirement
+    * second-class): the per-term decrement is staged from the touched
+    * files before the rewrite and applied as negative partials after
+    * it commits (`stageDictDeltas`), so summed df is exact over the
+    * survivors without a `recountDict`; crash windows degrade only to
+    * the conservative overcount direction.
     * Crash windows: each bucket rewrite is journal-protected
     * (`recoverBucketCompact`, run here before the trace scans so a
     * prior crash's state is committed before being measured); the set
@@ -780,10 +802,19 @@ object Postings {
         }
         if (touched.isEmpty) None
         else {
+          // dict-exact retirement (round 15): stage the per-term
+          // decrement from the files the rewrite is about to drop,
+          // apply it as negative dict partials once the rewrite
+          // committed — summed df stays exact over the survivors,
+          // at touched-bucket cost (see stageDictDeltas)
+          val staged =
+            table == postingsTableName(name) &&
+              stageDictDeltas(spark, name, touched, tombIds)
           Layout.compactBuckets(
             spark, table, touched,
             graft.sources.IndexLifecycle.dropTombstonedTransform(
               spark, tombsT, "doc_id", "doc_id"))
+          if (staged) applyDictDeltas(spark, name)
           Some(table -> touched.toSeq.sorted)
         }
       }
@@ -805,10 +836,12 @@ object Postings {
     * scans cost more than the one-shot generation rewrite once every
     * byte moves regardless) says run `compactIndex` — which also
     * restores dictionary exactness for free. Below the fraction,
-    * retirement's cost is the column-pruned trace scan plus the
-    * TOUCHED buckets (flat in corpus size at fixed touch count —
-    * measured), and the dictionary stays with `recountDict`. Returns
-    * whether any maintenance ran.
+    * retirement's cost is the bucket masks (or the column-pruned trace
+    * scan) plus the TOUCHED buckets (flat in corpus size at fixed
+    * touch count — measured), and the dictionary is credited in the
+    * same pass (`stageDictDeltas` — summed df exact over the
+    * survivors, no `recountDict` owed). Returns whether any
+    * maintenance ran.
     */
   def maintainIncremental(
       spark: SparkSession,
@@ -938,6 +971,127 @@ object Postings {
     checks.toSeq.toDF("check", "ok", "detail")
   }
 
+  /** The dict-delta staging dir: a SIBLING of the dict table location
+    * keyed off its generation-0 base name (`<base>.dictdelta`). An
+    * underscore dir INSIDE the table location would also be invisible
+    * to dict readers (Spark's file index filters `_`-prefixed children
+    * during listing, though explicit input paths are exempt), but the
+    * sibling wins twice: no ignored-path warning spam on every dict
+    * read, and a pending staging SURVIVES a dict generation swap
+    * (`recountDict`/`compactIndex` relocate the table dir and retention
+    * deletes the old one — those two condemn their staging explicitly,
+    * but a swap must never silently destroy someone else's pending
+    * credit).
+    */
+  private def dictDeltaPath(spark: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val dictMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(dictTableName(name)))
+    new org.apache.hadoop.fs.Path(Layout.baseGen(dictMeta.location.toString) + ".dictdelta")
+  }
+
+  /** Condemn every pending dict-delta staging (fresh or mid-apply):
+    * called by the full recounts (`recountDict`, `compactIndex`'s dict
+    * rewrite), which derive the EXACT df from the live postings and so
+    * supersede any staged credit — a stale decrement applied after a
+    * recount would undercount, the one direction the dict contract
+    * forbids.
+    */
+  private def condemnDictDeltas(spark: SparkSession, name: String): Unit = {
+    val scratch = dictDeltaPath(spark, name)
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(scratch, true)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch.toString + ".applying"), true)
+  }
+
+  /** Stage the dictionary DECREMENT a bucket rewrite is about to earn
+    * (round 15 — the seam that kept retirement from restoring dict
+    * exactness): the per-term counts of the tombstoned postings rows
+    * still PHYSICALLY present in `bucketIds`, negated, written to the
+    * `dictDeltaPath` staging dir (a sibling of the dict location —
+    * invisible to dict readers because it is OUTSIDE the table path).
+    * Staging derives from the same touched-bucket files the rewrite is
+    * about to read anyway, so the cost tracks touched buckets, and it
+    * must be DURABLE before the rewrite deletes those files — hence a
+    * scratch write, not a lazy frame or a driver collect (the counts
+    * are per-term over the deleted docs; a 30%-of-corpus delete makes
+    * them corpus-vocabulary-sized).
+    *
+    * Crash discipline (stage → rewrite → apply):
+    *  - recomputed deltas NON-EMPTY → the tombstoned rows are still
+    *    physical (no committed rewrite since the set was written):
+    *    overwrite any stale staging — recomputed is current truth.
+    *  - recomputed EMPTY but a stale staging exists → the one crash
+    *    window where a committed rewrite dropped the rows before
+    *    `applyDictDeltas` ran: the stale staging is EXACTLY the
+    *    uncredited decrement — keep it, the re-run's apply heals the
+    *    dict precisely.
+    *  - recomputed EMPTY, no staging → nothing to do.
+    * No window double-applies; the unrecoverable windows (e.g. an
+    * opportunistic drop that never staged) degrade to the documented
+    * conservative direction — df overcount, never undercount — which
+    * `recountDict`/full compaction still heals.
+    * Returns whether a staging (fresh or kept-stale) awaits apply.
+    */
+  private def stageDictDeltas(
+      spark: SparkSession,
+      name: String,
+      bucketIds: Set[Int],
+      tombIds: DataFrame): Boolean = {
+    if (!spark.catalog.tableExists(dictTableName(name))) return false
+    val postT = postingsTableName(name)
+    val scratch = dictDeltaPath(spark, name)
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Layout.bucketFiles(spark, postT, bucketIds)
+    val postMeta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(postT))
+    val deltas =
+      if (files.isEmpty) spark.emptyDataFrame
+      else
+        spark.read.schema(postMeta.schema).parquet(files: _*)
+          .join(tombIds, Seq("doc_id"), "left_semi")
+          .groupBy(col("term_h"), col("term"))
+          .agg((-count(lit(1))).as("df"))
+    if (files.nonEmpty && !deltas.isEmpty) {
+      fs.delete(scratch, true)
+      deltas.write.mode("overwrite").parquet(scratch.toString)
+      true
+    } else fs.exists(scratch) // keep a stale staging: the committed-rewrite crash window's exact heal
+  }
+
+  /** Apply a staged dictionary decrement (see `stageDictDeltas`):
+    * append the negated per-term counts as ordinary dict partial rows
+    * — `termDfs`/`checkIndex` already SUM partials per term, so the
+    * summed df becomes exact over the survivors — then drop the
+    * staging. Called strictly AFTER the bucket rewrite committed.
+    *
+    * At-most-once protocol: the staging is RENAMED to `<staging>.applying`
+    * before the append reads it — an `.applying` dir found later
+    * is a crashed apply whose append state is unknowable, so it is
+    * CONDEMNED (deleted, never re-applied): every crash window
+    * degrades to the documented-conservative df overcount, never an
+    * undercount (a double-applied decrement would under-count, which
+    * breaks the `dict_df_covers_live_postings` ≥ invariant every
+    * consumer rides).
+    */
+  private def applyDictDeltas(spark: SparkSession, name: String): Unit = {
+    val dictT = dictTableName(name)
+    if (!spark.catalog.tableExists(dictT)) return
+    val scratch  = dictDeltaPath(spark, name)
+    val applying = new org.apache.hadoop.fs.Path(scratch.toString + ".applying")
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed previous apply: its append may or may not have
+    // committed — condemn it (conservative overcount), never re-apply
+    if (fs.exists(applying)) fs.delete(applying, true)
+    if (!fs.exists(scratch)) return
+    fs.rename(scratch, applying)
+    val deltas = spark.read.parquet(applying.toString)
+    if (!deltas.isEmpty)
+      deltas.select(col("term_h"), col("term"), col("df"))
+        .write.mode("append").insertInto(dictT)
+    fs.delete(applying, true)
+    spark.catalog.refreshTable(dictT)
+  }
+
   /** The compaction dict-recount exposed standalone (VERDICT r14 #3):
     * rewrite the dictionary as the EXACT per-term df over the live
     * postings — the repair for both a corrupted (under-counting)
@@ -956,6 +1110,8 @@ object Postings {
     Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
       recounted.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
     }
+    // supersedes any pending staged credit (see condemnDictDeltas)
+    condemnDictDeltas(spark, name)
   }
 
   /** fsck that HEALS (VERDICT r14 #3): map each red `checkIndex` row to

@@ -255,8 +255,74 @@ object Knn {
       corpus.sparkSession, ivfMarkersTableName(name), s"$path/ivfmarkers")
     // empty tombstone set — vector deletion, same contract as the
     // posting index's (anti-joined by reads, dropped at compaction)
-    graft.sources.IndexLifecycle.writeEmptyTombs(
-      corpus.sparkSession, ivfTombsTableName(name), s"$path/ivftombs", "vec_id")
+    writeEmptyIvfTombs(corpus.sparkSession, name, s"$path/ivftombs")
+  }
+
+  /** (Re)create the index's EMPTY tombstone table. Beyond the shared
+    * (vec_id, batch_id) core, IVF tombstones carry a CELL-BUCKET MASK
+    * (round 15, the posting family's `pb`/`xb` twin): `cb` is the
+    * bucket id of the vector's primary cell, computed at DELETE time
+    * from the batch's own vector under the FROZEN centroid model —
+    * the exact per-row function appends assign with — so
+    * `retireIvfTombstones` finds its touched buckets from the slim
+    * tombstone set alone, with no trace scan of the ivf table (the
+    * one trace scan the r15 seams note called out). Nullable: an
+    * ids-only delete (no vector available) writes null and retirement
+    * falls back to the trace scan; a pre-r15 tombstone table lacks
+    * the column entirely.
+    */
+  private def writeEmptyIvfTombs(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      path: String): Unit =
+    spark.range(0)
+      .select(
+        col("id").as("vec_id"), col("id").as("batch_id"),
+        lit(null).cast("array<int>").as("cb"))
+      .write.mode("overwrite").option("path", path).saveAsTable(ivfTombsTableName(name))
+
+  /** Append a delete batch's tombstone rows. On a mask-capable table
+    * (r15 schema) with the batch's vectors available (`vecCol`), the
+    * per-vector cell-bucket mask rides each row — cell assignment is
+    * the same pure per-row function under the frozen model that
+    * `appendIvfBatch` writes with, so the mask is exact BY THE SAME
+    * CALLER CONTRACT the whole delete rides: the vector passed must
+    * be the indexed vector. A wrong vector under-retires (the stale
+    * index rows survive the masked rewrite) and — unlike the posting
+    * family, whose stats invariant catches wrong delete text as a red
+    * `sum_dl_equals_live_tf_sum` — resurfaces the vector after the
+    * set clears (spec-pinned in DedupKnnSpec as the contract's sharp
+    * edge). Ids-only deletes write a null mask and keep trace-scan
+    * retirement; legacy 2-column tables get the legacy write.
+    */
+  private def writeIvfTombRows(
+      ids: DataFrame,
+      idCol: String,
+      name: String,
+      batchId: Long,
+      vecCol: Option[String]): Unit = {
+    val spark = ids.sparkSession
+    val table = ivfTombsTableName(name)
+    if (!spark.table(table).columns.contains("cb")) {
+      graft.sources.IndexLifecycle.appendTombs(ids, idCol, table, "vec_id", batchId)
+      return
+    }
+    val masked = vecCol
+      .filter(_ => spark.catalog.tableExists(ivfTableName(name)))
+      .map { vc =>
+        val nb = graft.sources.Layout.numBuckets(spark, ivfTableName(name))
+        indexCorpus(ids, ivfCentroids(spark, name), idCol, vc)
+          .select(
+            col("n_id").as("vec_id"),
+            lit(batchId).as("batch_id"),
+            array(graft.sources.Layout.bucketIdExpr(col("cell"), nb)).as("cb"))
+      }
+      .getOrElse(
+        ids.select(
+          col(idCol).cast("long").as("vec_id"),
+          lit(batchId).as("batch_id"),
+          lit(null).cast("array<int>").as("cb")))
+    masked.write.mode("append").insertInto(table)
   }
 
   /** Append new vectors under the frozen model: own bucket files per
@@ -339,12 +405,22 @@ object Knn {
     * DIFFERENT batch refuses loudly (double-delete), while the
     * batch's own rows are excluded so a torn delete's replay
     * completes.
+    *
+    * `vecCol` (round 15): when the delete batch carries the vectors —
+    * the unified curation shape deletes whole doc rows, text AND
+    * embedding — the cell-bucket mask is computed HERE under the
+    * frozen model and rides each tombstone row, making
+    * `retireIvfTombstones` scan-free (the r15 seams note's one
+    * remaining trace scan). Ids-only deletes stay supported: null
+    * mask, trace-scan retirement. See `writeIvfTombRows` for the
+    * caller contract the mask rides.
     */
   def deleteIvfBatch(
       ids: DataFrame,
       idCol: String,
       name: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L,
+      vecCol: Option[String] = None): Unit = {
     val spark = ids.sparkSession
     require(
       spark.catalog.tableExists(ivfTombsTableName(name)),
@@ -354,8 +430,7 @@ object Knn {
     graft.sources.IndexLifecycle.requireNotTombstoned(
       spark, ivfTombsTableName(name), "vec_id", ids, idCol, s"deleteIvfBatch($name)",
       excludeBatchId = if (batchId >= 0L) Some(batchId) else None)
-    graft.sources.IndexLifecycle.appendTombs(
-      ids, idCol, ivfTombsTableName(name), "vec_id", batchId)
+    writeIvfTombRows(ids, idCol, name, batchId, vecCol)
     if (batchId >= 0L)
       graft.sources.IndexLifecycle.writeMarker(
         spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
@@ -374,12 +449,13 @@ object Knn {
   def maintainIvfDeletesFromStream(
       ids: DataFrame,
       idCol: String,
-      name: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+      name: String,
+      vecCol: Option[String] = None): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val owner = ids.sparkSession
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        deleteIvfBatch(batch, idCol, name, batchId)
+        deleteIvfBatch(batch, idCol, name, batchId, vecCol)
         Seq(ivfTombsTableName(name), ivfMarkersTableName(name))
           .filter(owner.catalog.tableExists)
           .foreach(owner.catalog.refreshTable)
@@ -565,15 +641,20 @@ object Knn {
   }
 
   /** Retire the IVF tombstone set WITHOUT a full-generation rewrite —
-    * the vector-side twin of `Postings.retireTombstones`: one
-    * column-pruned trace scan (n_id + cell) finds the cell buckets
-    * still holding tombstoned vectors, exactly those are rewritten
-    * with the drop transform (journal-protected, readers see committed
-    * buckets throughout), and the set clears LAST. A vector lives in
-    * one cell bucket, so a slim set touches few buckets by
-    * construction. Post-clear, a retired id may re-ingest — the same
-    * contract as `compactIvfIndex`'s clear. Returns the rewritten
-    * bucket ids.
+    * the vector-side twin of `Postings.retireTombstones`. Mask fast
+    * path (round 15): when every tombstone row carries the cell-bucket
+    * mask its delete batch computed (`cb` non-null — a vector-carrying
+    * `deleteIvfBatch`), the touched buckets come from the SLIM set
+    * alone — no scan of the ivf table at all. Fallback (legacy
+    * 2-column table, ids-only deletes, or a mask outside the current
+    * bucket range): one column-pruned trace scan (n_id + cell) finds
+    * the cell buckets still holding tombstoned vectors. Either way,
+    * exactly those buckets are rewritten with the drop transform
+    * (journal-protected, readers see committed buckets throughout),
+    * and the set clears LAST. A vector lives in one cell bucket, so a
+    * slim set touches few buckets by construction. Post-clear, a
+    * retired id may re-ingest — the same contract as
+    * `compactIvfIndex`'s clear. Returns the rewritten bucket ids.
     */
   def retireIvfTombstones(spark: org.apache.spark.sql.SparkSession, name: String): Seq[Int] = {
     val tombsT = ivfTombsTableName(name)
@@ -581,12 +662,25 @@ object Knn {
     val table = ivfTableName(name)
     graft.sources.Layout.recoverBucketCompact(spark, table)
     val nb = graft.sources.Layout.numBuckets(spark, table)
-    val tombIds = broadcast(
-      spark.table(tombsT).select(col("vec_id").as("n_id")).distinct())
-    val touched = spark.table(table)
-      .join(tombIds, Seq("n_id"), "left_semi")
-      .select(graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val tombs = spark.table(tombsT)
+    val tombIds = broadcast(tombs.select(col("vec_id").as("n_id")).distinct())
+    val maskedBuckets: Option[Set[Int]] =
+      if (!tombs.columns.contains("cb")) None
+      else if (tombs.filter(col("cb").isNull).limit(1).count() > 0) None
+      else {
+        val ms = tombs.select(explode(col("cb")).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        // a mask outside the live bucket range means the index was
+        // rebuilt under a different spec since the delete — distrust
+        // the whole mask set and fall back to the trace scan
+        if (ms.exists(b => b < 0 || b >= nb)) None else Some(ms)
+      }
+    val touched = maskedBuckets.getOrElse {
+      spark.table(table)
+        .join(tombIds, Seq("n_id"), "left_semi")
+        .select(graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
     if (touched.nonEmpty)
       graft.sources.Layout.compactBuckets(
         spark, table, touched,
@@ -675,6 +769,12 @@ object Knn {
     *    corrupted-divergent case).
     *  - **duplicated markers** (`marker_log_unique` red): collapse to
     *    one row per (batch_id, kind), as in `Postings.repairIndex`.
+    *  - **wrong/stale delete-time masks**
+    *    (`tombstone_mask_covers_trace` red): NULL the offending
+    *    vectors' masks so retirement distrusts the set and falls back
+    *    to the always-correct trace scan — run after the ivf rewrite,
+    *    which can itself move a row's bucket (foreign-cell
+    *    re-assignment) and stale a previously-correct mask.
     */
   def repairIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
     import spark.implicits._
@@ -716,6 +816,42 @@ object Knn {
       rewriteIvf(spark, name, deduped)
       out += (("ivf_rewrite", true,
         s"$badNorms drifted norms recomputed, $foreign foreign-cell rows re-assigned, $dups duplicates dropped"))
+    }
+    // stale/wrong delete-time masks (r15): runs AFTER the ivf rewrite —
+    // a foreign-cell re-assignment above changes the row's bucket, so a
+    // previously-correct mask can go stale in the same repair pass.
+    // The heal is derived, conservative, and retirement-safe: NULL the
+    // offending vectors' masks, so retireIvfTombstones distrusts the
+    // mask set and falls back to the always-correct trace scan.
+    val tombsT = ivfTombsTableName(name)
+    if (spark.catalog.tableExists(tombsT) && spark.table(tombsT).columns.contains("cb")) {
+      val masked = spark.table(tombsT).filter(col("cb").isNotNull)
+        .select(col("vec_id").as("n_id"), col("cb"))
+      val badIds: Seq[Long] =
+        if (masked.isEmpty) Nil
+        else {
+          val nb = graft.sources.Layout.numBuckets(spark, ivfTableName(name))
+          ivfTable(spark, name)
+            .select(col("n_id"), graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+            .join(broadcast(masked), Seq("n_id"))
+            .filter(!array_contains(col("cb"), col("b")))
+            .select(col("n_id")).distinct().collect().map(_.getLong(0)).toSeq
+        }
+      if (badIds.nonEmpty) {
+        graft.sources.Layout.recoverDanglingSwap(spark, tombsT)
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(tombsT))
+        val healed = spark.read.schema(meta.schema).parquet(meta.location.toString)
+          .withColumn(
+            "cb",
+            when(col("vec_id").isin(badIds: _*), lit(null).cast("array<int>"))
+              .otherwise(col("cb")))
+        graft.sources.Layout.swapGeneration(spark, tombsT, meta) { (scratch, newDir) =>
+          healed.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+        }
+        out += (("tombstone_mask_reset", true,
+          s"${badIds.size} vectors' delete-time masks nulled — retirement will trace-scan"))
+      } else out += (("tombstone_mask_reset", false, "tombstone masks cover every trace"))
     }
     if (spark.catalog.tableExists(ivfMarkersTableName(name))) {
       val table = ivfMarkersTableName(name)
@@ -812,6 +948,28 @@ object Knn {
     checks += (("cells_from_model", unknown == 0, s"$unknown cells missing from the centroid model"))
     val badNorms = live.filter(col("nn") =!= sqrt(dot(col("nv"), col("nv")))).count()
     checks += (("norms_consistent", badNorms == 0, s"$badNorms stored norms diverge from recompute"))
+    // delete-time cell-bucket masks (r15) must cover every PHYSICAL
+    // trace of their vector — a wrong-vector delete writes a wrong
+    // mask, retirement under-rewrites, and the vector resurrects when
+    // the set clears. This is the fsck that makes that caller-contract
+    // edge DETECTABLE before retirement runs (fsck is allowed the
+    // trace scan retirement avoids); repairIvfIndex heals by nulling
+    // the bad masks so retirement falls back to the trace scan.
+    val tombsT = ivfTombsTableName(name)
+    if (spark.catalog.tableExists(tombsT) && spark.table(tombsT).columns.contains("cb")) {
+      val masked = spark.table(tombsT).filter(col("cb").isNotNull)
+        .select(col("vec_id").as("n_id"), col("cb"))
+      if (!masked.isEmpty) {
+        val nb = graft.sources.Layout.numBuckets(spark, ivfTableName(name))
+        val bad = ivfTable(spark, name)
+          .select(col("n_id"), graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+          .join(broadcast(masked), Seq("n_id"))
+          .filter(!array_contains(col("cb"), col("b")))
+          .count()
+        checks += (("tombstone_mask_covers_trace", bad == 0,
+          s"$bad tombstoned rows outside their delete-time cell-bucket mask"))
+      }
+    }
     if (spark.catalog.tableExists(ivfMarkersTableName(name))) {
       val dups = spark.table(ivfMarkersTableName(name))
         .groupBy(col("batch_id"), col("kind"))

@@ -492,6 +492,20 @@ object Layout {
     }
   }
 
+  /** Base (generation-0) directory of `dir` — `dir` itself when it is
+    * not a rewrite generation. Stable across generation swaps: the
+    * name maintenance scratch SIBLINGS key off (e.g. the dict-delta
+    * staging), so a staging parked by one generation is findable after
+    * a swap.
+    */
+  private[graft] def baseGen(dir: String): String = {
+    val GenRe = "(.*)\\.g(\\d+)".r
+    dir match {
+      case GenRe(base, _) => base
+      case base           => base
+    }
+  }
+
   /** Previous generation directory of `dir`, if `dir` is itself a
     * rewrite generation (None for a base directory — there is nothing
     * before generation 0).

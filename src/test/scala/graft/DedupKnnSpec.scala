@@ -1106,6 +1106,94 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("IVF delete-time cell-bucket masks: scan-free retirement equals the trace-scan answer; wrong-vector masks are fsck-detected and repair-healed") {
+    // Round 15 seam closed: a vector-carrying delete computes its cell
+    // under the FROZEN model (the same pure per-row function appends
+    // use) and stores the cell's bucket on the tombstone row — so
+    // retirement's touched set comes from the slim set alone, no ivf
+    // scan. The mask rides the same caller contract as the delete
+    // itself; the wrong-vector edge is fsck-detectable
+    // (tombstone_mask_covers_trace) and repair-healable (masks nulled →
+    // trace-scan fallback), pinned below.
+    import graft.sources.Layout
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfmk").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft_ivfmk").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfk_a", dirA, buckets = 4)
+      // vector-carrying delete → masks stored, non-null
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id").isin(10L, 12L)).select(col("vec_id"), col("embedding")),
+        "vec_id", "t_ivfk_a", batchId = 1L, vecCol = Some("embedding"))
+      val masks = spark.table("t_ivfk_a_ivftombs").select(col("cb")).collect()
+      assert(masks.nonEmpty && masks.forall(!_.isNullAt(0)), "vector-carrying delete must store masks")
+      // the mask equals the trace-scan answer (the always-correct path)
+      val traced = Knn.ivfTable(spark, "t_ivfk_a")
+        .filter(col("n_id").isin(10L, 12L))
+        .select(Layout.bucketIdExpr(col("cell"), 4)).as[Int].collect().toSet
+      val stored = spark.table("t_ivfk_a_ivftombs")
+        .select(explode(col("cb"))).as[Int].collect().toSet
+      assert(stored == traced, s"stored masks $stored != trace-scan buckets $traced")
+      val fsck0 = Knn.checkIvfIndex(spark, "t_ivfk_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck0.get("tombstone_mask_covers_trace").contains(true))
+
+      // scan-free retirement lands on exactly those buckets
+      val rewritten = Knn.retireIvfTombstones(spark, "t_ivfk_a")
+      assert(rewritten.toSet == traced, s"mask-path retirement rewrote $rewritten, expected $traced")
+      assert(Knn.ivfTable(spark, "t_ivfk_a").filter(col("n_id").isin(10L, 12L)).isEmpty)
+      assert(spark.table("t_ivfk_a_ivftombs").count() == 0)
+
+      // the WRONG-VECTOR edge: delete vec X passing a vector from a
+      // DIFFERENT cell bucket — fsck goes red, repair nulls the mask,
+      // retirement trace-scans and still drops the right rows
+      val buckets = Knn.ivfTable(spark, "t_ivfk_a")
+        .select(col("n_id"), Layout.bucketIdExpr(col("cell"), 4).as("b"))
+        .as[(Long, Int)].collect().toMap
+      val (victim, donor) = {
+        val pairs = for {
+          (v, bv) <- buckets.toSeq; (d, bd) <- buckets.toSeq
+          if v != d && bv != bd
+        } yield (v, d)
+        pairs.head
+      }
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfk_c", dirC, buckets = 4)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") === donor)
+          .select(lit(victim).cast("long").as("vec_id"), col("embedding")),
+        "vec_id", "t_ivfk_c", batchId = 1L, vecCol = Some("embedding"))
+      val fsck1 = Knn.checkIvfIndex(spark, "t_ivfk_c")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck1.get("tombstone_mask_covers_trace").contains(false),
+        "fsck must detect a mask that misses the vector's physical bucket")
+      val repairs = Knn.repairIvfIndex(spark, "t_ivfk_c")
+        .select("repair", "applied").as[(String, Boolean)].collect().toMap
+      assert(repairs.get("tombstone_mask_reset").contains(true))
+      assert(spark.table("t_ivfk_c_ivftombs").filter(col("cb").isNotNull).isEmpty,
+        "repair must null the wrong masks")
+      val fsck2 = Knn.checkIvfIndex(spark, "t_ivfk_c")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(!fsck2.contains("tombstone_mask_covers_trace") ||
+        fsck2("tombstone_mask_covers_trace"),
+        "fsck still red after the mask repair")
+      val rewrittenC = Knn.retireIvfTombstones(spark, "t_ivfk_c")
+      assert(rewrittenC.toSet == Set(buckets(victim)),
+        "healed retirement must trace-scan to the victim's REAL bucket")
+      assert(Knn.ivfTable(spark, "t_ivfk_c").filter(col("n_id") === victim).isEmpty,
+        "the deleted vector must be physically gone after the healed retirement")
+    } finally {
+      Knn.dropIvfIndex(spark, "t_ivfk_a")
+      Knn.dropIvfIndex(spark, "t_ivfk_c")
+    }
+  }
+
   test("IVF marker spaces: append and delete streams share the log with independent batch ids; guards refuse tombstoned ids") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfm").toString
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -12,8 +12,16 @@ import org.apache.spark.sql.functions._
   *
   *   - `bm25TopK` over the live view equals the brute-force ranking
   *     over exactly the model's live docs (same IEEE tree — the
-  *     RetrievalSpec bruteTopK construction), and
-  *   - the stats sums (N, sum_dl) are survivor-exact integers.
+  *     RetrievalSpec bruteTopK construction),
+  *   - the stats sums (N, sum_dl) are survivor-exact integers, and
+  *   - the DICTIONARY honors its contract state (round 15): summed df
+  *     per term is ≥ the model's live df always (never an undercount),
+  *     and EXACTLY equal whenever no uncredited delete is pending —
+  *     after the build, and after every compact or retirement (the
+  *     r15 dict credit makes retirement restore exactness, not just
+  *     the full compaction). Deletes flip the state to conservative
+  *     until the next retire/compact; bucket defrags credit what they
+  *     drop but don't clear the pending set.
   *
   * The generator RESPECTS the enforced caller contract (no re-append
   * or re-delete of a still-tombstoned id — those now refuse loudly,
@@ -89,6 +97,10 @@ class LifecycleModelSpec extends SparkTestBase {
       Postings.writeIndex(init.toDF("doc_id", "text"), "doc_id", "text", name, dir, buckets = 4)
       init.foreach { case (id, tx) => if (tx != null) live(id) = tx }
 
+      // dict contract state: exact after build/compact/retire, merely
+      // conservative (≥) while a delete awaits its credit
+      var dictExact = true
+
       def check(op: String): Unit = {
         val got = Postings
           .bm25TopK(Postings.livePostings(spark, name), Postings.statsTable(spark, name), terms, 50)
@@ -100,6 +112,20 @@ class LifecycleModelSpec extends SparkTestBase {
         val expDl = live.values.map(_.trim.split("\\s+").count(_.nonEmpty).toLong).sum
         assert(st == ((live.size.toLong, expDl)),
           s"seed=$seed after $op: stats $st != model (${live.size}, $expDl)")
+        val dictSums = Postings.dictTable(spark, name)
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .as[(String, Long)].collect().toMap
+        val liveDf = vocab.map(tm =>
+          tm -> live.values.count(_.trim.split("\\s+").contains(tm)).toLong).toMap
+        vocab.foreach { tm =>
+          val got = dictSums.getOrElse(tm, 0L)
+          if (dictExact)
+            assert(got == liveDf(tm),
+              s"seed=$seed after $op: dict df($tm)=$got != model ${liveDf(tm)} in exact state")
+          else
+            assert(got >= liveDf(tm),
+              s"seed=$seed after $op: dict df($tm)=$got UNDERCOUNTS model ${liveDf(tm)}")
+        }
       }
       check("build")
 
@@ -120,17 +146,20 @@ class LifecycleModelSpec extends SparkTestBase {
                   victims.map(id => (id, live(id))).toDF("doc_id", "text"),
                   "doc_id", "text", name, batchId)
                 victims.foreach { id => live.remove(id); tombed += id }
+                dictExact = false // overcounts until the next credit
                 check(s"delete#$step")
               }
             case 3 => // compact: physical drop, set cleared, ids re-usable
               Postings.compactIndex(spark, name)
               freeIds ++= tombed; tombed.clear()
+              dictExact = true // recounted from survivors
               check(s"compact#$step")
             case 4 => // retire (r15): same model effect as compact —
               // physical drop of tombstoned rows, set cleared, ids
               // re-usable — via bucket-scoped rewrites only
               Postings.retireTombstones(spark, name)
               freeIds ++= tombed; tombed.clear()
+              dictExact = true // r15 dict credit rides the retirement
               check(s"retire#$step")
             case 5 => // bucket-scoped defrag (r15): query-invisible
               Postings.compactFragmentedBuckets(spark, name, maxFilesPerBucket = 1)

@@ -1150,6 +1150,116 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("retirement credits the dictionary: summed df exact over survivors; staging protocol never double-applies") {
+    // Round 15 dict credit: retirement appends the negative partials
+    // its bucket rewrites earned, so summed df is EXACT over the
+    // survivors — no recountDict owed (the d74 gate's property, pinned
+    // here at the API level with the crash-protocol edges).
+    val dir = Files.createTempDirectory("graft_dcr").toString
+    def dictSums(name: String) = Postings.dictTable(spark, name)
+      .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+    def liveDf(name: String) = Postings.livePostings(spark, name)
+      .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
+    def assertExact(name: String, hint: String): Unit = {
+      assert(dictSums(name).except(liveDf(name)).isEmpty
+        && liveDf(name).except(dictSums(name)).isEmpty,
+        s"$hint: dict summed df != live per-term df")
+      // and no term may ever sum NEGATIVE (an undercount signature)
+      assert(Postings.dictTable(spark, name)
+        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+        .filter(col("df") < 0L).isEmpty, s"$hint: a term's summed df went negative")
+    }
+    try {
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_dcr_a", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_dcr_a", batchId = 1L)
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 3), "doc_id", "text", "t_dcr_a", batchId = 2L)
+
+      // between delete and retirement the partials legitimately
+      // overcount — and never undercount
+      val overcounted = dictSums("t_dcr_a")
+        .join(liveDf("t_dcr_a").withColumnRenamed("df", "live_df"), Seq("term_h", "term"), "left")
+        .filter(col("df") > coalesce(col("live_df"), lit(0L))).count()
+      assert(overcounted > 0, "fixture must start from a genuine overcount")
+      assert(dictSums("t_dcr_a")
+        .join(liveDf("t_dcr_a").withColumnRenamed("df", "live_df"), Seq("term_h", "term"), "right")
+        .filter(coalesce(col("df"), lit(0L)) < col("live_df")).isEmpty,
+        "dict undercounts even before the credit")
+
+      Postings.retireTombstones(spark, "t_dcr_a")
+      assertExact("t_dcr_a", "after retirement")
+
+      // a condemned `.dictdelta.applying` (crashed apply — append state
+      // unknowable) must be DELETED, never re-applied; a stale
+      // `.dictdelta` is overwritten by the fresh staging. Plant bogus
+      // poison in both: if either were applied, exactness breaks loudly.
+      val dictLoc = graft.sources.Layout.baseGen(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier("t_dcr_a_dict")).location.toString)
+      Seq((123L, "qqq_poison", -1000000L)).toDF("term_h", "term", "df")
+        .write.parquet(s"$dictLoc.dictdelta.applying")
+      Seq((456L, "qqq_poison2", -1000000L)).toDF("term_h", "term", "df")
+        .write.parquet(s"$dictLoc.dictdelta")
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 5), "doc_id", "text", "t_dcr_a", batchId = 3L)
+      Postings.retireTombstones(spark, "t_dcr_a")
+      assertExact("t_dcr_a", "after a retirement over planted stale stagings")
+      assert(!new java.io.File(new java.net.URI(s"$dictLoc.dictdelta.applying")).exists,
+        "condemned staging left on disk")
+      assert(!new java.io.File(new java.net.URI(s"$dictLoc.dictdelta")).exists,
+        "applied staging left on disk")
+      assert(Postings.dictTable(spark, "t_dcr_a")
+        .filter(col("term").startsWith("qqq_poison")).isEmpty,
+        "poison staging rows reached the dictionary")
+    } finally Postings.dropIndex(spark, "t_dcr_a")
+  }
+
+  test("opportunistic defrag credits the rows it drops; a later retirement never double-credits") {
+    // the adversarial interleaving: compactFragmentedBuckets drops the
+    // tombstoned rows FIRST (crediting them), then retirement runs with
+    // no physical evidence left — the recomputed-empty rule must append
+    // NOTHING (a second credit would undercount).
+    val dir = Files.createTempDirectory("graft_dcf").toString
+    def dictSums(name: String) = Postings.dictTable(spark, name)
+      .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L)
+    def liveDf(name: String) = Postings.livePostings(spark, name)
+      .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
+    def exact(name: String): Boolean =
+      dictSums(name).except(liveDf(name)).isEmpty &&
+        liveDf(name).except(dictSums(name)).isEmpty
+    try {
+      // clone every doc under a shifted id with IDENTICAL text, so
+      // every term bucket of the build holds exactly two file sets —
+      // all fragmented at maxFilesPerBucket = 1, so the defrag rewrites
+      // (and physically drops tombstoned rows in) every touched bucket
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_dcf_a", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("text").isNotNull)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+        "doc_id", "text", "t_dcf_a", batchId = 1L)
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 3), "doc_id", "text", "t_dcf_a", batchId = 2L)
+
+      Postings.compactFragmentedBuckets(spark, "t_dcf_a", maxFilesPerBucket = 1)
+      // every physical tombstoned row is dropped AND credited; the SET
+      // stays live (only retire/compact may clear it)
+      assert(Postings.postingsTable(spark, "t_dcf_a")
+        .join(Postings.tombstones(spark, "t_dcf_a"), Seq("doc_id"), "left_semi").isEmpty,
+        "fixture must drop every tombstoned row in the defrag pass")
+      assert(Postings.tombstones(spark, "t_dcf_a").count() > 0)
+      assert(exact("t_dcf_a"), "defrag pass did not credit the rows it dropped")
+
+      // retirement finds no evidence → credits nothing → still exact
+      Postings.retireTombstones(spark, "t_dcf_a")
+      assert(exact("t_dcf_a"), "retirement double-credited rows the defrag already credited")
+      assert(Postings.tombstones(spark, "t_dcf_a").count() == 0)
+    } finally Postings.dropIndex(spark, "t_dcf_a")
+  }
+
   // ---------- classic (ln-idf) scoring mode ----------
 
   /** Plain-Scala classic-BM25 reference: same IEEE tree as the engine
