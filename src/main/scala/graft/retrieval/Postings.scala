@@ -573,11 +573,15 @@ object Postings {
     *    (stop-term screening is policy; over-resolved prefix/fuzzy
     *    terms contribute an exact 0.0). With no deletions the recount
     *    equals the merge.
-    *  - **stats** (and the positional marker log) are deliberately NOT
-    *    compacted: their per-batch rows are the append-idempotence
-    *    commit markers (`appendBatch`/`appendPositionalBatch`);
-    *    collapsing them would let a replayed batch id re-append after
-    *    compaction. One row per batch is already the minimal form.
+    *  - **stats** (and the positional marker log) keep EVERY ROW:
+    *    each is an append/delete-idempotence commit marker
+    *    (`appendBatch`/`appendPositionalBatch`); collapsing rows would
+    *    let a replayed batch id re-apply after compaction. Their FILES
+    *    do coalesce (round 15, `Layout.coalescePlain`): every batch
+    *    appended its own one-row file, so a long-streamed index would
+    *    otherwise open one file per batch on every stats read — the
+    *    rows-preserving rewrite keeps replay semantics bit-identical
+    *    while resetting the open/footer cost.
     *
     * Same swap discipline as `Layout.compact` (write next generation,
     * re-point, delete old; other sessions REFRESH TABLE).
@@ -626,6 +630,14 @@ object Postings {
       // decrement applied later would UNDERCOUNT the fresh exact df
       condemnDictDeltas(spark, name)
     }
+    // the marker tables' FILES coalesce (rows preserved — every row is
+    // a replay marker, so the row set is untouchable, but each batch
+    // appended its own one-row file and a streamed index accumulates
+    // one file per batch forever; see Layout.coalescePlain)
+    if (spark.catalog.tableExists(statsTableName(name)))
+      Layout.coalescePlain(spark, statsTableName(name))
+    if (spark.catalog.tableExists(posMarkersTableName(name)))
+      Layout.coalescePlain(spark, posMarkersTableName(name))
     if (tombsLive)
       // the dropped docs are physically gone from every table — clear
       // the set (LAST, so a crash anywhere above leaves the tombstones
@@ -865,7 +877,16 @@ object Postings {
         true                            // trace was already dropped
       } else false
     val defragged = compactFragmentedBuckets(spark, name, maxFilesPerBucket).nonEmpty
-    retired || defragged
+    // marker-log file fragmentation (round 15): the stats table and
+    // the positional marker log grow one FILE per committed batch —
+    // coalesce (rows preserved, replay semantics intact) once they
+    // fragment past the same per-table bound the bucketed tables use
+    val coalesced = Seq(statsTableName(name), posMarkersTableName(name))
+      .filter(spark.catalog.tableExists)
+      .filter(t => Layout.parquetFileCount(spark, t) > maxFilesPerBucket)
+      .map { t => Layout.coalescePlain(spark, t); t }
+      .nonEmpty
+    retired || defragged || coalesced
   }
 
   /** Maintenance CONSISTENCY CHECK — the fsck a 100 TB index needs

@@ -569,9 +569,11 @@ object Knn {
     * defeat row-group pruning on the sorted cell key. `Layout.compact`
     * restores one file per bucket under the same bucket/sort spec, so
     * the zero-exchange cell self-join property is untouched. The
-    * frozen centroid model and the marker log are deliberately NOT
-    * rewritten (the model IS the index's identity; the markers are
-    * the replay-idempotence commit log).
+    * frozen centroid model is deliberately NOT rewritten (the model IS
+    * the index's identity); the marker log keeps EVERY ROW (the
+    * replay-idempotence commit log) but its FILES coalesce — each
+    * batch appended its own one-row file (round 15,
+    * `Layout.coalescePlain`).
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {
     // tombstone-drop rides the rewrite, then the set clears LAST — the
@@ -585,6 +587,8 @@ object Knn {
         graft.sources.IndexLifecycle.dropTombstonedTransform(
           spark, ivfTombsTableName(name), "vec_id", "n_id")
     graft.sources.Layout.compact(spark, ivfTableName(name), dropTombstoned)
+    if (spark.catalog.tableExists(ivfMarkersTableName(name)))
+      graft.sources.Layout.coalescePlain(spark, ivfMarkersTableName(name))
     if (tombsLive)
       graft.sources.IndexLifecycle.clearTombs(spark, ivfTombsTableName(name), "vec_id")
   }
@@ -720,7 +724,14 @@ object Knn {
         true
       } else false
     val defragged = compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket).nonEmpty
-    retired || defragged
+    // marker-log FILE fragmentation — one file per committed batch;
+    // coalesce rows-preserved (see Postings.maintainIncremental)
+    val coalesced = Seq(ivfMarkersTableName(name))
+      .filter(spark.catalog.tableExists)
+      .filter(t => graft.sources.Layout.parquetFileCount(spark, t) > maxFilesPerBucket)
+      .map { t => graft.sources.Layout.coalescePlain(spark, t); t }
+      .nonEmpty
+    retired || defragged || coalesced
   }
 
   def ivfTable(spark: org.apache.spark.sql.SparkSession, name: String): DataFrame =

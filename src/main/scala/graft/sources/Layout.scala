@@ -119,6 +119,45 @@ object Layout {
     }
   }
 
+  /** Coalesce a PLAIN (non-bucketed) table's files back to one,
+    * preserving every row — the maintenance pass the commit-marker
+    * logs need (round 15): the stats table and the marker logs append
+    * ONE file per committed batch by construction (each insertInto is
+    * its own write job), so a long-lived streamed index accumulates
+    * one tiny parquet file per batch forever and every query's stats
+    * read opens all of them. Their ROWS must never be collapsed (each
+    * is a replay-idempotence marker — `compactIndex` documents why),
+    * but the FILES can: a rows-preserving rewrite keeps the replay
+    * semantics bit-identical while resetting the open/footer cost.
+    * Same generation-swap discipline as every rewrite (reader-safe
+    * retention included); single-writer maintenance window, like all
+    * compaction entry points.
+    */
+  private[graft] def coalescePlain(spark: SparkSession, tableName: String): Unit = {
+    recoverDanglingSwap(spark, tableName)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    require(
+      meta.bucketSpec.isEmpty,
+      s"$tableName is bucketed — use compact, which preserves the bucket spec")
+    val rows = spark.read.schema(meta.schema).parquet(meta.location.toString).coalesce(1)
+    swapGeneration(spark, tableName, meta) { (scratch, newDir) =>
+      rows.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
+    }
+  }
+
+  /** Parquet data-file count of a table's current generation — the
+    * fragmentation probe for plain (marker-log) tables, where the file
+    * count ≈ the committed-batch count since the last coalesce.
+    */
+  private[graft] def parquetFileCount(spark: SparkSession, tableName: String): Int = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val dir = new org.apache.hadoop.fs.Path(meta.location)
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listParquet(fs, dir).size
+  }
+
   /** Recover from a crash inside `swapGeneration`'s DROP→RENAME window:
     * the scratch table exists (fully written next generation) but the
     * live name is gone — rename the scratch into place. Returns whether

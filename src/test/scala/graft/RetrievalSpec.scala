@@ -1260,6 +1260,72 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_dcf_a")
   }
 
+  test("commit-marker logs coalesce FILES, never rows: one file per batch becomes one total, replay stays no-op") {
+    // Round 15: each committed batch appends its own one-row file to
+    // the stats table / marker logs, so a long-streamed index opens
+    // one file per batch on every stats read. The coalesce must
+    // preserve the ROW SET bit-for-bit (every row is a replay marker).
+    import graft.sources.Layout
+    val dir  = Files.createTempDirectory("graft_mkc").toString
+    val dirP = Files.createTempDirectory("graft_mkc").toString
+    def statsRows() = Postings.statsTable(spark, "t_mkc_a").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue else r.getLong(1), r.getLong(2)))
+      .toSet
+    def q() = Postings.bm25TopK(
+      Postings.livePostings(spark, "t_mkc_a"), Postings.statsTable(spark, "t_mkc_a"),
+      Seq("merge", "vector"), 20).as[(Long, Long, Long, Double)].collect().toSeq
+    try {
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_mkc_a", dir, buckets = 8)
+      Seq(1, 3, 5, 7).zipWithIndex.foreach { case (r, i) =>
+        Postings.appendBatch(
+          docsDf.filter(col("doc_id") % 8 === r), "doc_id", "text", "t_mkc_a", batchId = i + 1L)
+      }
+      val rowsBefore  = statsRows()
+      val ansBefore   = q()
+      assert(Layout.parquetFileCount(spark, "t_mkc_a_stats") >= 5,
+        "fixture must start fragmented: one stats file per committed batch")
+      Postings.maintainIncremental(
+        spark, "t_mkc_a", maxFilesPerBucket = 1, maxTombstones = Long.MaxValue)
+      assert(Layout.parquetFileCount(spark, "t_mkc_a_stats") == 1,
+        "stats files must coalesce to one")
+      assert(statsRows() == rowsBefore, "coalesce changed the stats ROW set")
+      assert(q() == ansBefore && ansBefore.nonEmpty)
+      // a replayed append batch id still no-ops against the coalesced log
+      val nRows = Postings.statsTable(spark, "t_mkc_a").count()
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 8 === 3), "doc_id", "text", "t_mkc_a", batchId = 2L)
+      assert(Postings.statsTable(spark, "t_mkc_a").count() == nRows,
+        "replayed batch re-applied after the marker coalesce")
+      assert(q() == ansBefore)
+
+      // positional-only index: the (batch_id, kind) marker log
+      // coalesces through compactIndex the same way
+      Postings.writePositionalIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_mkc_p", dirP, buckets = 8)
+      Seq(1, 3, 5).zipWithIndex.foreach { case (r, i) =>
+        Postings.appendPositionalBatch(
+          docsDf.filter(col("doc_id") % 8 === r), "doc_id", "text", "t_mkc_p", batchId = i + 1L)
+      }
+      val mRows = spark.table("t_mkc_p_posmarkers").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(Layout.parquetFileCount(spark, "t_mkc_p_posmarkers") >= 3)
+      Postings.compactIndex(spark, "t_mkc_p")
+      assert(Layout.parquetFileCount(spark, "t_mkc_p_posmarkers") == 1)
+      assert(spark.table("t_mkc_p_posmarkers").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet == mRows,
+        "coalesce changed the positional marker ROW set")
+      val posRows = Postings.positionalTable(spark, "t_mkc_p").count()
+      Postings.appendPositionalBatch(
+        docsDf.filter(col("doc_id") % 8 === 3), "doc_id", "text", "t_mkc_p", batchId = 2L)
+      assert(Postings.positionalTable(spark, "t_mkc_p").count() == posRows,
+        "replayed positional batch re-applied after the marker coalesce")
+    } finally {
+      Postings.dropIndex(spark, "t_mkc_a")
+      Postings.dropIndex(spark, "t_mkc_p")
+    }
+  }
+
   // ---------- classic (ln-idf) scoring mode ----------
 
   /** Plain-Scala classic-BM25 reference: same IEEE tree as the engine
