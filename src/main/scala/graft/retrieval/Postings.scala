@@ -844,7 +844,7 @@ object Postings {
     * set exceeds `heavyFraction` of the index's live docs, a massive
     * delete has touched effectively every term bucket anyway, and the
     * measured crossover (ProfileR15Retire: an all-buckets retirement
-    * reads ~3× a full pass — per-table journaled swaps and the trace
+    * reads ~3.1× a full pass — per-table journaled swaps and the trace
     * scans cost more than the one-shot generation rewrite once every
     * byte moves regardless) says run `compactIndex` — which also
     * restores dictionary exactness for free. Below the fraction,
