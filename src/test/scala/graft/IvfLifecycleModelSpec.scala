@@ -83,11 +83,22 @@ class IvfLifecycleModelSpec extends SparkTestBase {
             case 2 =>
               // never delete a query vector's own id — queries must
               // keep retrieving (you can always search WITH a deleted
-              // vector, but the check's query set stays stable)
+              // vector, but the check's query set stays stable).
+              // Deletes randomly carry their vectors (r15 mask path —
+              // retirement reads the touched buckets from the slim
+              // set) or ids only (trace-scan fallback), so the random
+              // interleavings cover BOTH retirement inputs, including
+              // mixed mask/null tombstone sets (which must distrust
+              // the masks wholesale and trace-scan).
               val qIds = init.take(3).map(_._1).toSet
               val victims = rnd.shuffle(live.keys.toSeq.filterNot(qIds)).take(1 + rnd.nextInt(3))
               if (victims.nonEmpty) {
-                Knn.deleteIvfBatch(victims.toDF("vec_id"), "vec_id", name, batchId)
+                if (rnd.nextBoolean())
+                  Knn.deleteIvfBatch(
+                    victims.map(id => id -> emb(id)).toDF("vec_id", "embedding"),
+                    "vec_id", name, batchId, vecCol = Some("embedding"))
+                else
+                  Knn.deleteIvfBatch(victims.toDF("vec_id"), "vec_id", name, batchId)
                 victims.foreach { id => live.remove(id); tombed += id }
                 check(s"delete#$step")
               }
