@@ -989,6 +989,20 @@ object Postings {
     checks += (("bucket_journal_pending", pendingJ.isEmpty,
       if (pendingJ.isEmpty) "no pending bucket-compaction journal"
       else s"committed journal awaiting replay: ${pendingJ.mkString(", ")}"))
+    // a staged-but-unapplied dict credit (crash inside a retirement /
+    // bucket defrag) — reads stay correct and the dict stays
+    // conservative, but a credit is owed: the next retirement resolves
+    // it (the keep-stale rule), or repairIndex condemns + recounts
+    if (spark.catalog.tableExists(dictTableName(name))) {
+      val scratch = dictDeltaPath(spark, name)
+      val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = Seq(scratch, new org.apache.hadoop.fs.Path(scratch.toString + ".applying"))
+        .filter(fs.exists).map(_.getName)
+      checks += (("dict_delta_pending", pending.isEmpty,
+        if (pending.isEmpty) "no staged dict credit awaiting apply"
+        else s"staged dict credit awaiting resolution (${pending.mkString(", ")}) — " +
+          "re-run retireTombstones/maintainIncremental, or repairIndex condemns + recounts"))
+    }
     checks.toSeq.toDF("check", "ok", "detail")
   }
 
@@ -1164,6 +1178,13 @@ object Postings {
     *  - **duplicated markers** (`marker_log_unique` red): the marker
     *    log is pure replay state — duplicates are byte-identical by
     *    construction and collapse to one row per (batch_id, kind).
+    *  - **pending dict-delta staging** (`dict_delta_pending` red): a
+    *    crashed retirement's staged credit — whether its rewrite
+    *    committed is unknowable at rest, so the repair never applies
+    *    it (a wrong apply undercounts): condemn + `recountDict`, which
+    *    restores exactness at full-recount cost. (The cheap exact
+    *    resolution is simply re-running the retirement — its
+    *    keep-stale rule re-derives the answer from physical evidence.)
     */
   def repairIndex(
       spark: SparkSession,
@@ -1281,6 +1302,27 @@ object Postings {
         }
         out += (("marker_dedup", true, s"$dups duplicated (batch_id, kind) markers collapsed"))
       } else out += (("marker_dedup", false, "marker log unique"))
+    }
+
+    // ---- pending dict-delta staging: condemn + recount ----
+    // A staging found AT REST is a crashed retirement's: whether its
+    // rewrite committed is unknowable here without re-deriving the
+    // evidence (that resolution is exactly what the next retirement's
+    // keep-stale rule does, self-healing and exact). The repair takes
+    // the always-safe route instead: CONDEMN the staging (never apply
+    // — a wrong apply undercounts) and recount the dictionary from the
+    // live postings, which restores exactness at full-recount cost.
+    if (spark.catalog.tableExists(dictTableName(name))) {
+      val scratch = dictDeltaPath(spark, name)
+      val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = Seq(scratch, new org.apache.hadoop.fs.Path(scratch.toString + ".applying"))
+        .filter(fs.exists)
+      if (pending.nonEmpty) {
+        condemnDictDeltas(spark, name)
+        recountDict(spark, name)
+        out += (("dict_delta_resolve", true,
+          s"${pending.size} pending staging(s) condemned; dictionary recounted from live postings"))
+      } else out += (("dict_delta_resolve", false, "no staged dict credit awaiting apply"))
     }
     out.toSeq.toDF("repair", "applied", "detail")
   }

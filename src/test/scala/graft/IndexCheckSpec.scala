@@ -172,6 +172,46 @@ class IndexCheckSpec extends SparkTestBase {
     }
   }
 
+  test("pending dict-delta staging: fsck flags it; repairIndex condemns it and recounts to exactness") {
+    // a crashed retirement leaves its staged dict credit on disk —
+    // reads stay correct and the dict conservative, but a credit is
+    // owed. The repair never APPLIES a found staging (whether its
+    // rewrite committed is unknowable at rest — a wrong apply would
+    // undercount): it condemns + recounts.
+    val dir  = Files.createTempDirectory("graft_ddp").toString
+    val name = "t_ddp_a"
+    try {
+      Postings.writeIndex(
+        docs.toDF("doc_id", "text", "lang"), "doc_id", "text", name, dir,
+        buckets = 4, metaCols = Seq("lang"))
+      val dictLoc = graft.sources.Layout.baseGen(
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_dict")).location.toString)
+      Seq((123L, "qqq_bogus", -5L)).toDF("term_h", "term", "df")
+        .write.parquet(s"$dictLoc.dictdelta")
+      val flagged = checkMap(Postings.checkIndex(spark, name))
+      assert(!flagged("dict_delta_pending"), "pending staging not flagged")
+      assert(flagged.filterNot(_._1 == "dict_delta_pending").values.forall(identity),
+        s"only the staging check may be red: $flagged")
+      val r = Postings.repairIndex(spark, name)
+        .select("repair", "applied").as[(String, Boolean)].collect().toMap
+      assert(r("dict_delta_resolve"), s"pending staging not resolved: $r")
+      assert(checkMap(Postings.checkIndex(spark, name)).values.forall(identity),
+        "fsck not green after the staging repair")
+      // the bogus staged rows never reached the dictionary, and the
+      // recount restored exact per-term df
+      assert(Postings.dictTable(spark, name).filter(col("term") === "qqq_bogus").isEmpty,
+        "condemned staging rows reached the dictionary")
+      val dictSums = Postings.dictTable(spark, name)
+        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+        .filter(col("df") =!= 0L)
+      val liveDf = Postings.livePostings(spark, name)
+        .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
+      assert(dictSums.except(liveDf).isEmpty && liveDf.except(dictSums).isEmpty,
+        "dictionary not exact after the recount repair")
+    } finally Postings.dropIndex(spark, name)
+  }
+
   test("repairIvfIndex turns every red IVF check green; healthy index is a no-op") {
     val dir = Files.createTempDirectory("graft_repv").toString
     val name = "t_rep_v"
