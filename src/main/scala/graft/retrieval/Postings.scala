@@ -877,11 +877,15 @@ object Postings {
         true                            // trace was already dropped
       } else false
     val defragged = compactFragmentedBuckets(spark, name, maxFilesPerBucket).nonEmpty
-    // marker-log file fragmentation (round 15): the stats table and
-    // the positional marker log grow one FILE per committed batch —
-    // coalesce (rows preserved, replay semantics intact) once they
-    // fragment past the same per-table bound the bucketed tables use
-    val coalesced = Seq(statsTableName(name), posMarkersTableName(name))
+    // plain-table file fragmentation (round 15): the stats table and
+    // the positional marker log grow one FILE per committed batch, and
+    // the tombstone table one per delete batch (a streaming-deletion
+    // workload of many tiny batches fragments the table every query's
+    // live-view probe reads, while the id-count budget never trips) —
+    // coalesce (rows preserved: replay semantics and the anti-join are
+    // row-set functions) once they fragment past the same per-table
+    // bound the bucketed tables use
+    val coalesced = Seq(statsTableName(name), posMarkersTableName(name), tombsTableName(name))
       .filter(spark.catalog.tableExists)
       .filter(t => Layout.parquetFileCount(spark, t) > maxFilesPerBucket)
       .map { t => Layout.coalescePlain(spark, t); t }

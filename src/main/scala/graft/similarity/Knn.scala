@@ -724,9 +724,10 @@ object Knn {
         true
       } else false
     val defragged = compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket).nonEmpty
-    // marker-log FILE fragmentation — one file per committed batch;
-    // coalesce rows-preserved (see Postings.maintainIncremental)
-    val coalesced = Seq(ivfMarkersTableName(name))
+    // plain-table FILE fragmentation — one file per committed batch
+    // (marker log) / per delete batch (tombstone table); coalesce
+    // rows-preserved (see Postings.maintainIncremental)
+    val coalesced = Seq(ivfMarkersTableName(name), ivfTombsTableName(name))
       .filter(spark.catalog.tableExists)
       .filter(t => graft.sources.Layout.parquetFileCount(spark, t) > maxFilesPerBucket)
       .map { t => graft.sources.Layout.coalescePlain(spark, t); t }

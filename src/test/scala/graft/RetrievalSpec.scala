@@ -1299,6 +1299,37 @@ class RetrievalSpec extends SparkTestBase {
         "replayed batch re-applied after the marker coalesce")
       assert(q() == ansBefore)
 
+      // the TOMBSTONE table fragments one file per delete batch too
+      // (a streaming-deletion workload: many tiny batches, id budget
+      // never trips) — maintenance coalesces it rows-preserved, and
+      // the anti-join + double-delete guard semantics are row-set
+      // functions, so both survive untouched
+      val delIds = docsDf.filter(col("text").isNotNull && col("doc_id") % 2 === 1)
+        .select(col("doc_id").cast("long")).as[Long].collect().sorted.take(4).toSeq
+      assert(delIds.size == 4, "fixture needs 4 indexed odd docs with text")
+      delIds.zipWithIndex.foreach { case (d, i) =>
+        Postings.deleteBatch(
+          docsDf.filter(col("doc_id") === d), "doc_id", "text", "t_mkc_a", batchId = 10L + i)
+      }
+      val tombRows = spark.table("t_mkc_a_tombs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(Layout.parquetFileCount(spark, "t_mkc_a_tombs") >= 4)
+      val ansDel = q()
+      Postings.maintainIncremental(
+        spark, "t_mkc_a", maxFilesPerBucket = 1, maxTombstones = Long.MaxValue)
+      assert(Layout.parquetFileCount(spark, "t_mkc_a_tombs") == 1,
+        "tombstone files must coalesce to one")
+      assert(spark.table("t_mkc_a_tombs").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet == tombRows,
+        "coalesce changed the tombstone ROW set")
+      assert(q() == ansDel, "answers changed across the tombstone coalesce")
+      // the double-delete guard still sees the rows (a row-set function)
+      val guard = intercept[IllegalArgumentException] {
+        Postings.deleteBatch(
+          docsDf.filter(col("doc_id") === delIds.head), "doc_id", "text", "t_mkc_a", batchId = 20L)
+      }
+      assert(guard.getMessage.contains("tombstone"), s"unexpected guard message: ${guard.getMessage}")
+
       // positional-only index: the (batch_id, kind) marker log
       // coalesces through compactIndex the same way
       Postings.writePositionalIndex(
