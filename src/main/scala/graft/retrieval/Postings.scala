@@ -787,15 +787,20 @@ object Postings {
     // mask fast path: every tombstone row carries the bucket mask its
     // delete batch computed (r15 schema, non-null for this family's
     // table) — touched buckets come from the SLIM set alone, no index
-    // scan. Fallback (legacy 2-col table, or rows whose mask is null
-    // because the table family didn't exist at delete time): the
-    // column-pruned trace scan.
-    def maskedBuckets(maskCol: String): Option[Set[Int]] =
+    // scan. Fallback (legacy 2-col table, rows whose mask is null
+    // because the table family didn't exist at delete time, or any
+    // mask outside the live bucket range — the index was rebuilt under
+    // a different spec since the delete, so the whole mask set is
+    // distrusted, same rule as the IVF twin): the column-pruned trace
+    // scan.
+    def maskedBuckets(maskCol: String, nb: Int): Option[Set[Int]] =
       if (!tombs.columns.contains(maskCol)) None
       else if (tombs.filter(col(maskCol).isNull).limit(1).count() > 0) None
-      else Some(
-        tombs.select(explode(col(maskCol)).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet)
+      else {
+        val ms = tombs.select(explode(col(maskCol)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        if (ms.exists(b => b < 0 || b >= nb)) None else Some(ms)
+      }
     val out = Seq(
       (postingsTableName(name), "term_h", Some("pb")),
       (posTableName(name),      "term_h", Some("xb")),
@@ -806,7 +811,7 @@ object Postings {
         val nb = Layout.numBuckets(spark, table)
         // the forward side is bucketed BY doc_id, so its touched
         // buckets are computable from the tombstone ids directly
-        val touched = mask.flatMap(maskedBuckets).getOrElse {
+        val touched = mask.flatMap(maskedBuckets(_, nb)).getOrElse {
           (if (key == "doc_id") tombIds
            else spark.table(table).join(tombIds, Seq("doc_id"), "left_semi"))
             .select(Layout.bucketIdExpr(col(key), nb).as("b"))
@@ -831,6 +836,17 @@ object Postings {
         }
       }
       .toMap
+    // a staging can survive the loop untouched when the postings trace
+    // scan found no evidence at all (a committed-rewrite crash dropped
+    // the rows before their credit applied, and the touched set came
+    // out empty — the trace-scan-era window the fsck row names).
+    // Resolve it BEFORE the clear destroys the tombstone evidence the
+    // verification needs: a staging that verifies against its own
+    // bucket set applies (the exact heal); anything else was condemned
+    // by the verification (conservative overcount).
+    if (spark.catalog.tableExists(dictTableName(name)) &&
+      resolvableStaleStaging(spark, name, tombIds))
+      applyDictDeltas(spark, name)
     graft.sources.IndexLifecycle.clearTombs(spark, tombsT, "doc_id")
     out
   }
@@ -996,7 +1012,9 @@ object Postings {
     // a staged-but-unapplied dict credit (crash inside a retirement /
     // bucket defrag) — reads stay correct and the dict stays
     // conservative, but a credit is owed: the next retirement resolves
-    // it (the keep-stale rule), or repairIndex condemns + recounts
+    // it on EVERY path (applies it when it verifies against its own
+    // persisted bucket set, condemns it otherwise — both before the
+    // tombstone clear), or repairIndex condemns + recounts
     if (spark.catalog.tableExists(dictTableName(name))) {
       val scratch = dictDeltaPath(spark, name)
       val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1005,7 +1023,8 @@ object Postings {
       checks += (("dict_delta_pending", pending.isEmpty,
         if (pending.isEmpty) "no staged dict credit awaiting apply"
         else s"staged dict credit awaiting resolution (${pending.mkString(", ")}) — " +
-          "re-run retireTombstones/maintainIncremental, or repairIndex condemns + recounts"))
+          "re-run retireTombstones/maintainIncremental (applies or condemns it), " +
+          "or repairIndex condemns + recounts"))
     }
     checks.toSeq.toDF("check", "ok", "detail")
   }
@@ -1059,17 +1078,30 @@ object Postings {
     *  - recomputed deltas NON-EMPTY → the tombstoned rows are still
     *    physical (no committed rewrite since the set was written):
     *    overwrite any stale staging — recomputed is current truth.
-    *  - recomputed EMPTY but a stale staging exists → the one crash
-    *    window where a committed rewrite dropped the rows before
-    *    `applyDictDeltas` ran: the stale staging is EXACTLY the
-    *    uncredited decrement — keep it, the re-run's apply heals the
-    *    dict precisely.
+    *  - recomputed EMPTY but a stale staging exists → VERIFY the stale
+    *    staging against its OWN persisted bucket set (each staging
+    *    records the buckets it was computed over in a `_staged_buckets`
+    *    sidecar, written strictly after the delta rows): kept — and so
+    *    later applied — ONLY when the recompute over THOSE buckets is
+    *    also empty, i.e. a committed rewrite really dropped the staged
+    *    rows before their credit applied (the staging is then exactly
+    *    the uncredited decrement, and the apply heals the dict
+    *    precisely). A staging whose own buckets still hold physical
+    *    tombstoned rows is a pre-rewrite crash leftover — its rows will
+    *    be re-staged by the pass that eventually drops them, so
+    *    applying it now would credit them twice (summed df undercount,
+    *    the forbidden direction; the r15 form keyed keep-stale off the
+    *    CALLER's bucket set, which an unrelated defrag pass could
+    *    satisfy vacuously): it is CONDEMNED instead. A sidecar-less
+    *    staging (torn before the sidecar write, or pre-r16) is
+    *    unverifiable and likewise condemned.
     *  - recomputed EMPTY, no staging → nothing to do.
     * No window double-applies; the unrecoverable windows (e.g. an
-    * opportunistic drop that never staged) degrade to the documented
+    * opportunistic drop that never staged, or a condemned pre-rewrite
+    * staging whose rewrite later commits) degrade to the documented
     * conservative direction — df overcount, never undercount — which
     * `recountDict`/full compaction still heals.
-    * Returns whether a staging (fresh or kept-stale) awaits apply.
+    * Returns whether a staging (fresh or kept-verified) awaits apply.
     */
   private def stageDictDeltas(
       spark: SparkSession,
@@ -1077,25 +1109,92 @@ object Postings {
       bucketIds: Set[Int],
       tombIds: DataFrame): Boolean = {
     if (!spark.catalog.tableExists(dictTableName(name))) return false
-    val postT = postingsTableName(name)
     val scratch = dictDeltaPath(spark, name)
     val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Layout.bucketFiles(spark, postT, bucketIds)
-    val postMeta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(postT))
-    val deltas =
-      if (files.isEmpty) spark.emptyDataFrame
-      else
-        spark.read.schema(postMeta.schema).parquet(files: _*)
-          .join(tombIds, Seq("doc_id"), "left_semi")
-          .groupBy(col("term_h"), col("term"))
-          .agg((-count(lit(1))).as("df"))
-    if (files.nonEmpty && !deltas.isEmpty) {
-      fs.delete(scratch, true)
-      deltas.write.mode("overwrite").parquet(scratch.toString)
-      true
-    } else fs.exists(scratch) // keep a stale staging: the committed-rewrite crash window's exact heal
+    val files = Layout.bucketFiles(spark, postingsTableName(name), bucketIds)
+    if (files.nonEmpty) {
+      val deltas = tombstonedTermCounts(spark, name, files)
+      if (!deltas.isEmpty(tombIds)) {
+        fs.delete(scratch, true)
+        deltas.frame(tombIds).write.mode("overwrite").parquet(scratch.toString)
+        // the bucket-set sidecar makes the staging self-verifying (see
+        // crash discipline above); written LAST, so a torn staging is
+        // sidecar-less and condemns rather than applies
+        writeStagedBuckets(fs, scratch, bucketIds)
+        return true
+      }
+    }
+    resolvableStaleStaging(spark, name, tombIds)
   }
+
+  /** The per-term counts of tombstoned posting rows physically present
+    * in `files` — the decrement a rewrite of those files' buckets
+    * earns. Tiny wrapper so stage/verify share one definition.
+    */
+  private case class TombstonedTermCounts(spark: SparkSession, name: String, files: Seq[String]) {
+    private def matched(tombIds: DataFrame): DataFrame = {
+      val postMeta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(postingsTableName(name)))
+      spark.read.schema(postMeta.schema).parquet(files: _*)
+        .join(tombIds, Seq("doc_id"), "left_semi")
+    }
+    def isEmpty(tombIds: DataFrame): Boolean = matched(tombIds).isEmpty
+    def frame(tombIds: DataFrame): DataFrame =
+      matched(tombIds).groupBy(col("term_h"), col("term")).agg((-count(lit(1))).as("df"))
+  }
+  private def tombstonedTermCounts(
+      spark: SparkSession, name: String, files: Seq[String]): TombstonedTermCounts =
+    TombstonedTermCounts(spark, name, files)
+
+  /** Whether a stale dict-delta staging exists AND verifies against its
+    * own persisted bucket set (no physical tombstoned rows left in
+    * those buckets — the committed-rewrite crash window, where the
+    * staging is the exact uncredited decrement). A staging that fails
+    * verification — sidecar missing, or its buckets still holding
+    * tombstoned rows — is CONDEMNED here (deleted; the conservative
+    * overcount direction). Returns whether a verified staging awaits
+    * apply.
+    */
+  private def resolvableStaleStaging(
+      spark: SparkSession,
+      name: String,
+      tombIds: DataFrame): Boolean = {
+    val scratch = dictDeltaPath(spark, name)
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(scratch)) return false
+    val verified = readStagedBuckets(fs, scratch).exists { staged =>
+      val files = Layout.bucketFiles(spark, postingsTableName(name), staged)
+      files.isEmpty || tombstonedTermCounts(spark, name, files).isEmpty(tombIds)
+    }
+    if (!verified) fs.delete(scratch, true)
+    verified
+  }
+
+  /** The staging's bucket-set sidecar (`_staged_buckets` — underscore-
+    * prefixed, so the parquet read of the staging never sees it).
+    */
+  private def writeStagedBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      scratch: org.apache.hadoop.fs.Path,
+      bucketIds: Set[Int]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(scratch, "_staged_buckets"), true)
+    try out.write(
+      bucketIds.toSeq.sorted.mkString(",").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readStagedBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      scratch: org.apache.hadoop.fs.Path): Option[Set[Int]] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(scratch, "_staged_buckets")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        Some(s.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Apply a staged dictionary decrement (see `stageDictDeltas`):
     * append the negated per-term counts as ordinary dict partial rows
@@ -1110,8 +1209,17 @@ object Postings {
     * degrades to the documented-conservative df overcount, never an
     * undercount (a double-applied decrement would under-count, which
     * breaks the `dict_df_covers_live_postings` ≥ invariant every
-    * consumer rides).
+    * consumer rides). The read uses the staging's EXPLICIT schema
+    * (never inference — a half-written staging with no committed part
+    * files would fail schema inference and wedge retirement); a
+    * staging that still fails to read is condemned like a crashed
+    * apply rather than thrown.
     */
+  private val dictDeltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term_h", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType)))
+
   private def applyDictDeltas(spark: SparkSession, name: String): Unit = {
     val dictT = dictTableName(name)
     if (!spark.catalog.tableExists(dictT)) return
@@ -1123,10 +1231,16 @@ object Postings {
     if (fs.exists(applying)) fs.delete(applying, true)
     if (!fs.exists(scratch)) return
     fs.rename(scratch, applying)
-    val deltas = spark.read.parquet(applying.toString)
-    if (!deltas.isEmpty)
-      deltas.select(col("term_h"), col("term"), col("df"))
-        .write.mode("append").insertInto(dictT)
+    try {
+      val deltas = spark.read.schema(dictDeltaSchema).parquet(applying.toString)
+      if (!deltas.isEmpty)
+        deltas.select(col("term_h"), col("term"), col("df"))
+          .write.mode("append").insertInto(dictT)
+    } catch {
+      // unreadable staging (torn write, corrupt footer): condemned by
+      // the delete below — the conservative overcount, never a wedge
+      case scala.util.control.NonFatal(_) => ()
+    }
     fs.delete(applying, true)
     spark.catalog.refreshTable(dictT)
   }

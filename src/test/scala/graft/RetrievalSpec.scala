@@ -1260,6 +1260,201 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_dcf_a")
   }
 
+  // ---- dict-delta staging verification (round 16 — ADVICE r15) ----
+  //
+  // Shared fixture helpers: two synthetic terms in DIFFERENT buckets of
+  // an 8-bucket index, so a test can place tombstoned rows and
+  // fragmentation in provably disjoint buckets.
+  private def bucketOf(tm: String, nb: Int): Int = {
+    import graft.sources.Layout
+    spark.range(1)
+      .select(Layout.bucketIdExpr(lit(graft.functions.Hashing.hash60Jvm(tm)), nb))
+      .as[Int].head()
+  }
+  private def dictDeltaDir(name: String): String =
+    graft.sources.Layout.baseGen(
+      spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_dict"))
+        .location.toString) + ".dictdelta"
+  private def plantStaging(name: String, rows: Seq[(Long, String, Long)], buckets: Set[Int]): Unit = {
+    val path = dictDeltaDir(name)
+    rows.toDF("term_h", "term", "df").coalesce(1).write.mode("overwrite").parquet(path)
+    val side = new java.io.File(new java.io.File(new java.net.URI(path)), "_staged_buckets")
+    java.nio.file.Files.write(
+      side.toPath, buckets.toSeq.sorted.mkString(",").getBytes("UTF-8"))
+  }
+  private def dictSum(name: String, term: String): Long = {
+    val r = Postings.dictTable(spark, name)
+      .filter(col("term") === term).agg(sum(col("df"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  test("a pre-rewrite staging is never applied by an unrelated defrag pass (verified against its own bucket set)") {
+    // The r15 double-apply window (ADVICE r16-medium): a retirement
+    // stages its decrement, crashes BEFORE its bucket rewrite commits
+    // (rows still physical), and a later compactFragmentedBuckets pass
+    // over UNRELATED buckets recomputes empty — the old keep-stale rule
+    // applied the staging there, and the eventual retirement would then
+    // re-stage and re-apply the same rows after actually dropping them:
+    // summed df undercount, the forbidden direction. The staging now
+    // persists its own bucket set and is kept only when THOSE buckets
+    // hold no tombstoned rows; a pre-rewrite staging is condemned.
+    val dir = Files.createTempDirectory("graft_dstale").toString
+    val cands = (0 until 64).map(i => s"qqqstale$i")
+    val sTerm = cands.find(bucketOf(_, 8) == 0).get // tombstoned rows live here
+    val fTerm = cands.find(bucketOf(_, 8) == 1).get // fragmentation lives here
+    try {
+      Postings.writeIndex(
+        Seq((1L, sTerm), (2L, sTerm), (3L, fTerm)).toDF("doc_id", "text"),
+        "doc_id", "text", "t_dstale_a", dir, buckets = 8)
+      // normalize to exactly one file per bucket (the build's write
+      // tasks may split a bucket), so ONLY the append below fragments
+      Postings.compactIndex(spark, "t_dstale_a")
+      Postings.appendBatch(
+        Seq((4L, fTerm)).toDF("doc_id", "text"), "doc_id", "text", "t_dstale_a", batchId = 1L)
+      Postings.deleteBatch(
+        Seq((1L, sTerm)).toDF("doc_id", "text"), "doc_id", "text", "t_dstale_a", batchId = 2L)
+      // the crashed retirement's staging: doc 1's decrement, bucket set
+      // = sTerm's bucket — and doc 1's rows are STILL physical
+      plantStaging(
+        "t_dstale_a",
+        Seq((graft.functions.Hashing.hash60Jvm(sTerm), sTerm, -1L)),
+        Set(bucketOf(sTerm, 8)))
+      // defrag over fTerm's bucket only (the only fragmented one):
+      // recompute over it is empty; the staging must be CONDEMNED (its
+      // own bucket still holds doc 1's rows), never applied
+      val frag = Postings.compactFragmentedBuckets(spark, "t_dstale_a", maxFilesPerBucket = 1)
+      assert(frag.get("t_dstale_a_postings").map(_.toSet).contains(Set(bucketOf(fTerm, 8))),
+        s"fixture must defrag exactly fTerm's bucket, got $frag")
+      assert(!new java.io.File(new java.net.URI(dictDeltaDir("t_dstale_a"))).exists,
+        "pre-rewrite staging must be condemned by the unrelated defrag pass")
+      assert(dictSum("t_dstale_a", sTerm) == 2L,
+        "the condemned staging's decrement reached the dictionary — double-apply window is open")
+      // the eventual retirement drops the rows, credits them ONCE, and
+      // the dictionary lands exact
+      Postings.retireTombstones(spark, "t_dstale_a")
+      assert(dictSum("t_dstale_a", sTerm) == 1L,
+        s"dict df for $sTerm should be survivor-exact 1 after retirement")
+      assert(Postings.postingsTable(spark, "t_dstale_a").filter(col("doc_id") === 1L).isEmpty)
+    } finally Postings.dropIndex(spark, "t_dstale_a")
+  }
+
+  test("a stranded post-rewrite staging resolves in the next retirement even when the trace scan finds nothing") {
+    // ADVICE r16-low: on the trace-scan fallback path (legacy maskless
+    // tombstones) a committed-rewrite crash leaves a staging that the
+    // re-run's empty touched set used to strand past clearTombs until
+    // repairIndex. Retirement now resolves a surviving staging BEFORE
+    // the clear: verified against its own bucket set (rows really
+    // dropped) → applied, the exact heal.
+    val dir = Files.createTempDirectory("graft_dstrand").toString
+    import graft.sources.Layout
+    val cands = (0 until 64).map(i => s"qqqstrand$i")
+    val sTerm = cands.find(bucketOf(_, 8) == 2).get
+    try {
+      Postings.writeIndex(
+        Seq((1L, sTerm), (2L, sTerm)).toDF("doc_id", "text"),
+        "doc_id", "text", "t_dstr_a", dir, buckets = 8)
+      // legacy maskless tombstone table → retirement must trace-scan
+      spark.sql("DROP TABLE t_dstr_a_tombs")
+      graft.sources.IndexLifecycle.writeEmptyTombs(
+        spark, "t_dstr_a_tombs", s"$dir/tombs_legacy", "doc_id")
+      Postings.deleteBatch(
+        Seq((1L, sTerm)).toDF("doc_id", "text"), "doc_id", "text", "t_dstr_a", batchId = 1L)
+      // simulate stage → rewrite COMMITTED → crash before apply: plant
+      // the staging, then run the bucket rewrite that drops the rows
+      plantStaging(
+        "t_dstr_a",
+        Seq((graft.functions.Hashing.hash60Jvm(sTerm), sTerm, -1L)),
+        Set(bucketOf(sTerm, 8)))
+      Layout.compactBuckets(
+        spark, "t_dstr_a_postings", Set(bucketOf(sTerm, 8)),
+        graft.sources.IndexLifecycle.dropTombstonedTransform(
+          spark, "t_dstr_a_tombs", "doc_id", "doc_id"))
+      assert(Postings.postingsTable(spark, "t_dstr_a").filter(col("doc_id") === 1L).isEmpty,
+        "fixture must start from a committed rewrite (rows physically dropped)")
+      // the re-run: trace scan finds no evidence, touched set empty —
+      // the staging must STILL apply (before the clear), not strand
+      Postings.retireTombstones(spark, "t_dstr_a")
+      assert(!new java.io.File(new java.net.URI(dictDeltaDir("t_dstr_a"))).exists,
+        "staging stranded past clearTombs")
+      assert(dictSum("t_dstr_a", sTerm) == 1L,
+        s"dict df for $sTerm should be survivor-exact 1 after the stranded staging applied")
+      assert(Postings.tombstones(spark, "t_dstr_a").count() == 0)
+      val fsck = Postings.checkIndex(spark, "t_dstr_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after stranded-staging resolution: $fsck")
+    } finally Postings.dropIndex(spark, "t_dstr_a")
+  }
+
+  test("an unreadable staging is condemned like a crashed apply, never a wedge") {
+    // ADVICE r16-low: a staging left half-written by a crash inside the
+    // stage write (or corrupted on disk) used to throw at apply time
+    // ('unable to infer schema') and wedge retirement until a manual
+    // condemn. The apply now reads with the staging's explicit schema
+    // and condemns on read failure — the conservative overcount.
+    val dir = Files.createTempDirectory("graft_dcorrupt").toString
+    import graft.sources.Layout
+    val cands = (0 until 64).map(i => s"qqqcorr$i")
+    val sTerm = cands.find(bucketOf(_, 8) == 3).get
+    try {
+      Postings.writeIndex(
+        Seq((1L, sTerm), (2L, sTerm)).toDF("doc_id", "text"),
+        "doc_id", "text", "t_dcor_a", dir, buckets = 8)
+      Postings.deleteBatch(
+        Seq((1L, sTerm)).toDF("doc_id", "text"), "doc_id", "text", "t_dcor_a", batchId = 1L)
+      // committed rewrite, then a staging whose parquet payload is
+      // GARBAGE BYTES (torn write): sidecar verifies, read must not
+      Layout.compactBuckets(
+        spark, "t_dcor_a_postings", Set(bucketOf(sTerm, 8)),
+        graft.sources.IndexLifecycle.dropTombstonedTransform(
+          spark, "t_dcor_a_tombs", "doc_id", "doc_id"))
+      val stagingDir = new java.io.File(new java.net.URI(dictDeltaDir("t_dcor_a")))
+      stagingDir.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(stagingDir, "part-00000.parquet").toPath,
+        Array.fill[Byte](64)(0x42))
+      java.nio.file.Files.write(
+        new java.io.File(stagingDir, "_staged_buckets").toPath,
+        bucketOf(sTerm, 8).toString.getBytes("UTF-8"))
+      Postings.retireTombstones(spark, "t_dcor_a") // must not throw
+      assert(!stagingDir.exists && !new java.io.File(stagingDir.getPath + ".applying").exists,
+        "unreadable staging left on disk")
+      // the credit is lost — OVERCOUNT (>= live), never undercount
+      assert(dictSum("t_dcor_a", sTerm) == 2L,
+        "unreadable staging must degrade to the conservative overcount")
+      assert(Postings.tombstones(spark, "t_dcor_a").count() == 0)
+    } finally Postings.dropIndex(spark, "t_dcor_a")
+  }
+
+  test("an out-of-range postings bucket mask falls back to the trace scan, like the IVF twin") {
+    // ADVICE r16-low: a pb mask outside [0, numBuckets) means the index
+    // was rebuilt under a different spec since the delete — the mask
+    // set is distrusted wholesale and retirement trace-scans, instead
+    // of aborting inside compactBuckets' range require.
+    val dir = Files.createTempDirectory("graft_door").toString
+    val cands = (0 until 64).map(i => s"qqqoor$i")
+    val sTerm = cands.find(bucketOf(_, 8) == 4).get
+    try {
+      Postings.writeIndex(
+        Seq((1L, sTerm), (2L, sTerm)).toDF("doc_id", "text"),
+        "doc_id", "text", "t_oor_a", dir, buckets = 8)
+      Postings.deleteBatch(
+        Seq((1L, sTerm)).toDF("doc_id", "text"), "doc_id", "text", "t_oor_a", batchId = 1L)
+      // a stale-spec tombstone row: mask names bucket 99 of a vanished
+      // 128-bucket era (the doc id never indexed — trace scan skips it)
+      spark.range(1)
+        .select(
+          lit(999L).as("doc_id"), lit(97L).as("batch_id"),
+          array(lit(99)).as("pb"), lit(null).cast("array<int>").as("xb"))
+        .write.mode("append").insertInto("t_oor_a_tombs")
+      val rewritten = Postings.retireTombstones(spark, "t_oor_a") // must not abort
+      assert(rewritten.get("t_oor_a_postings").map(_.toSet).contains(Set(bucketOf(sTerm, 8))),
+        s"trace-scan fallback should rewrite exactly sTerm's bucket, got $rewritten")
+      assert(Postings.postingsTable(spark, "t_oor_a").filter(col("doc_id") === 1L).isEmpty)
+      assert(Postings.tombstones(spark, "t_oor_a").count() == 0)
+    } finally Postings.dropIndex(spark, "t_oor_a")
+  }
+
   test("commit-marker logs coalesce FILES, never rows: one file per batch becomes one total, replay stays no-op") {
     // Round 15: each committed batch appends its own one-row file to
     // the stats table / marker logs, so a long-streamed index opens
