@@ -1297,6 +1297,74 @@ object SearchQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** BUCKET-COUNT migration at the gate (round 16 — VERDICT r15 #2):
+    * d64's full lifecycle (build even half at 16 buckets → committed
+    * append of the odd half → delete every 7th) followed by
+    * `Postings.rebucketIndex(name, 64)` — the generation-swap
+    * migration a 100×-grown corpus needs when its frozen bucket count
+    * caps parallelism and makes every bucket-local maintenance pass
+    * 1/16th-of-the-index-sized. The oracle is d64's survivor full-scan
+    * SQL VERBATIM, blind to the whole history: a hash match proves the
+    * migration is invisible to every query — survivors carried exactly
+    * (tombstones dropped physically, set cleared), stats and dict
+    * survivor-exact — while the physical layout moves to 64 buckets
+    * (≡-fresh-build and marginal-cost properties are spec-pinned in
+    * RetrievalSpec / ladder-measured in ProfileR16Rebucket).
+    */
+  val d75_rebucket: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_rebkt_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d75_rebucket_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
+    graft.retrieval.Postings.rebucketIndex(s, name, newBuckets = 64)
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("merge", "hash", "vector"), 50)
+  }
+
+  /** IVF bucket-count migration at the gate — e13's lifecycle (build
+    * even half at 8 cell buckets → committed append → vector-carrying
+    * delete) followed by `Knn.rebucketIvfIndex(name, 32)`: the frozen
+    * centroid MODEL stays (assignment unchanged), only the cell-file
+    * placement moves to 32 buckets; tombstoned vectors drop physically
+    * and the delete-time `cb` masks retire with the set. Oracle: e11's
+    * survivor SQL verbatim, blind to the migration.
+    */
+  val e14_ivf_rebucket: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_ivfrb_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/e14_ivf_rebucket_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    graft.similarity.Knn.writeIvfIndex(
+      t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", name, path, buckets = 8)
+    graft.similarity.Knn.appendIvfBatch(
+      t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name, batchId = 1L)
+    graft.similarity.Knn.deleteIvfBatch(
+      t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id"), col("embedding")),
+      "vec_id", name, batchId = 2L, vecCol = Some("embedding"))
+    graft.similarity.Knn.rebucketIvfIndex(s, name, newBuckets = 32)
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -1333,7 +1401,9 @@ object SearchQueries {
     "d72_classic_snippets" -> d72_classic_snippets,
     "d73_tombstone_retire" -> d73_tombstone_retire,
     "d74_screened_retire" -> d74_screened_retire,
+    "d75_rebucket" -> d75_rebucket,
     "e13_ivf_retire" -> e13_ivf_retire,
+    "e14_ivf_rebucket" -> e14_ivf_rebucket,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
     "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
@@ -1570,6 +1640,17 @@ object SearchQueries {
         |ORDER BY term""".stripMargin,
     // e13: e11's survivor oracle VERBATIM — IVF retirement likewise
     "e13_ivf_retire" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
+    // d75: d64's survivor oracle VERBATIM — the 16→64 bucket-count
+    // migration must be invisible to every query (only the physical
+    // file placement moves; survivors, stats and dict carried exactly)
+    "d75_rebucket" -> bm25OracleSql(
+      Seq("merge", "hash", "vector"),
+      "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    // e14: e11's survivor oracle VERBATIM — the IVF 8→32 cell-bucket
+    // migration likewise (model frozen, assignment unchanged)
+    "e14_ivf_rebucket" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
       "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
       "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
     // d72: KWIC snippets downstream of the classic rounded-grid top-10 —

@@ -586,7 +586,42 @@ object Postings {
     * Same swap discipline as `Layout.compact` (write next generation,
     * re-point, delete old; other sessions REFRESH TABLE).
     */
-  def compactIndex(spark: SparkSession, name: String): Unit = {
+  def compactIndex(spark: SparkSession, name: String): Unit =
+    compactIndexTo(spark, name, None)
+
+  /** BUCKET-COUNT migration (round 16 — VERDICT r15 #2, the last
+    * index-sized scale seam): rewrite every bucketed table of the
+    * index under `newBuckets`, as one generation swap per table — the
+    * posting-side twin of `retrainIvfIndex`'s model migration. The
+    * bucket count is frozen at `writeIndex` time; a corpus that grows
+    * 100× after creation keeps its original 16-32 buckets, so
+    * per-bucket files grow unbounded, `compactBuckets`' marginal cost
+    * degrades from touched-bytes toward corpus-sized (one bucket =
+    * 1/N of 100 TB), and bucketed-scan parallelism caps at the stale
+    * count. Re-bucketing restores all three, and the result is
+    * IDENTICAL to a fresh `writeIndex` of the survivors at the new
+    * count (spec-pinned in RetrievalSpec; the d75 gate answers d64's
+    * survivor oracle verbatim after a 16→64 migration):
+    *
+    *  - tombstoned rows drop physically (the rewrite reads every byte
+    *    anyway) and the set clears LAST — which also retires any
+    *    delete-time `pb`/`xb` bucket masks computed under the OLD
+    *    modulus (a mask written under a different bucket count would
+    *    otherwise mislead retirement; the out-of-range distrust
+    *    check only catches masks outside the new range);
+    *  - the dictionary is recounted from the survivor postings (dict
+    *    exactness restored for free, like `compactIndex`);
+    *  - stats rows and marker logs keep EVERY ROW (replay markers —
+    *    a replayed batch id stays a no-op across the migration), but
+    *    their files coalesce.
+    * Single-writer maintenance, like every compaction entry point.
+    */
+  def rebucketIndex(spark: SparkSession, name: String, newBuckets: Int): Unit = {
+    require(newBuckets >= 1, "newBuckets must be >= 1")
+    compactIndexTo(spark, name, Some(newBuckets))
+  }
+
+  private def compactIndexTo(spark: SparkSession, name: String, newBuckets: Option[Int]): Unit = {
     // tombstone-drop rides the generation rewrite the compaction was
     // doing anyway: physical deletion costs zero extra passes. The
     // set is read ONCE here (slim by the compaction-cadence contract)
@@ -598,12 +633,16 @@ object Postings {
       else
         graft.sources.IndexLifecycle.dropTombstonedTransform(
           spark, tombsTableName(name), "doc_id", "doc_id")
+    def rewrite(table: String): Unit = newBuckets match {
+      case Some(n) => Layout.rebucket(spark, table, n, dropTombstoned)
+      case None    => Layout.compact(spark, table, dropTombstoned)
+    }
     if (spark.catalog.tableExists(postingsTableName(name)))
-      Layout.compact(spark, postingsTableName(name), dropTombstoned)
+      rewrite(postingsTableName(name))
     if (spark.catalog.tableExists(posTableName(name)))
-      Layout.compact(spark, posTableName(name), dropTombstoned)
+      rewrite(posTableName(name))
     if (spark.catalog.tableExists(forwardTableName(name)))
-      Layout.compact(spark, forwardTableName(name), dropTombstoned)
+      rewrite(forwardTableName(name))
     if (spark.catalog.tableExists(dictTableName(name))) {
       // the dictionary is RECOUNTED from the compacted postings (the
       // same fold a fresh build runs) rather than merged from its own
@@ -724,7 +763,9 @@ object Postings {
           spark, tombsTableName(name), "doc_id", "doc_id")
     val tombIds =
       if (!tombsLive) spark.emptyDataFrame
-      else broadcast(spark.table(tombsTableName(name)).select(col("doc_id")).distinct())
+      else graft.sources.IndexLifecycle.maybeBroadcast(
+        spark, tombsTableName(name),
+        spark.table(tombsTableName(name)).select(col("doc_id")).distinct())
     Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
       .filter(spark.catalog.tableExists)
       .flatMap { table =>
@@ -783,7 +824,8 @@ object Postings {
     val tombsT = tombsTableName(name)
     if (!graft.sources.IndexLifecycle.tombsLive(spark, tombsT)) return Map.empty
     val tombs   = spark.table(tombsT)
-    val tombIds = broadcast(tombs.select(col("doc_id")).distinct())
+    val tombIds = graft.sources.IndexLifecycle.maybeBroadcast(
+      spark, tombsT, tombs.select(col("doc_id")).distinct())
     // mask fast path: every tombstone row carries the bucket mask its
     // delete batch computed (r15 schema, non-null for this family's
     // table) — touched buckets come from the SLIM set alone, no index

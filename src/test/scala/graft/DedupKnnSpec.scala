@@ -1106,6 +1106,111 @@ class DedupKnnSpec extends SparkTestBase {
     }
   }
 
+  test("rebucketIvfIndex: 4→16 migration ≡ fresh survivor build; model frozen, masks retired, maintenance under the new spec") {
+    // Round 16 (VERDICT r15 #2), vector side: the cell-bucket count is
+    // frozen at writeIvfIndex time — rebucketIvfIndex migrates it as
+    // one generation swap. Pins: migrated table == fresh survivor
+    // build at the new count bit-for-bit (same stored doubles — the
+    // rewrite never recomputes nv/nn), reads identical, tombstones
+    // dropped + set cleared (old-modulus cb masks retire with it),
+    // replay no-op, and a post-migration vector-carrying delete masks
+    // under the NEW modulus so retirement stays scan-free.
+    import graft.sources.Layout
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfrbk").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ivfrbk").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def rows(n: String) = Knn.ivfTable(spark, n)
+      .select(col("cell"), col("n_id"), col("nn")).as[(Long, Long, Double)].collect().toSet
+    def topK(n: String) = Knn.ivfTopK(spark, n, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfrbk_a", dirA, buckets = 4)
+      Knn.appendIvfBatch(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "t_ivfrbk_a", batchId = 1L)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 2).select(col("vec_id"), col("embedding")),
+        "vec_id", "t_ivfrbk_a", batchId = 2L, vecCol = Some("embedding"))
+      Knn.rebucketIvfIndex(spark, "t_ivfrbk_a", newBuckets = 16)
+
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 9 =!= 2), cents, "vec_id", "embedding", "t_ivfrbk_b", dirB, buckets = 16)
+      assert(rows("t_ivfrbk_a") == rows("t_ivfrbk_b"), "migrated ivf != fresh survivor build")
+      assert(topK("t_ivfrbk_a") == topK("t_ivfrbk_b") && topK("t_ivfrbk_a").nonEmpty)
+      assert(Layout.numBuckets(spark, "t_ivfrbk_a_ivf") == 16)
+      assert(spark.table("t_ivfrbk_a_ivftombs").count() == 0,
+        "migration must clear the tombstone set (and its old-modulus masks)")
+
+      // replayed batch ids stay no-ops; post-migration delete masks
+      // under the new 16-bucket modulus and retirement is fsck-green
+      val before = rows("t_ivfrbk_a")
+      Knn.appendIvfBatch(
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", "t_ivfrbk_a", batchId = 1L)
+      assert(rows("t_ivfrbk_a") == before, "replayed append re-applied after rebucket")
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id") % 9 === 4).select(col("vec_id"), col("embedding")),
+        "vec_id", "t_ivfrbk_a", batchId = 3L, vecCol = Some("embedding"))
+      val masks = spark.table("t_ivfrbk_a_ivftombs").filter(col("cb").isNotNull)
+        .select(explode(col("cb"))).as[Int].collect()
+      assert(masks.nonEmpty && masks.forall(b => b >= 0 && b < 16),
+        "post-migration delete masks must be computed under the new bucket count")
+      Knn.retireIvfTombstones(spark, "t_ivfrbk_a")
+      val fsck = Knn.checkIvfIndex(spark, "t_ivfrbk_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after post-migration retirement: $fsck")
+    } finally {
+      Knn.dropIvfIndex(spark, "t_ivfrbk_a")
+      Knn.dropIvfIndex(spark, "t_ivfrbk_b")
+    }
+  }
+
+  test("IVF tombstone joins above the broadcast size gate: retirement and reads answer identically un-hinted") {
+    // Round 16 (VERDICT r15 #3) — the vector-side twin of the postings
+    // broadcast-gate leg: with spark.graft.tombstoneBroadcastBytes = 0
+    // and auto-broadcast off, the live view, masked retirement, and
+    // the re-ingest guard all run un-hinted joins and reach the same
+    // physical state and answers.
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ivfbg").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = emb
+      .select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Knn.norm(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val queries = emb.filter(col("vec_id") < 3)
+    def topK() = Knn.ivfTopK(spark, "t_ivfbg_a", queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+    try {
+      Knn.writeIvfIndex(
+        emb.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", "t_ivfbg_a", dirA, buckets = 4)
+      Knn.deleteIvfBatch(
+        emb.filter(col("vec_id").isin(10L, 12L)).select(col("vec_id"), col("embedding")),
+        "vec_id", "t_ivfbg_a", batchId = 1L, vecCol = Some("embedding"))
+      val hinted = topK()
+      spark.conf.set("spark.graft.tombstoneBroadcastBytes", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = Knn.liveIvf(spark, "t_ivfbg_a").queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+          s"gate shut but the IVF tombstone anti-join still broadcasts:\n$plan")
+        assert(topK() == hinted, "un-hinted IVF live read diverged from the broadcast plan")
+        Knn.retireIvfTombstones(spark, "t_ivfbg_a")
+        assert(topK() == hinted, "IVF retirement through the un-hinted path changed answers")
+        assert(spark.table("t_ivfbg_a_ivftombs").count() == 0)
+        assert(Knn.ivfTable(spark, "t_ivfbg_a").filter(col("n_id").isin(10L, 12L)).isEmpty)
+      } finally {
+        spark.conf.unset("spark.graft.tombstoneBroadcastBytes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally Knn.dropIvfIndex(spark, "t_ivfbg_a")
+  }
+
   test("IVF delete-time cell-bucket masks: scan-free retirement equals the trace-scan answer; wrong-vector masks are fsck-detected and repair-healed") {
     // Round 15 seam closed: a vector-carrying delete computes its cell
     // under the FROZEN model (the same pure per-row function appends

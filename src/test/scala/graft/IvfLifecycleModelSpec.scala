@@ -71,7 +71,7 @@ class IvfLifecycleModelSpec extends SparkTestBase {
         var batchId = 0L
         for (step <- 1 to 8) {
           batchId += 1
-          rnd.nextInt(6) match {
+          rnd.nextInt(7) match {
             case 0 | 1 =>
               val batch = freshBatch(1 + rnd.nextInt(4))
               if (batch.nonEmpty) {
@@ -114,6 +114,14 @@ class IvfLifecycleModelSpec extends SparkTestBase {
             case 5 => // bucket-scoped defrag (r15): query-invisible
               Knn.compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket = 1)
               check(s"bucket-defrag#$step")
+            case 6 => // bucket-count migration (round 16): same model
+              // effect as compact — survivors carried, set cleared —
+              // under a NEW cell-bucket count (model frozen; delete-
+              // time cb masks retire with the set, so later deletes
+              // mask under the new modulus)
+              Knn.rebucketIvfIndex(spark, name, newBuckets = Seq(2, 4, 8, 16)(rnd.nextInt(4)))
+              freeIds ++= tombed; tombed.clear()
+              check(s"rebucket#$step")
           }
         }
         Knn.compactIvfIndex(spark, name)

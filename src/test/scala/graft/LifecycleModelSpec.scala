@@ -69,8 +69,9 @@ class LifecycleModelSpec extends SparkTestBase {
   }
 
   test("random append/delete/compact interleavings: index == plain-Scala model after every operation") {
+    import graft.sources.Layout
     val terms = Seq("spark", "merge", "scan")
-    for (seed <- Seq(7, 23)) {
+    for (seed <- Seq(7, 23, 41, 57)) {
       val rnd  = new scala.util.Random(seed)
       val name = s"t_lcm_$seed"
       val dir  = Files.createTempDirectory("graft_lcm").toString
@@ -98,8 +99,19 @@ class LifecycleModelSpec extends SparkTestBase {
       init.foreach { case (id, tx) => if (tx != null) live(id) = tx }
 
       // dict contract state: exact after build/compact/retire, merely
-      // conservative (≥) while a delete awaits its credit
-      var dictExact = true
+      // conservative (≥) while a delete awaits its credit.
+      // Crash-injection state (round 16 — the staging boundary):
+      //  - pendingCrash: a post-rewrite crash left a verified-owed
+      //    staging on disk (rows dropped, credit pending);
+      //  - creditLost: a later delete forced the next stage to
+      //    OVERWRITE that pending staging, so its credit is gone until
+      //    the next full recount (compact/rebucket) — retirement alone
+      //    can no longer restore exactness. The engine contract says
+      //    every crash window degrades to OVERCOUNT; the ≥ assert below
+      //    is what catches a double-apply (undercount) regression.
+      var dictExact    = true
+      var pendingCrash = false
+      var creditLost   = false
 
       def check(op: String): Unit = {
         val got = Postings
@@ -129,11 +141,33 @@ class LifecycleModelSpec extends SparkTestBase {
       }
       check("build")
 
+      // plant a dict-delta staging as a crashed retirement would leave
+      // it: the TRUE decrement of the tombstoned rows still physical,
+      // sidecar naming every current bucket (the touched superset)
+      def plantCrashStaging(): Boolean = {
+        val deltas = Postings.postingsTable(spark, name)
+          .join(Postings.tombstones(spark, name), Seq("doc_id"), "left_semi")
+          .groupBy(col("term_h"), col("term")).agg((-count(lit(1))).as("df"))
+        if (deltas.isEmpty) false
+        else {
+          val dictLoc = Layout.baseGen(
+            spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_dict"))
+              .location.toString) + ".dictdelta"
+          deltas.coalesce(1).write.mode("overwrite").parquet(dictLoc)
+          val nb = Layout.numBuckets(spark, s"${name}_postings")
+          java.nio.file.Files.write(
+            new java.io.File(new java.io.File(new java.net.URI(dictLoc)), "_staged_buckets").toPath,
+            (0 until nb).mkString(",").getBytes("UTF-8"))
+          true
+        }
+      }
+
       try {
         var batchId = 0L
-        for (step <- 1 to 10) {
+        for (step <- 1 to 14) {
           batchId += 1
-          rnd.nextInt(6) match {
+          rnd.nextInt(8) match {
             case 0 | 1 => // append 1-5 docs (never a still-tombstoned id)
               val batch = freshBatch(1 + rnd.nextInt(5))
               Postings.appendBatch(batch.toDF("doc_id", "text"), "doc_id", "text", name, batchId)
@@ -147,28 +181,73 @@ class LifecycleModelSpec extends SparkTestBase {
                   "doc_id", "text", name, batchId)
                 victims.foreach { id => live.remove(id); tombed += id }
                 dictExact = false // overcounts until the next credit
+                if (pendingCrash) {
+                  // the next stage's recompute will be non-empty and
+                  // OVERWRITE the pending staging — its credit is lost
+                  // (overcount) until the next full recount
+                  pendingCrash = false; creditLost = true
+                }
                 check(s"delete#$step")
               }
             case 3 => // compact: physical drop, set cleared, ids re-usable
               Postings.compactIndex(spark, name)
               freeIds ++= tombed; tombed.clear()
-              dictExact = true // recounted from survivors
+              dictExact = true // recounted from survivors (staging condemned)
+              pendingCrash = false; creditLost = false
               check(s"compact#$step")
             case 4 => // retire (r15): same model effect as compact —
               // physical drop of tombstoned rows, set cleared, ids
-              // re-usable — via bucket-scoped rewrites only
+              // re-usable — via bucket-scoped rewrites only. Resolves
+              // any pending staging (applies it when verified, so the
+              // post-rewrite crash window heals EXACTLY — unless a
+              // later delete already forced its overwrite)
               Postings.retireTombstones(spark, name)
               freeIds ++= tombed; tombed.clear()
-              dictExact = true // r15 dict credit rides the retirement
+              dictExact = !creditLost
+              pendingCrash = false
               check(s"retire#$step")
-            case 5 => // bucket-scoped defrag (r15): query-invisible
-              Postings.compactFragmentedBuckets(spark, name, maxFilesPerBucket = 1)
+            case 5 => // bucket-scoped defrag (r15): query-invisible; its
+              // stage call resolves a pending staging too (applies a
+              // verified one, condemns a pre-rewrite one) — but only
+              // when the postings table actually had fragmented buckets
+              val rewritten = Postings.compactFragmentedBuckets(spark, name, maxFilesPerBucket = 1)
+              if (rewritten.contains(s"${name}_postings")) pendingCrash = false
               check(s"bucket-defrag#$step")
+            case 6 => // bucket-count migration (round 16): same model
+              // effect as compact — survivors carried, set cleared,
+              // dict recounted — under a NEW bucket count
+              Postings.rebucketIndex(spark, name, newBuckets = Seq(2, 4, 8, 16)(rnd.nextInt(4)))
+              freeIds ++= tombed; tombed.clear()
+              dictExact = true
+              pendingCrash = false; creditLost = false
+              check(s"rebucket#$step")
+            case 7 => // CRASH INJECTION at the dict-staging boundary
+              // (round 16): a retirement that staged its decrement and
+              // died either BEFORE its bucket rewrite committed (rows
+              // still physical — the staging must NEVER apply; a
+              // double-apply undercount trips the ≥ assert) or AFTER it
+              // (rows dropped — the staging is the exact owed credit).
+              if (tombed.nonEmpty && plantCrashStaging()) {
+                if (rnd.nextBoolean()) {
+                  val nb = Layout.numBuckets(spark, s"${name}_postings")
+                  Layout.compactBuckets(
+                    spark, s"${name}_postings", (0 until nb).toSet,
+                    graft.sources.IndexLifecycle.dropTombstonedTransform(
+                      spark, s"${name}_tombs", "doc_id", "doc_id"))
+                  pendingCrash = true
+                  check(s"staging-crash-post#$step")
+                } else {
+                  // pre-rewrite crash: staging is stale-but-unverified;
+                  // later passes must condemn, never apply it
+                  check(s"staging-crash-pre#$step")
+                }
+              }
           }
         }
         // always finish with a compact + final equivalence
         Postings.compactIndex(spark, name)
         freeIds ++= tombed; tombed.clear()
+        dictExact = true; pendingCrash = false; creditLost = false
         check("final-compact")
       } finally Postings.dropIndex(spark, name)
     }

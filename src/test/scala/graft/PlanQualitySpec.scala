@@ -112,6 +112,13 @@ class PlanQualitySpec extends SparkTestBase {
     // e13: the post-retirement read is the pruned ivfTopK plan — the
     // same broadcast K-row centroid-model cross join as e10/e11/e12
     "e13_ivf_retire" -> Set("BroadcastNestedLoopJoin"),
+    // d75: the post-migration read is d64's bm25TopK plan (one-row
+    // stats broadcast) — the 16→64 rebucket itself ran eagerly in the
+    // builder; the cleared tombstone set means no anti-join
+    "d75_rebucket" -> Set("BroadcastNestedLoopJoin"),
+    // e14: the post-migration read is the pruned ivfTopK plan — the
+    // same broadcast K-row centroid-model cross join as e10-e13
+    "e14_ivf_rebucket" -> Set("BroadcastNestedLoopJoin"),
     // e11p: the pre-deleted prod read is e11's pruned ivfTopK plan
     // (broadcast K-row centroid-model cross join for the query batch)
     "e11p_ivf_delete_prod" -> Set("BroadcastNestedLoopJoin"),

@@ -1455,6 +1455,137 @@ class RetrievalSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, "t_oor_a")
   }
 
+  test("rebucketIndex: 16→64 migration ≡ fresh survivor build; replay, re-ingest and later maintenance all under the new spec") {
+    // Round 16 (VERDICT r15 #2): the bucket count is frozen at build
+    // time — rebucketIndex is the generation-swap migration. The pin:
+    // after d64's lifecycle (build 16 → append → delete) + rebucket to
+    // 64, every table equals a FRESH writeIndex of the survivors at 64
+    // buckets (row sets; dict summed-df exact), the physical layout is
+    // really 64 buckets (metadata + file suffixes, one file per
+    // non-empty bucket), replayed batch ids stay no-ops, retired ids
+    // re-ingest, and retirement after a post-migration delete masks
+    // under the NEW modulus.
+    import graft.sources.Layout
+    val dirA = Files.createTempDirectory("graft_rbk").toString
+    val dirB = Files.createTempDirectory("graft_rbk").toString
+    def rows(name: String) = Postings.postingsTable(spark, name)
+      .select("term_h", "term", "doc_id", "tf", "dl")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    def dictSums(name: String) = Postings.dictTable(spark, name)
+      .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("df"))
+      .filter(col("df") =!= 0L).as[(Long, String, Long)].collect().toSet
+    def q(name: String) = Postings.bm25TopK(
+      Postings.livePostings(spark, name), Postings.statsTable(spark, name),
+      Seq("merge", "hash", "vector"), 50).as[(Long, Long, Long, Double)].collect().toSeq
+    try {
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_rbk_a", dirA, buckets = 16)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_rbk_a", batchId = 1L)
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 3), "doc_id", "text", "t_rbk_a", batchId = 2L)
+      Postings.rebucketIndex(spark, "t_rbk_a", newBuckets = 64)
+
+      // ≡ fresh survivor build at 64 buckets
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 7 =!= 3), "doc_id", "text", "t_rbk_b", dirB, buckets = 64)
+      assert(rows("t_rbk_a") == rows("t_rbk_b"), "migrated postings != fresh survivor build")
+      assert(dictSums("t_rbk_a") == dictSums("t_rbk_b"), "migrated dict != fresh recount")
+      assert(q("t_rbk_a") == q("t_rbk_b") && q("t_rbk_a").nonEmpty)
+
+      // the physical layout really moved: 64-bucket spec, every file
+      // suffix under 64, one file per non-empty bucket
+      assert(Layout.numBuckets(spark, "t_rbk_a_postings") == 64)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier("t_rbk_a_postings"))
+      val bucketFiles = new java.io.File(new java.net.URI(meta.location.toString))
+        .listFiles.toSeq.filter(_.getName.endsWith(".parquet"))
+        .flatMap(f => Layout.bucketIdOf(f.getName))
+      assert(bucketFiles.forall(b => b >= 0 && b < 64))
+      assert(bucketFiles.size == bucketFiles.distinct.size,
+        "migration should leave one file per non-empty bucket")
+      assert(bucketFiles.distinct.size > 16, "a 64-bucket layout should occupy more than 16 buckets")
+
+      // replayed batch ids stay no-ops across the migration
+      val before = rows("t_rbk_a")
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_rbk_a", batchId = 1L)
+      assert(rows("t_rbk_a") == before, "replayed append re-applied after rebucket")
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 3), "doc_id", "text", "t_rbk_a", batchId = 2L)
+      assert(Postings.tombstones(spark, "t_rbk_a").count() == 0,
+        "replayed delete re-applied after rebucket")
+
+      // retired ids re-opened (set cleared by the migration); a
+      // POST-migration delete masks under the new 64-bucket modulus
+      // and retirement stays scan-free + fsck-green
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 1), "doc_id", "text", "t_rbk_a", batchId = 3L)
+      val masks = spark.table("t_rbk_a_tombs").filter(col("pb").isNotNull)
+        .select(explode(col("pb"))).as[Int].collect()
+      assert(masks.nonEmpty && masks.forall(b => b >= 0 && b < 64),
+        "post-migration delete masks must be computed under the new bucket count")
+      Postings.retireTombstones(spark, "t_rbk_a")
+      val fsck = Postings.checkIndex(spark, "t_rbk_a")
+        .select("check", "ok").as[(String, Boolean)].collect().toMap
+      assert(fsck.values.forall(identity), s"fsck red after post-migration retirement: $fsck")
+    } finally {
+      Postings.dropIndex(spark, "t_rbk_a")
+      Postings.dropIndex(spark, "t_rbk_b")
+    }
+  }
+
+  test("tombstone joins above the broadcast size gate take the un-hinted plan and answer identically") {
+    // Round 16 (VERDICT r15 #3): the tombstone-set broadcast hints are
+    // SIZE-GATED — a set past spark.graft.tombstoneBroadcastBytes joins
+    // un-hinted (AQE picks the strategy) instead of broadcasting
+    // billions of ids into the driver. This leg forces the gate shut
+    // (0 bytes) AND disables auto-broadcast, proving the whole
+    // lifecycle — live reads, the append/delete guard, retirement's
+    // rewrites — produces identical answers through a provably
+    // non-broadcast plan.
+    val dir = Files.createTempDirectory("graft_bgate").toString
+    def q() = Postings.bm25TopK(
+      Postings.livePostings(spark, "t_bgate_a"), Postings.statsTable(spark, "t_bgate_a"),
+      Seq("merge", "hash", "vector"), 50)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    def livePlan() = Postings.livePostings(spark, "t_bgate_a")
+      .queryExecution.executedPlan.toString
+    try {
+      Postings.writeIndex(
+        docsDf.filter(col("doc_id") % 2 === 0), "doc_id", "text", "t_bgate_a", dir, buckets = 8)
+      Postings.appendBatch(
+        docsDf.filter(col("doc_id") % 2 === 1), "doc_id", "text", "t_bgate_a", batchId = 1L)
+      Postings.deleteBatch(
+        docsDf.filter(col("doc_id") % 7 === 3), "doc_id", "text", "t_bgate_a", batchId = 2L)
+      // slim set, default gate: the hint applies (the r15-pinned shape)
+      assert(livePlan().contains("BroadcastHashJoin"),
+        "a slim tombstone set must keep the broadcast anti-join")
+      val hinted = q()
+      assert(hinted.nonEmpty)
+      spark.conf.set("spark.graft.tombstoneBroadcastBytes", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val plan = livePlan()
+        assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+          s"gate shut but the tombstone anti-join still broadcasts:\n$plan")
+        assert(q() == hinted, "un-hinted live read diverged from the broadcast plan")
+        // the guard and retirement run the same un-hinted joins
+        intercept[IllegalArgumentException] {
+          Postings.appendBatch(
+            docsDf.filter(col("doc_id") % 7 === 3).limit(1),
+            "doc_id", "text", "t_bgate_a", batchId = 3L)
+        }
+        Postings.retireTombstones(spark, "t_bgate_a")
+        assert(q() == hinted, "retirement through the un-hinted path changed answers")
+        assert(Postings.tombstones(spark, "t_bgate_a").count() == 0)
+      } finally {
+        spark.conf.unset("spark.graft.tombstoneBroadcastBytes")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally Postings.dropIndex(spark, "t_bgate_a")
+  }
+
   test("commit-marker logs coalesce FILES, never rows: one file per batch becomes one total, replay stays no-op") {
     // Round 15: each committed batch appends its own one-row file to
     // the stats table / marker logs, so a long-streamed index opens
