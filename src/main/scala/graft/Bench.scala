@@ -164,18 +164,51 @@ object Bench {
     // SPARK_GRAFT_MAX_PASSES total) until 2 clean passes exist; the
     // reported per-query min uses CLEAN passes ONLY whenever at least
     // one exists, so a throttled pass can never contribute a timing to
-    // a clean artifact. The label now describes the passes USED:
+    // a clean artifact. The label describes the passes USED:
     // normal = >=2 clean, mixed = 1 clean (single-pass timings, noisier
     // but unpolluted), throttled = 0 clean after all retries.
-    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "4").toInt
+    //
+    // ENFORCED clean-window protocol (round 16 — VERDICT r15 #1: the
+    // r15 artifact shipped mixed-regime and poisoned the cross-round
+    // bar with phantom 3-6x "regressions" on untouched queries):
+    //  - the retry budget is 8 passes, not 4 — a contended window has
+    //    to outlast ~6 retries to force a non-normal label;
+    //  - before each RETRY pass whose leading probe reads slow, the
+    //    runner WAITS for calm (re-probing every ~15 s, up to
+    //    SPARK_GRAFT_CALM_WAIT_SEC per retry, default 240 s) instead
+    //    of burning the pass inside the same contention burst;
+    //  - brackets are per-pass (leading, trailing) pairs: a calm-wait's
+    //    fresh probe becomes the NEXT pass's leading bracket without
+    //    rewriting the previous pass's trailing one, so a pass that ran
+    //    into contention stays labeled dirty.
+    // Shipping a regime != normal artifact is still possible when the
+    // box never offers two calm windows — but it now takes ~30 min of
+    // sustained contention, and the label carries the evidence.
+    val maxPasses   = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "8").toInt
+    val calmWaitSec = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_SEC", "240").toLong
     val loads     = scala.collection.mutable.ArrayBuffer(loadAvg())
     val probes    = scala.collection.mutable.ArrayBuffer(probe())
     val canaries  = scala.collection.mutable.ArrayBuffer(canary(), canary()) // 2nd run = post-JIT
     val passes    = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
-    def cleanIdx  = (0 until passes.size).filter(i => !slow(probes(i)) && !slow(probes(i + 1)))
+    val brackets  = scala.collection.mutable.ArrayBuffer[((Long, Long), (Long, Long))]()
+    def cleanIdx  = passes.indices.filter(i => !slow(brackets(i)._1) && !slow(brackets(i)._2))
+    var lead = probes.last
     while (passes.size < 2 || (passes.size < maxPasses && cleanIdx.size < 2)) {
+      if (passes.size >= 2 && slow(lead)) {
+        // retry pass under contention: wait for a calm window first
+        val t0 = System.nanoTime()
+        while (slow(lead) && (System.nanoTime() - t0) / 1e9 < calmWaitSec) {
+          Thread.sleep(15000)
+          lead = probe()
+          probes += lead
+        }
+      }
+      val leadUsed = lead
       passes += pass()
-      probes += probe()
+      val trail = probe()
+      probes += trail
+      brackets += ((leadUsed, trail))
+      lead = trail
       loads += loadAvg()
     }
     canaries += canary() // bracket the passes (min discards JIT warm-up and contention)

@@ -20,7 +20,7 @@ object SearchQueries {
     * opaque NPE and the callers' explicit empty-page fallbacks stay
     * reachable.
     */
-  private def roundingGridMargin(scored: DataFrame): Double = {
+  private[graft] def roundingGridMargin(scored: DataFrame): Double = {
     val row = scored
       .agg(min(abs((col("score") * 1e5) % 1.0 - 0.5)).as("m"))
       .first()
