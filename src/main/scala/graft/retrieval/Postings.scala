@@ -621,6 +621,42 @@ object Postings {
     compactIndexTo(spark, name, Some(newBuckets))
   }
 
+  /** Bucket-count GROWTH POLICY — the scheduler-facing form of
+    * `rebucketIndex`, so an operator doesn't have to notice the corpus
+    * outgrew its build-time spec: a METADATA probe (postings parquet
+    * bytes / bucket count — one directory listing, no job) against
+    * `maxBytesPerBucket`; above it, migrate to the smallest
+    * `growthFactor`-power multiple that brings the ratio back under —
+    * one call heals even a long-neglected index. Returns the new
+    * bucket count when a migration ran. Like every compaction entry
+    * point this is a single-writer maintenance operation, and like
+    * `compactIfFragmented` it is a POLICY: the probe is free, so call
+    * it every maintenance window. (Deliberately NOT folded into
+    * `maintainIncremental`: a bucket migration is a generation rewrite
+    * of every index table — an operator-visible event with a cost
+    * profile the incremental policy exists to avoid — so it triggers
+    * from its own explicitly-chosen bound.)
+    */
+  def rebucketIfOvergrown(
+      spark: SparkSession,
+      name: String,
+      maxBytesPerBucket: Long,
+      growthFactor: Int = 4): Option[Int] = {
+    require(maxBytesPerBucket >= 1L, "maxBytesPerBucket must be >= 1")
+    require(growthFactor >= 2, "growthFactor must be >= 2")
+    val table = postingsTableName(name)
+    if (!spark.catalog.tableExists(table)) return None
+    val nb    = Layout.numBuckets(spark, table)
+    val bytes = Layout.parquetBytes(spark, table)
+    if (bytes <= maxBytesPerBucket * nb.toLong) None
+    else {
+      var n = nb
+      while (bytes > maxBytesPerBucket * n.toLong) n *= growthFactor
+      rebucketIndex(spark, name, n)
+      Some(n)
+    }
+  }
+
   private def compactIndexTo(spark: SparkSession, name: String, newBuckets: Option[Int]): Unit = {
     // tombstone-drop rides the generation rewrite the compaction was
     // doing anyway: physical deletion costs zero extra passes. The

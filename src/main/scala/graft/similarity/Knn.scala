@@ -784,6 +784,33 @@ object Knn {
     * (replayed batches stay no-ops; assignment is unchanged — `cell`
     * ids are model-side, only their file placement moves).
     */
+  /** Bucket-count GROWTH POLICY, vector side — the scheduler-facing
+    * form of `rebucketIvfIndex` (see `Postings.rebucketIfOvergrown`
+    * for the rationale): a metadata probe of ivf-table parquet bytes
+    * per cell bucket against `maxBytesPerBucket`; above it, migrate to
+    * the smallest `growthFactor`-power multiple that restores the
+    * bound. Returns the new bucket count when a migration ran.
+    */
+  def rebucketIvfIfOvergrown(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      maxBytesPerBucket: Long,
+      growthFactor: Int = 4): Option[Int] = {
+    require(maxBytesPerBucket >= 1L, "maxBytesPerBucket must be >= 1")
+    require(growthFactor >= 2, "growthFactor must be >= 2")
+    val table = ivfTableName(name)
+    if (!spark.catalog.tableExists(table)) return None
+    val nb    = graft.sources.Layout.numBuckets(spark, table)
+    val bytes = graft.sources.Layout.parquetBytes(spark, table)
+    if (bytes <= maxBytesPerBucket * nb.toLong) None
+    else {
+      var n = nb
+      while (bytes > maxBytesPerBucket * n.toLong) n *= growthFactor
+      rebucketIvfIndex(spark, name, n)
+      Some(n)
+    }
+  }
+
   def rebucketIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       name: String,

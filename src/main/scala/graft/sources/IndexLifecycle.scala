@@ -162,8 +162,15 @@ object IndexLifecycle {
     Layout.recoverDanglingSwap(spark, table)
     val meta = spark.sessionState.catalog.getTableMetadata(
       spark.sessionState.sqlParser.parseTableIdentifier(table))
+    // anti-join, not isin(ids): a wide maintenance window can legally
+    // hold up to heavyFraction × live ids, and an isin that size blows
+    // the codegen expression-size limit; the id frame is driver-side
+    // already (the caller collected it), so the broadcast is free
+    import spark.implicits._
+    val idsDf = ids.toDF(idName)
     val survivors = spark.read.schema(meta.schema).parquet(meta.location.toString)
-      .filter(!col(idName).isin(ids: _*))
+      .join(broadcast(idsDf), Seq(idName), "left_anti")
+      .select(meta.schema.fieldNames.map(col).toSeq: _*)
     Layout.swapGeneration(spark, table, meta) { (scratch, newDir) =>
       survivors.write.mode("overwrite").option("path", newDir).saveAsTable(scratch)
     }

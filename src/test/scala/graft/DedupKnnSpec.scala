@@ -1164,6 +1164,19 @@ class DedupKnnSpec extends SparkTestBase {
       val fsck = Knn.checkIvfIndex(spark, "t_ivfrbk_a")
         .select("check", "ok").as[(String, Boolean)].collect().toMap
       assert(fsck.values.forall(identity), s"fsck red after post-migration retirement: $fsck")
+
+      // the scheduler-facing policy form: the metadata probe no-ops
+      // under a generous per-bucket byte bound, migrates 16 → 64 under
+      // a bytes/20 bound, and is idempotent at the new count
+      val bytes = Layout.parquetBytes(spark, "t_ivfrbk_a_ivf")
+      assert(Knn.rebucketIvfIfOvergrown(spark, "t_ivfrbk_a", maxBytesPerBucket = bytes).isEmpty)
+      assert(Knn.rebucketIvfIfOvergrown(spark, "t_ivfrbk_a", maxBytesPerBucket = bytes / 20)
+        .contains(64), "policy should migrate 16 -> 64 under a bytes/20 bound")
+      assert(Layout.numBuckets(spark, "t_ivfrbk_a_ivf") == 64)
+      // idempotence keyed off POST-migration bytes (per-file overhead
+      // of 64 tiny files makes the pre-migration count unstable)
+      val bytes64 = Layout.parquetBytes(spark, "t_ivfrbk_a_ivf")
+      assert(Knn.rebucketIvfIfOvergrown(spark, "t_ivfrbk_a", maxBytesPerBucket = bytes64 / 20).isEmpty)
     } finally {
       Knn.dropIvfIndex(spark, "t_ivfrbk_a")
       Knn.dropIvfIndex(spark, "t_ivfrbk_b")

@@ -1535,6 +1535,38 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("rebucketIfOvergrown: the metadata probe migrates past the per-bucket byte bound and no-ops under it") {
+    // The scheduler-facing policy form: probe = postings parquet bytes
+    // per bucket (free — one directory listing), trigger = migrate to
+    // the smallest growth-factor multiple restoring the bound.
+    import graft.sources.Layout
+    val dir = Files.createTempDirectory("graft_rbp").toString
+    def q() = Postings.bm25TopK(
+      Postings.livePostings(spark, "t_rbp_a"), Postings.statsTable(spark, "t_rbp_a"),
+      Seq("merge", "vector"), 20).as[(Long, Long, Long, Double)].collect().toSeq
+    try {
+      Postings.writeIndex(docsDf, "doc_id", "text", "t_rbp_a", dir, buckets = 4)
+      val bytes = Layout.parquetBytes(spark, "t_rbp_a_postings")
+      assert(bytes > 0)
+      val ans = q()
+      // generous bound: no-op, layout untouched
+      assert(Postings.rebucketIfOvergrown(spark, "t_rbp_a", maxBytesPerBucket = bytes).isEmpty)
+      assert(Layout.numBuckets(spark, "t_rbp_a_postings") == 4)
+      // bound = bytes/10: 4 buckets exceed it, 16 restore it (×4 step)
+      assert(Postings.rebucketIfOvergrown(spark, "t_rbp_a", maxBytesPerBucket = bytes / 10)
+        .contains(16), "policy should migrate 4 → 16 under a bytes/10 bound")
+      assert(Layout.numBuckets(spark, "t_rbp_a_postings") == 16)
+      assert(q() == ans, "policy migration changed answers")
+      // idempotence, keyed off the POST-migration bytes (a 16-file
+      // layout of a tiny fixture carries real per-file overhead, so
+      // the pre-migration byte count is not a stable model): a bound
+      // 16 buckets satisfy — and 4 would not have — is a no-op now
+      val bytes16 = Layout.parquetBytes(spark, "t_rbp_a_postings")
+      assert(Postings.rebucketIfOvergrown(spark, "t_rbp_a", maxBytesPerBucket = bytes16 / 10).isEmpty)
+      assert(Layout.numBuckets(spark, "t_rbp_a_postings") == 16)
+    } finally Postings.dropIndex(spark, "t_rbp_a")
+  }
+
   test("tombstone joins above the broadcast size gate take the un-hinted plan and answer identically") {
     // Round 16 (VERDICT r15 #3): the tombstone-set broadcast hints are
     // SIZE-GATED — a set past spark.graft.tombstoneBroadcastBytes joins
