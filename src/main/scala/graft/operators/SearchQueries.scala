@@ -1365,6 +1365,78 @@ object SearchQueries {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The growth POLICY at the gate (round 17 — VERDICT r16 #4): d75's
+    * lifecycle, but the migration is triggered by
+    * `rebucketIfOvergrown` under a tight per-bucket byte bound — the
+    * scheduler-facing call an operator actually runs every maintenance
+    * window — not by an explicit `rebucketIndex`. The bound is derived
+    * from the index's own measured bytes (⌈bytes/48⌉), which lands the
+    * smallest 16·4^k restoring it at 64 across every scale factor, so
+    * the gate deterministically exercises probe → target computation →
+    * migration; the `require` turns a policy no-op into a loud red.
+    * Oracle: d64's survivor full-scan SQL VERBATIM — the
+    * policy-triggered migration must be exactly as invisible as d75's
+    * explicit one.
+    */
+  val d76_rebucket_policy: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_rbkpol_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/d76_rebucket_policy_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    graft.retrieval.Postings.writeIndex(
+      t.documents.filter(col("doc_id") % 2 === 0), "doc_id", "text", name, path, buckets = 16)
+    graft.retrieval.Postings.appendBatch(
+      t.documents.filter(col("doc_id") % 2 === 1), "doc_id", "text", name, batchId = 1L)
+    graft.retrieval.Postings.deleteBatch(
+      t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
+    val bytes = graft.sources.Layout.parquetBytes(s, s"${name}_postings")
+    val migrated = graft.retrieval.Postings.rebucketIfOvergrown(
+      s, name, maxBytesPerBucket = (bytes + 47L) / 48L)
+    require(migrated.contains(64),
+      s"growth policy must migrate 16->64 under the derived bound, got $migrated")
+    graft.retrieval.Postings.bm25TopK(
+      graft.retrieval.Postings.livePostings(s, name),
+      graft.retrieval.Postings.statsTable(s, name),
+      Seq("merge", "hash", "vector"), 50)
+  }
+
+  /** IVF growth policy at the gate — e14's lifecycle with the 8→32
+    * migration triggered by `rebucketIvfIfOvergrown` under a
+    * ⌈bytes/24⌉ bound (smallest 8·4^k restoring it = 32 at every SF);
+    * oracle: e11's survivor SQL verbatim, blind to the policy.
+    */
+  val e15_ivf_rebucket_policy: Q = (s, dir) => {
+    val sfName = new java.io.File(dir).getName
+    val pid    = ProcessHandle.current().pid()
+    val name   = "graft_ivfrbp_" + sfName.replaceAll("[^A-Za-z0-9]", "_") + s"_p$pid"
+    val path   = s"/tmp/graft_fixtures/$sfName/e15_ivf_rebucket_policy_p$pid"
+    cleanupAtExit(path)
+    val t = Tables(s, dir)
+    val e = t.embeddings
+      .select(col("vec_id"), graft.similarity.Knn.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(graft.similarity.Knn.dot(col("v"), col("v"))))
+    val cents = e
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    graft.similarity.Knn.writeIvfIndex(
+      t.embeddings.filter(col("vec_id") % 2 === 0), cents, "vec_id", "embedding", name, path, buckets = 8)
+    graft.similarity.Knn.appendIvfBatch(
+      t.embeddings.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", name, batchId = 1L)
+    graft.similarity.Knn.deleteIvfBatch(
+      t.embeddings.filter(col("vec_id") % 9 === 2).select(col("vec_id"), col("embedding")),
+      "vec_id", name, batchId = 2L, vecCol = Some("embedding"))
+    val bytes = graft.sources.Layout.parquetBytes(s, s"${name}_ivf")
+    val migrated = graft.similarity.Knn.rebucketIvfIfOvergrown(
+      s, name, maxBytesPerBucket = (bytes + 23L) / 24L)
+    require(migrated.contains(32),
+      s"IVF growth policy must migrate 8->32 under the derived bound, got $migrated")
+    graft.similarity.Knn
+      .ivfTopK(s, name, t.embeddings.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q31_text_search" -> q31_text_search,
     "q32_datatables"  -> q32_datatables,
@@ -1402,8 +1474,10 @@ object SearchQueries {
     "d73_tombstone_retire" -> d73_tombstone_retire,
     "d74_screened_retire" -> d74_screened_retire,
     "d75_rebucket" -> d75_rebucket,
+    "d76_rebucket_policy" -> d76_rebucket_policy,
     "e13_ivf_retire" -> e13_ivf_retire,
     "e14_ivf_rebucket" -> e14_ivf_rebucket,
+    "e15_ivf_rebucket_policy" -> e15_ivf_rebucket_policy,
     "e10_ann_ivf_indexed" -> e10_ann_ivf_indexed,
     "e11_ivf_delete" -> e11_ivf_delete,
     "e11p_ivf_delete_prod" -> e11p_ivf_delete_prod,
@@ -1651,6 +1725,16 @@ object SearchQueries {
     // e14: e11's survivor oracle VERBATIM — the IVF 8→32 cell-bucket
     // migration likewise (model frozen, assignment unchanged)
     "e14_ivf_rebucket" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
+      "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
+    // d76: d64's survivor oracle VERBATIM — the POLICY-triggered
+    // migration (rebucketIfOvergrown under a measured-bytes bound)
+    // must be exactly as invisible as d75's explicit one
+    "d76_rebucket_policy" -> bm25OracleSql(
+      Seq("merge", "hash", "vector"),
+      "text IS NOT NULL AND doc_id % 7 <> 3", 50),
+    // e15: e11's survivor oracle VERBATIM — the IVF policy twin
+    "e15_ivf_rebucket_policy" -> ExtendedQueries.oracles("e04_ann_ivf").replace(
       "ON q.cell = t.cell AND t.vec_id <> q.vec_id",
       "ON q.cell = t.cell AND t.vec_id <> q.vec_id AND t.vec_id % 9 <> 2"),
     // d72: KWIC snippets downstream of the classic rounded-grid top-10 —
