@@ -186,13 +186,39 @@ object Bench {
     // sustained contention, and the label carries the evidence.
     val maxPasses   = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "8").toInt
     val calmWaitSec = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_SEC", "240").toLong
+    // CANARY-DRIFT cleanliness (round 17 — VERDICT r16 #3): the r16
+    // round's first sf0.1 attempt shipped regime "normal" from an
+    // IO-DEPRIVED window — the serial-CPU + 64 MB-fsync probes read
+    // fast while Spark's shuffle/sort path (which the canary kernels
+    // exercise and the probes cannot) ran ~4.6× slow, and only a hand
+    // check caught the phantom regressions. Every pass is now ALSO
+    // bracketed by canary runs; a pass is clean only when both its
+    // bracketing canaries sit within SPARK_GRAFT_CANARY_DRIFT (default
+    // 1.4×) of the artifact's own per-kernel minimum (median ratio
+    // over the three kernels — within-artifact, so host class cancels
+    // and uniform slowness stays host_scale's job). Cost: ~2.5 s per
+    // pass, noise against a 100+ s pass.
+    val canaryDrift = sys.env.getOrElse("SPARK_GRAFT_CANARY_DRIFT", "1.4").toDouble
     val loads     = scala.collection.mutable.ArrayBuffer(loadAvg())
     val probes    = scala.collection.mutable.ArrayBuffer(probe())
     val canaries  = scala.collection.mutable.ArrayBuffer(canary(), canary()) // 2nd run = post-JIT
     val passes    = scala.collection.mutable.ArrayBuffer[Map[String, Double]]()
     val brackets  = scala.collection.mutable.ArrayBuffer[((Long, Long), (Long, Long))]()
-    def cleanIdx  = passes.indices.filter(i => !slow(brackets(i)._1) && !slow(brackets(i)._2))
-    var lead = probes.last
+    val canBrackets =
+      scala.collection.mutable.ArrayBuffer[(Map[String, Double], Map[String, Double])]()
+    def driftOf(c: Map[String, Double], mins: Map[String, Double]): Double = {
+      val rs = c.map { case (k, v) => v / mins(k) }.toSeq.sorted
+      rs(rs.size / 2)
+    }
+    def cleanIdx = {
+      val mins = canaries.head.keys.map(k => k -> canaries.map(_(k)).min).toMap
+      passes.indices.filter(i =>
+        !slow(brackets(i)._1) && !slow(brackets(i)._2) &&
+          driftOf(canBrackets(i)._1, mins) <= canaryDrift &&
+          driftOf(canBrackets(i)._2, mins) <= canaryDrift)
+    }
+    var lead    = probes.last
+    var leadCan = canaries.last
     while (passes.size < 2 || (passes.size < maxPasses && cleanIdx.size < 2)) {
       if (passes.size >= 2 && slow(lead)) {
         // retry pass under contention: wait for a calm window first
@@ -202,16 +228,23 @@ object Bench {
           lead = probe()
           probes += lead
         }
+        // the calm-wait's fresh leading canary, like its fresh probe
+        leadCan = canary()
+        canaries += leadCan
       }
-      val leadUsed = lead
+      val leadUsed    = lead
+      val leadCanUsed = leadCan
       passes += pass()
       val trail = probe()
       probes += trail
+      val trailCan = canary()
+      canaries += trailCan
       brackets += ((leadUsed, trail))
+      canBrackets += ((leadCanUsed, trailCan))
       lead = trail
+      leadCan = trailCan
       loads += loadAvg()
     }
-    canaries += canary() // bracket the passes (min discards JIT warm-up and contention)
     val canaryMin = canaries.head.keys.map(k => k -> canaries.map(_(k)).min).toMap
     val hostScale =
       if (canaryAnchors.values.exists(_ <= 0)) -1.0
@@ -224,8 +257,15 @@ object Bench {
       if (cleanIdx.size >= 2) "normal"
       else if (cleanIdx.nonEmpty) "mixed"
       else "throttled"
+    // per-pass canary drift (median kernel ratio vs artifact min, for
+    // each pass's (leading, trailing) bracket) — the label's evidence
+    val canaryDriftJson = {
+      def r3d(v: Double): String = f"$v%.3f"
+      canBrackets.map(b =>
+        s"[${r3d(driftOf(b._1, canaryMin))},${r3d(driftOf(b._2, canaryMin))}]").mkString("[", ",", "]")
+    }
     val regimeJson =
-      s"""{"cpu_ms":[${probes.map(_._1).mkString(",")}],"io_ms":[${probes.map(_._2).mkString(",")}],"label":"$regimeLabel","clean_passes":${cleanIdx.size}}"""
+      s"""{"cpu_ms":[${probes.map(_._1).mkString(",")}],"io_ms":[${probes.map(_._2).mkString(",")}],"canary_drift":$canaryDriftJson,"canary_drift_max":$canaryDrift,"label":"$regimeLabel","clean_passes":${cleanIdx.size}}"""
     val results = ordered.map { case (name, _) =>
       // min over the USED (clean when possible) passes; a query that
       // failed in every used pass falls back to any valid timing from
