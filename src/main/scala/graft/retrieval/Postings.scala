@@ -1180,72 +1180,79 @@ object Postings {
 
   // ---------- incremental fsck (round 17 — VERDICT r16 #1) ----------
 
-  /** Per-bucket (live Σtf, live row count) over the whole postings
-    * table — the decomposition `checkIndexIncremental` recombines. A
-    * term's postings live entirely in its `term_h` hash bucket, so
-    * per-bucket sums recombine exactly; the group-by shuffles ≤
-    * numBuckets rows per task. Column-pruned: term_h, tf, doc_id only.
+  /** Per-bucket live aggregates from a PHYSICAL-file grouping: each
+    * row is attributed to the bucket its FILE carries (not the hash of
+    * its key — a corrupted file holding rows that hash elsewhere must
+    * still count where it physically lives, or the decomposition would
+    * silently drop it). One scan, column-pruned; the per-file partial
+    * aggregate collects as ≤ #files rows.
     */
-  private def perBucketPostingsAgg(spark: SparkSession, name: String): Map[Int, (Long, Long)] = {
-    val nb = Layout.numBuckets(spark, postingsTableName(name))
-    livePostings(spark, name)
-      .groupBy(Layout.bucketIdExpr(col("term_h"), nb).as("b"))
-      .agg(sum(col("tf")).as("tfs"), count(lit(1)).as("c"))
-      .collect()
-      .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))))
-      .toMap
-  }
-
-  private def perBucketForwardAgg(spark: SparkSession, name: String): Map[Int, Long] = {
-    val nb = Layout.numBuckets(spark, forwardTableName(name))
-    liveForward(spark, name)
-      .groupBy(Layout.bucketIdExpr(col("doc_id"), nb).as("b"))
-      .agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-  }
-
-  /** The live rows physically present in `tableName`'s `bucketIds`
-    * files — explicit schema (never inference), tombstone anti-join
-    * size-gated like every live read.
-    */
-  private def liveRowsOfBuckets(
+  private def liveFileAgg(
       spark: SparkSession,
       name: String,
-      tableName: String,
-      bucketIds: Set[Int]): Option[DataFrame] = {
-    val files = Layout.bucketFiles(spark, tableName, bucketIds)
-    if (files.isEmpty) None
+      df: DataFrame,
+      tfCol: Option[String]): Map[Int, (Long, Long)] = {
+    // the file column attaches BELOW the tombstone anti-join —
+    // input_file_name() only resolves against a single source
+    val live = notTombstoned(spark, name, df.withColumn("_f", input_file_name()))
+    val agg = tfCol match {
+      case Some(tc) =>
+        live.groupBy(col("_f")).agg(sum(col(tc)).as("a"), count(lit(1)).as("c"))
+      case None =>
+        live.groupBy(col("_f")).agg(count(lit(1)).as("a"), count(lit(1)).as("c"))
+    }
+    agg.collect()
+      .map { r =>
+        val base = r.getString(0).split('/').last
+        val b = Layout.bucketIdOf(base).getOrElse(-1)
+        b -> ((if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2)))
+      }
+      .groupBy(_._1)
+      .map { case (b, vs) => b -> ((vs.map(_._2._1).sum, vs.map(_._2._2).sum)) }
+  }
+
+  private def readFiles(spark: SparkSession, tableName: String, paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
     else {
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(tableName))
-      Some(notTombstoned(spark, name, spark.read.schema(meta.schema).parquet(files: _*)))
+      Some(spark.read.schema(meta.schema).parquet(paths: _*))
     }
-  }
+
+  /** Whole-table per-bucket live aggregates (the tombstone-changed
+    * fallback and the watermark bootstrap): column-pruned, no index
+    * shuffle beyond the per-file partials.
+    */
+  private def perBucketPostingsAgg(spark: SparkSession, name: String): Map[Int, (Long, Long)] =
+    liveFileAgg(spark, name, postingsTable(spark, name), Some("tf"))
+
+  private def perBucketForwardAgg(spark: SparkSession, name: String): Map[Int, Long] =
+    liveFileAgg(spark, name, forwardTable(spark, name), None).map { case (b, v) => b -> v._1 }
 
   /** The watermark the incremental check trusts: current per-bucket
-    * fingerprints paired with the per-bucket live aggregates, plus the
+    * file sets paired with the per-bucket live aggregates, plus the
     * tombstone/dict file-set fingerprints that scope later diffs.
     * Single-writer maintenance contract: nothing mutates the index
-    * between the fingerprint listing and the aggregate scan.
+    * between the file listing and the aggregate scan.
     */
   private def computeFsckMark(spark: SparkSession, name: String): graft.sources.FsckWatermark.Mark = {
     import graft.sources.FsckWatermark.{BucketMark, Mark, TableMark}
     val postT = postingsTableName(name)
     val fwdT  = forwardTableName(name)
-    val (nbP, fpsP) = graft.sources.FsckWatermark.bucketFps(spark, postT)
+    val (nbP, filesP) = graft.sources.FsckWatermark.bucketFileSets(spark, postT)
     val pAgg = perBucketPostingsAgg(spark, name)
     val tables = scala.collection.mutable.Map(
       postT -> TableMark(
         nbP,
-        fpsP.map { case (b, fp) =>
+        filesP.map { case (b, fs) =>
           val (tfs, c) = pAgg.getOrElse(b, (0L, 0L))
-          b -> BucketMark(fp, tfs, c)
+          b -> BucketMark(fs, tfs, c)
         }))
     if (spark.catalog.tableExists(fwdT)) {
-      val (nbF, fpsF) = graft.sources.FsckWatermark.bucketFps(spark, fwdT)
+      val (nbF, filesF) = graft.sources.FsckWatermark.bucketFileSets(spark, fwdT)
       val fAgg = perBucketForwardAgg(spark, name)
       tables(fwdT) = TableMark(
-        nbF, fpsF.map { case (b, fp) => b -> BucketMark(fp, fAgg.getOrElse(b, 0L), 0L) })
+        nbF, filesF.map { case (b, fs) => b -> BucketMark(fs, fAgg.getOrElse(b, 0L), 0L) })
     }
     Mark(
       graft.sources.FsckWatermark.plainFp(spark, tombsTableName(name)),
@@ -1254,38 +1261,45 @@ object Postings {
   }
 
   /** Maintenance-cadence fsck (round 17 — VERDICT r16 #1): verify the
-    * `checkIndex` invariants at a cost that tracks the bytes TOUCHED
+    * `checkIndex` invariants at a cost that tracks the bytes WRITTEN
     * since the last green check, the same shape `compactBuckets` gave
     * compaction and `retireTombstones` gave deletion. The first run
     * (or any run whose watermark is missing/unreadable) IS the full
     * `checkIndex` plus one aggregate pass; every green run records a
-    * watermark (`FsckWatermark`) of per-bucket file fingerprints and
-    * live aggregates, and the next run re-verifies only buckets whose
-    * fingerprint moved:
+    * watermark (`FsckWatermark`) of per-bucket file sets and live
+    * aggregates, and the next run verifies a three-way FILE diff:
+    * UNCHANGED buckets reuse their recorded aggregates, ADDED-ONLY
+    * buckets (the append path — which touches most term buckets, so
+    * bucket-granular rescans would degenerate to full) verify
+    * ADDITIVELY from the new files alone, and REWRITTEN buckets
+    * recompute in full (exactly the bytes the rewrite itself just
+    * paid).
     *
-    *  - `sum_dl_equals_live_tf_sum` — recomputed Σtf over touched
-    *    buckets + recorded Σtf over untouched == current sum_dl
-    *    (exact: untouched files are byte-identical and a term's
-    *    postings never span buckets). A CHANGED tombstone set
-    *    invalidates the recorded live sums, so that case recomputes
-    *    the per-bucket aggregates corpus-wide — column-pruned, no
-    *    index-side shuffle, still far under full-fsck cost (the
-    *    natural cadence avoids it: run after maintenance, when the
-    *    set is clear).
+    *  - `sum_dl_equals_live_tf_sum` — recorded + added + recomputed
+    *    Σtf == current sum_dl (exact: untouched files are
+    *    byte-identical; rows attribute to their PHYSICAL file's
+    *    bucket). A CHANGED tombstone set invalidates the recorded
+    *    live sums, so that case recomputes the per-bucket aggregates
+    *    corpus-wide — column-pruned, no index-side shuffle, still far
+    *    under full-fsck cost (the natural cadence avoids it: run after
+    *    maintenance, when the set is clear).
     *  - `live_forward_count_le_stats_n` — the forward-decomposed form
-    *    of the full check's distinct-doc bound (forward live rows
-    *    recombine per doc-bucket; posting docs ⊆ forward docs is the
-    *    row below).
-    *  - `dict_df_covers_live_postings` — scoped to the terms of
-    *    touched postings buckets, PLUS any negative-df terms in dict
-    *    files appended since the watermark (a positive partial can
-    *    never undercount; negative partials are what the ≥ invariant
-    *    distrusts). A dict file REMOVED since the watermark (outside a
-    *    recount's full rewrite, which touches every postings bucket
-    *    anyway) forces the full dict invariant.
-    *  - `forward_covers_posting_docs` — docs of touched postings
-    *    buckets probed against exactly their doc-buckets' forward
-    *    files (bucket ids collected — ≤ numBuckets values).
+    *    of the full check's distinct-doc bound.
+    *  - `dict_df_covers_live_postings` — DELTA form: at the last green
+    *    check dict ≥ live held per term, the tombstone set only shrinks
+    *    live counts, so the invariant can only break where dict credit
+    *    lags new postings. Sufficient per-term condition checked from
+    *    deltas alone: Σdf over ADDED dict files ≥ added live postings
+    *    (append batches write exactly equal partials, so this holds
+    *    with equality in healthy operation). Terms that fail the
+    *    sufficient condition, terms carrying NEGATIVE partials in
+    *    added dict files, and every term of a REWRITTEN bucket
+    *    escalate to the exact per-term compare over their own buckets.
+    *    A dict file REMOVED since the watermark (outside a recount's
+    *    full rewrite) forces the full dict invariant.
+    *  - `forward_covers_posting_docs` — docs of added/rewritten
+    *    postings files probed against exactly their doc-buckets'
+    *    forward files.
     *  - every metadata/marker check (`stats_*`, `marker_log_unique`,
     *    `bucket_spec_coherent`, `dangling_generation`,
     *    `bucket_journal_pending`, `dict_delta_pending`) runs in full —
@@ -1340,11 +1354,16 @@ object Postings {
 
     val curTombsFp   = FsckWatermark.plainFp(spark, tombsT)
     val tombsChanged = curTombsFp != old.tombsFp
-    val (nbP, fpsP)  = FsckWatermark.bucketFps(spark, postT)
-    val touchedP: Set[Int] = old.tables.get(postT)
-      .map(FsckWatermark.touched(_, nbP, fpsP)).getOrElse(fpsP.keySet)
-    val touchedLive: Option[DataFrame] =
-      if (touchedP.isEmpty) None else liveRowsOfBuckets(spark, name, postT, touchedP)
+    val (nbP, filesP) = FsckWatermark.bucketFileSets(spark, postT)
+    val diffP = old.tables.get(postT)
+      .map(FsckWatermark.diff(_, nbP, filesP))
+      .getOrElse(FsckWatermark.Diff(Set.empty, Map.empty, filesP.keySet))
+    val addedPaths = diffP.addedOnly.valuesIterator.flatten
+      .map(fp => FsckWatermark.filePath(spark, postT, fp)).toSeq
+    val rewrittenPaths = Layout.bucketFiles(spark, postT, diffP.rewritten)
+    // the delta/rewritten row sets, read once each (delta-sized)
+    val addedRows     = readFiles(spark, postT, addedPaths)
+    val rewrittenRows = readFiles(spark, postT, rewrittenPaths)
 
     // stats totals + marker uniqueness — always full (the tables are
     // O(#batches) rows by construction)
@@ -1359,82 +1378,100 @@ object Postings {
         s"N=$statsN sum_dl=$statsDl"))
     }
 
-    // Σtf decomposition: recorded sums for untouched buckets, a
-    // touched-files-only scan otherwise; a changed tombstone set
+    // Σtf decomposition: recorded (unchanged) + additive (added files
+    // only) + recomputed (rewritten buckets); a changed tombstone set
     // invalidates every recorded live sum → corpus-wide column-pruned
     // recompute (no joins beyond the slim anti-join, no index shuffle)
     val postAgg: Map[Int, (Long, Long)] =
       if (tombsChanged || !old.tables.contains(postT)) perBucketPostingsAgg(spark, name)
       else {
-        val recomputed: Map[Int, (Long, Long)] = touchedLive match {
-          case None => Map.empty
-          case Some(live) =>
-            live.groupBy(Layout.bucketIdExpr(col("term_h"), nbP).as("b"))
-              .agg(sum(col("tf")).as("tfs"), count(lit(1)).as("c"))
-              .collect()
-              .map(r => r.getInt(0) -> ((if (r.isNullAt(1)) 0L else r.getLong(1), r.getLong(2))))
-              .toMap
-        }
-        val kept = old.tables(postT).buckets.view
-          .filterKeys(b => !touchedP.contains(b))
-          .map { case (b, m) => b -> ((m.a1, m.a2)) }.toMap
-        kept ++ touchedP.iterator.map(b => b -> recomputed.getOrElse(b, (0L, 0L))).toMap
+        val base = old.tables(postT).buckets
+        val addedAgg = addedRows
+          .map(liveFileAgg(spark, name, _, Some("tf"))).getOrElse(Map.empty)
+        val rewrAgg = rewrittenRows
+          .map(liveFileAgg(spark, name, _, Some("tf"))).getOrElse(Map.empty)
+        val ids = base.keySet ++ filesP.keySet
+        ids.iterator.map { b =>
+          val (t0, c0) =
+            if (diffP.rewritten.contains(b)) (0L, 0L)
+            else base.get(b).map(m => (m.a1, m.a2)).getOrElse((0L, 0L))
+          val (t1, c1) = addedAgg.getOrElse(b, (0L, 0L))
+          val (t2, c2) = rewrAgg.getOrElse(b, (0L, 0L))
+          b -> ((t0 + t1 + t2, c0 + c1 + c2))
+        }.toMap
       }
     if (hasStats) {
       val liveTf = postAgg.valuesIterator.map(_._1).sum
       checks += (("sum_dl_equals_live_tf_sum", liveTf == statsDl,
-        s"sum(tf)=$liveTf sum_dl=$statsDl (recombined over ${postAgg.size} buckets)"))
+        s"sum(tf)=$liveTf sum_dl=$statsDl (recombined: ${diffP.unchanged.size} recorded, " +
+          s"${diffP.addedOnly.size} additive, ${diffP.rewritten.size} recomputed buckets)"))
     }
 
     // forward decomposition + the scoped coverage probe
     var fwdAgg: Map[Int, Long] = Map.empty
     if (hasFwd) {
-      val (nbF, fpsF) = FsckWatermark.bucketFps(spark, fwdT)
-      val touchedF: Set[Int] = old.tables.get(fwdT)
-        .map(FsckWatermark.touched(_, nbF, fpsF)).getOrElse(fpsF.keySet)
+      val (nbF, filesF) = FsckWatermark.bucketFileSets(spark, fwdT)
+      val diffF = old.tables.get(fwdT)
+        .map(FsckWatermark.diff(_, nbF, filesF))
+        .getOrElse(FsckWatermark.Diff(Set.empty, Map.empty, filesF.keySet))
       fwdAgg =
         if (tombsChanged || !old.tables.contains(fwdT)) perBucketForwardAgg(spark, name)
         else {
-          val recomputed: Map[Int, Long] =
-            liveRowsOfBuckets(spark, name, fwdT, touchedF) match {
-              case None => Map.empty
-              case Some(live) =>
-                live.groupBy(Layout.bucketIdExpr(col("doc_id"), nbF).as("b"))
-                  .agg(count(lit(1)).as("c"))
-                  .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-            }
-          old.tables(fwdT).buckets.view.filterKeys(b => !touchedF.contains(b))
-            .map { case (b, m) => b -> m.a1 }.toMap ++
-            touchedF.iterator.map(b => b -> recomputed.getOrElse(b, 0L)).toMap
+          val base = old.tables(fwdT).buckets
+          val fAddedPaths = diffF.addedOnly.valuesIterator.flatten
+            .map(fp => FsckWatermark.filePath(spark, fwdT, fp)).toSeq
+          val addedAgg = readFiles(spark, fwdT, fAddedPaths)
+            .map(liveFileAgg(spark, name, _, None)).getOrElse(Map.empty)
+          val rewrAgg = readFiles(spark, fwdT, Layout.bucketFiles(spark, fwdT, diffF.rewritten))
+            .map(liveFileAgg(spark, name, _, None)).getOrElse(Map.empty)
+          val ids = base.keySet ++ filesF.keySet
+          ids.iterator.map { b =>
+            val c0 =
+              if (diffF.rewritten.contains(b)) 0L
+              else base.get(b).map(_.a1).getOrElse(0L)
+            b -> (c0 + addedAgg.getOrElse(b, (0L, 0L))._1 + rewrAgg.getOrElse(b, (0L, 0L))._1)
+          }.toMap
         }
       if (hasStats) {
         val fwdLive = fwdAgg.valuesIterator.sum
         checks += (("live_forward_count_le_stats_n", fwdLive <= statsN,
           s"live_forward=$fwdLive N=$statsN (forward-decomposed form of the distinct-doc bound)"))
       }
-      touchedLive.foreach { live =>
-        val docs = live.select(col("doc_id")).distinct()
+      // coverage: every doc of an added/rewritten postings file must
+      // hold a live forward row — probed against exactly its
+      // doc-bucket's forward files
+      val candidateRows = (addedRows, rewrittenRows) match {
+        case (Some(a), Some(r)) => Some(a.unionByName(r))
+        case (a, r)             => a.orElse(r)
+      }
+      candidateRows.foreach { rows =>
+        val docs = notTombstoned(spark, name, rows).select(col("doc_id")).distinct()
         val docBuckets = docs
           .select(Layout.bucketIdExpr(col("doc_id"), nbF).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
-        val orphans = liveRowsOfBuckets(spark, name, fwdT, docBuckets) match {
-          case None          => docs.count()
-          case Some(fwdLive) =>
-            docs.join(fwdLive.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-        }
+        val orphans =
+          readFiles(spark, fwdT, Layout.bucketFiles(spark, fwdT, docBuckets)) match {
+            case None => docs.count()
+            case Some(fwdRows) =>
+              docs.join(
+                notTombstoned(spark, name, fwdRows).select(col("doc_id")),
+                Seq("doc_id"), "left_anti").count()
+          }
         checks += (("forward_covers_posting_docs", orphans == 0,
-          s"$orphans touched-bucket posting docs missing forward rows " +
+          s"$orphans delta posting docs missing forward rows " +
             s"(scoped to ${docBuckets.size} doc buckets)"))
       }
     }
 
-    // dict ≥ invariant, scoped: terms of touched postings buckets plus
-    // negative-df terms of dict files appended since the watermark
+    // dict ≥ invariant, DELTA form (see scaladoc): the sufficient
+    // added-dict ≥ added-live per-term condition from delta files
+    // alone; failures, negative partials, and rewritten-bucket terms
+    // escalate to the exact per-term compare over their own buckets
     if (hasDict) {
       val curDictFps = FsckWatermark.plainFileFps(spark, dictT)
       val removed    = old.dictFps -- curDictFps
       val added      = curDictFps -- old.dictFps
-      val dictSums = dictTable(spark, name)
+      lazy val dictSums = dictTable(spark, name)
         .groupBy(col("term_h"), col("term")).agg(sum(col("df")).as("dict_df"))
       if (removed.nonEmpty) {
         // the dict file set was REWRITTEN outside a recorded green
@@ -1449,46 +1486,59 @@ object Postings {
         checks += (("dict_df_covers_live_postings", under == 0,
           s"$under under-counted terms (full form: dict file set rewritten since watermark)"))
       } else {
-        val touchedTerms: Option[DataFrame] = touchedLive.map(
-          _.groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("live_df")))
-        val negTerms: Option[DataFrame] =
+        val addedDict: Option[DataFrame] =
           if (added.isEmpty) None
-          else {
-            val dictDir = spark.sessionState.catalog.getTableMetadata(
-              spark.sessionState.sqlParser.parseTableIdentifier(dictT)).location.toString
-            val addedPaths = added.toSeq.map(fp => s"$dictDir/${fp.takeWhile(_ != ':')}")
-            val neg = spark.read.schema(dictDeltaSchema).parquet(addedPaths: _*)
-              .filter(col("df") < 0).select(col("term_h"), col("term")).distinct()
-            if (neg.isEmpty) None
-            else {
-              val negBuckets = neg
-                .select(Layout.bucketIdExpr(col("term_h"), nbP).as("b"))
-                .distinct().collect().map(_.getInt(0)).toSet
-              val live = liveRowsOfBuckets(spark, name, postT, negBuckets)
-                .getOrElse(Seq.empty[(Long, String, Long)].toDF("term_h", "term", "doc_id"))
-              Some(
-                neg.join(live, Seq("term_h", "term"), "left")
-                  .groupBy(col("term_h"), col("term"))
-                  .agg(count(col("doc_id")).as("live_df")))
-            }
-          }
-        val candidates = (touchedTerms, negTerms) match {
-          case (Some(a), Some(b)) =>
-            Some(a.unionByName(b).groupBy(col("term_h"), col("term"))
-              .agg(max(col("live_df")).as("live_df")))
-          case (a, b) => a.orElse(b)
+          else Some(
+            spark.read.schema(dictDeltaSchema)
+              .parquet(added.toSeq.map(fp => FsckWatermark.filePath(spark, dictT, fp)): _*)
+              .groupBy(col("term_h"), col("term"))
+              .agg(sum(col("df")).as("added_df"), min(col("df")).as("min_df")))
+        val addedLive: Option[DataFrame] = addedRows.map(r =>
+          notTombstoned(spark, name, r)
+            .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("added_live")))
+        // delta violations + negative partials escalate; terms of
+        // rewritten buckets are exact-checked directly
+        val deltaViol: Option[DataFrame] = addedLive.map { al =>
+          al.join(addedDict.map(_.select(col("term_h"), col("term"), col("added_df")))
+              .getOrElse(Seq.empty[(Long, String, Long)].toDF("term_h", "term", "added_df")),
+            Seq("term_h", "term"), "left")
+            .filter(coalesce(col("added_df"), lit(0L)) < col("added_live"))
+            .select(col("term_h"), col("term"))
         }
-        candidates match {
+        val negTerms: Option[DataFrame] = addedDict.map(
+          _.filter(col("min_df") < 0).select(col("term_h"), col("term")))
+        val rewrittenTerms: Option[DataFrame] = rewrittenRows.map(r =>
+          notTombstoned(spark, name, r).select(col("term_h"), col("term")).distinct())
+        val escalate = Seq(deltaViol, negTerms, rewrittenTerms).flatten
+          .reduceOption(_ unionByName _).map(_.distinct())
+        escalate match {
           case None =>
             checks += (("dict_df_covers_live_postings", true,
-              "no touched buckets and no negative dict partials since the watermark"))
-          case Some(c) =>
-            val under = dictSums.join(c, Seq("term_h", "term"), "right")
+              "delta condition holds vacuously (no added/rewritten postings, no dict partials)"))
+          case Some(terms) if terms.isEmpty =>
+            checks += (("dict_df_covers_live_postings", true,
+              "delta condition held for every added term (added dict partials cover added postings)"))
+          case Some(terms) =>
+            // exact per-term compare over the escalated terms' own
+            // buckets (a term's postings live entirely in one bucket)
+            val tBuckets = terms
+              .select(Layout.bucketIdExpr(col("term_h"), nbP).as("b"))
+              .distinct().collect().map(_.getInt(0)).toSet
+            val liveDf = readFiles(spark, postT, Layout.bucketFiles(spark, postT, tBuckets)) match {
+              case None => terms.withColumn("live_df", lit(0L))
+              case Some(rows) =>
+                terms.join(
+                  notTombstoned(spark, name, rows)
+                    .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("live_df")),
+                  Seq("term_h", "term"), "left")
+                  .select(col("term_h"), col("term"),
+                    coalesce(col("live_df"), lit(0L)).as("live_df"))
+            }
+            val under = dictSums.join(liveDf, Seq("term_h", "term"), "right")
               .filter(coalesce(col("dict_df"), lit(0L)) < col("live_df"))
               .count()
             checks += (("dict_df_covers_live_postings", under == 0,
-              s"$under under-counted terms (scoped to touched-bucket and " +
-                "appended-negative-partial terms)"))
+              s"$under under-counted terms (exact compare over the escalated terms' buckets)"))
         }
       }
     }
@@ -1537,28 +1587,28 @@ object Postings {
 
     val green = checks.forall(_._2)
     if (green) {
-      // re-anchor the watermark at the verified state — fingerprints
-      // re-listed, aggregates from the recombined maps (touched buckets
-      // carry their fresh scan; untouched their recorded values)
+      // re-anchor the watermark at the verified state — file sets
+      // re-listed, aggregates from the recombined maps
       import FsckWatermark.{BucketMark, Mark, TableMark}
       val tables = scala.collection.mutable.Map(
         postT -> TableMark(
           nbP,
-          fpsP.map { case (b, fp) =>
+          filesP.map { case (b, fs) =>
             val (tfs, c) = postAgg.getOrElse(b, (0L, 0L))
-            b -> BucketMark(fp, tfs, c)
+            b -> BucketMark(fs, tfs, c)
           }))
       if (hasFwd) {
-        val (nbF2, fpsF2) = FsckWatermark.bucketFps(spark, fwdT)
+        val (nbF2, filesF2) = FsckWatermark.bucketFileSets(spark, fwdT)
         tables(fwdT) = TableMark(
-          nbF2, fpsF2.map { case (b, fp) => b -> BucketMark(fp, fwdAgg.getOrElse(b, 0L), 0L) })
+          nbF2, filesF2.map { case (b, fs) => b -> BucketMark(fs, fwdAgg.getOrElse(b, 0L), 0L) })
       }
       FsckWatermark.write(
         spark, wmPath,
         Mark(curTombsFp, FsckWatermark.plainFileFps(spark, dictT), tables.toMap))
     }
     checks += (("fsck_scope", true,
-      s"incremental: postings ${touchedP.size}/$nbP buckets touched; " +
+      s"incremental: postings ${diffP.touched.size}/$nbP buckets touched " +
+        s"(${diffP.addedOnly.size} added-only, ${diffP.rewritten.size} rewritten); " +
         s"tombstones ${if (tombsChanged) "CHANGED (live aggregates recomputed corpus-wide, column-pruned)" else "unchanged"}; " +
         (if (green) "watermark advanced" else "RED result — watermark NOT advanced") +
         "; fingerprint-evading corruption in untouched buckets needs the periodic full checkIndex"))

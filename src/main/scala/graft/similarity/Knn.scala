@@ -1102,14 +1102,14 @@ object Knn {
       spark: org.apache.spark.sql.SparkSession, name: String): graft.sources.FsckWatermark.Mark = {
     import graft.sources.FsckWatermark.{BucketMark, Mark, TableMark}
     val ivfT = ivfTableName(name)
-    val (nb, fps) = graft.sources.FsckWatermark.bucketFps(spark, ivfT)
+    val (nb, files) = graft.sources.FsckWatermark.bucketFileSets(spark, ivfT)
     val agg = perBucketIvfAgg(spark, name)
     Mark(
       graft.sources.FsckWatermark.plainFp(spark, ivfTombsTableName(name)),
       Set.empty,
-      Map(ivfT -> TableMark(nb, fps.map { case (b, fp) =>
+      Map(ivfT -> TableMark(nb, files.map { case (b, fs) =>
         val (c, d) = agg.getOrElse(b, (0L, 0L))
-        b -> BucketMark(fp, c, d)
+        b -> BucketMark(fs, c, d)
       })))
   }
 
@@ -1151,9 +1151,14 @@ object Knn {
         val tombsT = ivfTombsTableName(name)
         val curTombsFp   = FsckWatermark.plainFp(spark, tombsT)
         val tombsChanged = curTombsFp != old.tombsFp
-        val (nb, fps)    = FsckWatermark.bucketFps(spark, ivfT)
+        val (nb, files)  = FsckWatermark.bucketFileSets(spark, ivfT)
+        // bucket-granular on the vector side BY CHOICE: a vector lives
+        // in exactly one cell bucket, so an append touches one bucket
+        // per distinct cell (not most buckets, as terms do), and
+        // whole-bucket recompute is also what makes the intra-bucket
+        // uniqueness check sound across old+new files
         val touched: Set[Int] = old.tables.get(ivfT)
-          .map(FsckWatermark.touched(_, nb, fps)).getOrElse(fps.keySet)
+          .map(FsckWatermark.diff(_, nb, files).touched).getOrElse(files.keySet)
         val touchedLive: Option[DataFrame] =
           if (touched.isEmpty) None else liveIvfOfBuckets(spark, name, touched)
 
@@ -1231,9 +1236,9 @@ object Knn {
           import FsckWatermark.{BucketMark, Mark, TableMark}
           FsckWatermark.write(
             spark, wmPath,
-            Mark(curTombsFp, Set.empty, Map(ivfT -> TableMark(nb, fps.map { case (b, fp) =>
+            Mark(curTombsFp, Set.empty, Map(ivfT -> TableMark(nb, files.map { case (b, fs) =>
               val (c, d) = agg.getOrElse(b, (0L, 0L))
-              b -> BucketMark(fp, c, d)
+              b -> BucketMark(fs, c, d)
             }))))
         }
         checks += (("fsck_scope", true,

@@ -10,48 +10,80 @@ import org.apache.spark.sql.SparkSession
   * r16 fsck ladder measured it per-row past the page cache, i.e. a
   * full scan per maintenance window at 100 TB).
   *
-  * The watermark records, per bucketed table, each bucket's FILE
-  * FINGERPRINT (name + length + mtime of every parquet file, digested)
-  * plus the per-bucket aggregates the global invariants decompose
-  * over (live Σtf and live row counts — per-bucket because a term
-  * lives entirely in its hash bucket and a doc's forward row in its
-  * doc bucket, so per-bucket sums recombine exactly). An incremental
-  * check re-verifies ONLY buckets whose fingerprint moved; untouched
-  * buckets contribute their recorded aggregates. The trust boundary is
-  * the fingerprint: corruption that replaces bytes while preserving
-  * every file's (name, length, mtime) is invisible to the incremental
-  * pass BY DESIGN and is the reason the runbook keeps a periodic FULL
-  * `checkIndex` (spec-pinned in IndexCheckSpec — an injected
-  * fingerprint-evading corruption stays green incrementally and goes
-  * red on the next full pass).
+  * The watermark records, per bucketed table, each bucket's FILE SET
+  * (name + length + mtime of every parquet file) plus the per-bucket
+  * aggregates the global invariants decompose over (live Σtf and live
+  * row counts — per-bucket because a term lives entirely in its hash
+  * bucket and a doc's forward row in its doc bucket, so per-bucket
+  * sums recombine exactly). The file-level diff matters: an append
+  * touches most TERM buckets of a posting index (any real document
+  * carries diverse terms), so a bucket-granular "re-verify touched
+  * buckets" would re-read nearly the whole index every window. With
+  * file sets the diff classifies each bucket as
+  *
+  *   - UNCHANGED (same files) — recorded aggregates reused;
+  *   - ADDED-ONLY (old files all still present) — aggregates are
+  *     ADDITIVE over the new files alone: cost tracks appended bytes;
+  *   - REWRITTEN (any old file gone) — full bucket recompute, which is
+  *     exactly the byte count the rewrite itself just paid.
+  *
+  * The trust boundary is the file fingerprint: corruption that
+  * replaces bytes while preserving a file's (name, length, mtime) is
+  * invisible to the incremental pass BY DESIGN and is the reason the
+  * runbook keeps a periodic FULL `checkIndex` (spec-pinned in
+  * IncrementalFsckSpec — an injected fingerprint-evading corruption
+  * stays green incrementally and goes red on the next full pass).
   *
   * Lifecycle: written ONLY after a green check (atomic tmp+rename; a
   * torn or unreadable watermark falls back to the full check, never a
   * wrong scope). Lives as a SIBLING of the anchor table's generation-0
   * base dir (`<base>.fsck`, like the dict-delta staging) so it
   * survives generation swaps — whose fresh file names then mark every
-  * bucket touched, which is correct: a generation rewrite moved every
-  * byte.
+  * bucket rewritten, which is correct: a generation rewrite moved
+  * every byte.
   */
 private[graft] object FsckWatermark {
 
-  /** One bucket at the last green check: file-set fingerprint + two
+  /** One bucket at the last green check: its file fingerprints + two
     * table-specific aggregate slots (postings: a1 = live Σtf, a2 =
     * live row count; forward: a1 = live row count; ivf: a1 = live row
     * count, a2 = live distinct ids).
     */
-  case class BucketMark(fp: String, a1: Long, a2: Long)
+  case class BucketMark(files: Set[String], a1: Long, a2: Long)
   case class TableMark(numBuckets: Int, buckets: Map[Int, BucketMark])
 
   /** `tombsFp` digests the tombstone table's file set — the per-bucket
     * LIVE aggregates embed the tombstone anti-join, so any change to
     * the set invalidates the decomposition (the incremental check then
     * recomputes the aggregates corpus-wide, column-pruned — still no
-    * shuffles and no joins, far under full-fsck cost). `dictFps` keeps
+    * index shuffle, far under full-fsck cost). `dictFps` keeps
     * PER-FILE fingerprints so an incremental pass can identify exactly
     * the dict files appended since the watermark.
     */
   case class Mark(tombsFp: String, dictFps: Set[String], tables: Map[String, TableMark])
+
+  /** File-level bucket diff vs a recorded mark (see the class doc for
+    * why the three-way split is the whole point).
+    */
+  case class Diff(unchanged: Set[Int], addedOnly: Map[Int, Set[String]], rewritten: Set[Int]) {
+    def touched: Set[Int] = addedOnly.keySet ++ rewritten
+  }
+
+  def diff(old: TableMark, curNb: Int, curFiles: Map[Int, Set[String]]): Diff = {
+    val ids = curFiles.keySet ++ old.buckets.keySet
+    if (old.numBuckets != curNb) return Diff(Set.empty, Map.empty, ids)
+    val unchanged = scala.collection.mutable.Set[Int]()
+    val addedOnly = scala.collection.mutable.Map[Int, Set[String]]()
+    val rewritten = scala.collection.mutable.Set[Int]()
+    ids.foreach { b =>
+      val o = old.buckets.get(b).map(_.files).getOrElse(Set.empty)
+      val c = curFiles.getOrElse(b, Set.empty)
+      if (o == c) unchanged += b
+      else if (o.subsetOf(c)) addedOnly(b) = c -- o
+      else rewritten += b
+    }
+    Diff(unchanged.toSet, addedOnly.toMap, rewritten.toSet)
+  }
 
   private def md5(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -73,6 +105,12 @@ private[graft] object FsckWatermark {
     */
   def path(spark: SparkSession, anchorTable: String): Path =
     new Path(Layout.baseGen(tableDir(spark, anchorTable).toString) + ".fsck")
+
+  /** A file fingerprint's on-disk name (the part before the first
+    * colon) resolved under the table's CURRENT directory.
+    */
+  def filePath(spark: SparkSession, table: String, fp: String): String =
+    s"${tableDir(spark, table)}/${fp.takeWhile(_ != ':')}"
 
   private def fileFps(spark: SparkSession, table: String): Seq[String] = {
     if (!spark.catalog.tableExists(table)) return Nil
@@ -101,10 +139,10 @@ private[graft] object FsckWatermark {
   def plainFileFps(spark: SparkSession, table: String): Set[String] =
     fileFps(spark, table).toSet
 
-  /** Current (numBuckets, bucketId → fingerprint) of a bucketed table.
-    * Buckets with no files are simply absent from the map.
+  /** Current (numBuckets, bucketId → file fingerprints) of a bucketed
+    * table. Buckets with no files are simply absent from the map.
     */
-  def bucketFps(spark: SparkSession, table: String): (Int, Map[Int, String]) = {
+  def bucketFileSets(spark: SparkSession, table: String): (Int, Map[Int, Set[String]]) = {
     val nb  = Layout.numBuckets(spark, table)
     val dir = tableDir(spark, table)
     val fs  = hadoopFs(spark, dir)
@@ -115,19 +153,8 @@ private[graft] object FsckWatermark {
           .map(b => b -> s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       }
       .toSeq.groupBy(_._1)
-    (nb, byBucket.map { case (b, fps) => b -> md5(fps.map(_._2).sorted.mkString("\n")) })
+    (nb, byBucket.map { case (b, fps) => b -> fps.map(_._2).toSet })
   }
-
-  /** Bucket ids whose fingerprint moved since `old` (changed, new, or
-    * emptied), or ALL current-and-old buckets when the bucket count
-    * itself changed (a rebucket re-keys every row).
-    */
-  def touched(old: TableMark, curNb: Int, curFps: Map[Int, String]): Set[Int] =
-    if (old.numBuckets != curNb) curFps.keySet ++ old.buckets.keySet
-    else {
-      val ids = curFps.keySet ++ old.buckets.keySet
-      ids.filter(b => curFps.get(b) != old.buckets.get(b).map(_.fp))
-    }
 
   // ---------- serialization (single text file, atomic swap) ----------
 
@@ -135,13 +162,13 @@ private[graft] object FsckWatermark {
     val fs  = hadoopFs(spark, p)
     val tmp = new Path(p.toString + ".tmp")
     val sb  = new StringBuilder
-    sb.append("graft-fsck v1\n")
+    sb.append("graft-fsck v2\n")
     sb.append(s"tombs ${mark.tombsFp}\n")
     mark.dictFps.toSeq.sorted.foreach(f => sb.append(s"dictfile $f\n"))
     mark.tables.toSeq.sortBy(_._1).foreach { case (t, tm) =>
       sb.append(s"table $t ${tm.numBuckets}\n")
       tm.buckets.toSeq.sortBy(_._1).foreach { case (b, m) =>
-        sb.append(s"b $b ${m.fp} ${m.a1} ${m.a2}\n")
+        sb.append(s"b $b ${m.a1} ${m.a2}${m.files.toSeq.sorted.map(" " + _).mkString}\n")
       }
     }
     sb.append("end\n")
@@ -163,7 +190,7 @@ private[graft] object FsckWatermark {
       val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       val lines = text.split("\n")
-      if (lines.isEmpty || lines.head != "graft-fsck v1" || !lines.contains("end")) return None
+      if (lines.isEmpty || lines.head != "graft-fsck v2" || !lines.contains("end")) return None
       var tombsFp = "-"
       val dictFps = scala.collection.mutable.Set[String]()
       val tables  = scala.collection.mutable.Map[String, TableMark]()
@@ -182,7 +209,8 @@ private[graft] object FsckWatermark {
             curTable = parts(1); curNb = parts(2).toInt
             curBuckets = scala.collection.mutable.Map[Int, BucketMark]()
           case "b" =>
-            curBuckets(parts(1).toInt) = BucketMark(parts(2), parts(3).toLong, parts(4).toLong)
+            curBuckets(parts(1).toInt) =
+              BucketMark(parts.drop(4).toSet, parts(2).toLong, parts(3).toLong)
           case _ => ()
         }
       }

@@ -137,10 +137,10 @@ class IncrementalFsckSpec extends SparkTestBase {
       dupBucketFile(postT)
       val p   = FsckWatermark.path(spark, postT)
       val old = FsckWatermark.read(spark, p).getOrElse(fail("watermark missing"))
-      val (nb, fps) = FsckWatermark.bucketFps(spark, postT)
+      val (nb, files) = FsckWatermark.bucketFileSets(spark, postT)
       val tm = old.tables(postT)
-      val patched = tm.copy(buckets = fps.map { case (b, fp) =>
-        b -> tm.buckets.getOrElse(b, FsckWatermark.BucketMark(fp, 0L, 0L)).copy(fp = fp)
+      val patched = tm.copy(buckets = files.map { case (b, fs) =>
+        b -> tm.buckets.getOrElse(b, FsckWatermark.BucketMark(fs, 0L, 0L)).copy(files = fs)
       })
       FsckWatermark.write(spark, p, old.copy(tables = old.tables + (postT -> patched)))
       // the incremental pass trusts the watermark: green, zero touched
