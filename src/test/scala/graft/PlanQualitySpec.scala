@@ -119,6 +119,12 @@ class PlanQualitySpec extends SparkTestBase {
     // e14: the post-migration read is the pruned ivfTopK plan — the
     // same broadcast K-row centroid-model cross join as e10-e13
     "e14_ivf_rebucket" -> Set("BroadcastNestedLoopJoin"),
+    // d76/e15 (r17): the POLICY-triggered migrations read exactly like
+    // their explicit twins d75/e14 — same one-row-stats / K-row-
+    // centroid broadcast frames; the rebucketIfOvergrown call ran
+    // eagerly in the builder
+    "d76_rebucket_policy" -> Set("BroadcastNestedLoopJoin"),
+    "e15_ivf_rebucket_policy" -> Set("BroadcastNestedLoopJoin"),
     // e11p: the pre-deleted prod read is e11's pruned ivfTopK plan
     // (broadcast K-row centroid-model cross join for the query batch)
     "e11p_ivf_delete_prod" -> Set("BroadcastNestedLoopJoin"),
