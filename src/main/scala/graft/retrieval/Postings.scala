@@ -705,6 +705,45 @@ object Postings {
     }
   }
 
+  /** Two-sided bucket-count policy (round 17 — closing the r16 "only
+    * migrates UP" note): the growth side is `rebucketIfOvergrown`
+    * verbatim; the SHRINK side fires when a corpus that contracted
+    * after mass deletion leaves per-bucket bytes under
+    * `minBytesPerBucket` — every bucketed read then opens many
+    * near-empty files and scan tasks under-fill. Shrinks by
+    * `growthFactor` divisions, never below `minBuckets`, and never
+    * past the grow bound (so the two sides cannot oscillate no matter
+    * how the bounds are chosen; a sane pairing keeps
+    * `minBytesPerBucket ≤ maxBytesPerBucket / growthFactor²` for
+    * hysteresis). Same free metadata probe; returns the new count
+    * when a migration ran.
+    */
+  def rebucketIfMisSized(
+      spark: SparkSession,
+      name: String,
+      maxBytesPerBucket: Long,
+      minBytesPerBucket: Long,
+      growthFactor: Int = 4,
+      minBuckets: Int = 8): Option[Int] = {
+    require(minBytesPerBucket >= 0L, "minBytesPerBucket must be >= 0")
+    require(minBuckets >= 1, "minBuckets must be >= 1")
+    rebucketIfOvergrown(spark, name, maxBytesPerBucket, growthFactor).orElse {
+      val table = postingsTableName(name)
+      if (!spark.catalog.tableExists(table) || minBytesPerBucket == 0L) None
+      else {
+        val nb    = Layout.numBuckets(spark, table)
+        val bytes = Layout.parquetBytes(spark, table)
+        val n = Layout.shrunkenBucketCount(
+          nb, bytes, minBytesPerBucket, maxBytesPerBucket, growthFactor, minBuckets)
+        if (n == nb) None
+        else {
+          rebucketIndex(spark, name, n)
+          Some(n)
+        }
+      }
+    }
+  }
+
   private def compactIndexTo(spark: SparkSession, name: String, newBuckets: Option[Int]): Unit = {
     // tombstone-drop rides the generation rewrite the compaction was
     // doing anyway: physical deletion costs zero extra passes. The

@@ -793,6 +793,37 @@ object Knn {
     }
   }
 
+  /** Two-sided bucket-count policy, vector side — see
+    * `Postings.rebucketIfMisSized` (grow = `rebucketIvfIfOvergrown`
+    * verbatim; shrink fires under `minBytesPerBucket`, floored at
+    * `minBuckets`, never past the grow bound).
+    */
+  def rebucketIvfIfMisSized(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      maxBytesPerBucket: Long,
+      minBytesPerBucket: Long,
+      growthFactor: Int = 4,
+      minBuckets: Int = 8): Option[Int] = {
+    require(minBytesPerBucket >= 0L, "minBytesPerBucket must be >= 0")
+    require(minBuckets >= 1, "minBuckets must be >= 1")
+    rebucketIvfIfOvergrown(spark, name, maxBytesPerBucket, growthFactor).orElse {
+      val table = ivfTableName(name)
+      if (!spark.catalog.tableExists(table) || minBytesPerBucket == 0L) None
+      else {
+        val nb    = graft.sources.Layout.numBuckets(spark, table)
+        val bytes = graft.sources.Layout.parquetBytes(spark, table)
+        val n = graft.sources.Layout.shrunkenBucketCount(
+          nb, bytes, minBytesPerBucket, maxBytesPerBucket, growthFactor, minBuckets)
+        if (n == nb) None
+        else {
+          rebucketIvfIndex(spark, name, n)
+          Some(n)
+        }
+      }
+    }
+  }
+
   /** BUCKET-COUNT migration, vector side (round 16 — VERDICT r15 #2):
     * one generation rewrite of the ivf table under `newBuckets`, the
     * structural twin of `retrainIvfIndex` with the MODEL frozen and

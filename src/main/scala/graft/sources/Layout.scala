@@ -387,6 +387,33 @@ object Layout {
     n.toInt
   }
 
+  /** The shrink-side twin of `grownBucketCount` (round 17 — the r16
+    * "minor, noted not counted" seam: a corpus that contracts after
+    * mass deletion keeps its grown bucket count forever, so every
+    * bucketed read opens many near-empty files): the smallest
+    * `growthFactor`-division of `nb` (never below `minBuckets`) whose
+    * per-bucket bytes reach `minBytesPerBucket` — stopping early if a
+    * division would overshoot `maxBytesPerBucket` (the grow bound),
+    * so the two policies can never oscillate regardless of how the
+    * caller picks the bounds. Returns `nb` when no shrink applies.
+    */
+  private[graft] def shrunkenBucketCount(
+      nb: Int,
+      bytes: Long,
+      minBytesPerBucket: Long,
+      maxBytesPerBucket: Long,
+      growthFactor: Int,
+      minBuckets: Int): Int = {
+    var n = nb.toLong
+    // division forms throughout (`bytes/n < min` ⟺ `bytes < min*n`;
+    // the products can overflow Long for huge bounds)
+    while (n / growthFactor >= minBuckets.toLong &&
+      bytes / n < minBytesPerBucket &&
+      (bytes - 1) / (n / growthFactor) < maxBytesPerBucket)
+      n /= growthFactor
+    n.toInt
+  }
+
   /** Bucket count of a bucketed table (loud on a non-bucketed one). */
   private[graft] def numBuckets(spark: SparkSession, tableName: String): Int =
     spark.sessionState.catalog.getTableMetadata(

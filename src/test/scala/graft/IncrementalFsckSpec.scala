@@ -231,6 +231,76 @@ class IncrementalFsckSpec extends SparkTestBase {
     } finally Postings.dropIndex(spark, name)
   }
 
+  test("shrink-side rebucket policy: an over-bucketed index (corpus contracted) migrates down to the byte floor; answers unchanged; no-op when healthy or disabled") {
+    val dir  = Files.createTempDirectory("graft_shrk").toString
+    val name = "t_ifsck_shr"
+    try {
+      val d = docs.toDF("doc_id", "text", "lang")
+      Postings.writeIndex(d, "doc_id", "text", name, dir, buckets = 64)
+      def bm25() = Postings.bm25TopK(
+        Postings.livePostings(spark, name), Postings.statsTable(spark, name),
+        Seq("merge", "hash", "vector"), 10).as[(Long, Long, Long, Double)].collect().toSeq
+      val before = bm25()
+      val bytes = graft.sources.Layout.parquetBytes(spark, s"${name}_postings")
+      // disabled shrink (min=0) and healthy bounds: no-ops
+      assert(Postings.rebucketIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = 0L).isEmpty)
+      assert(Postings.rebucketIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = 1L).isEmpty,
+        "a per-bucket byte count above the floor must not shrink")
+      // a floor above the per-bucket bytes shrinks — to the smallest
+      // division that restores it, never past the grow bound, floored
+      // at minBuckets
+      val migrated = Postings.rebucketIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = bytes, minBuckets = 4)
+      assert(migrated.contains(4), s"expected shrink to the 4-bucket floor, got $migrated")
+      assert(graft.sources.Layout.numBuckets(spark, s"${name}_postings") == 4)
+      assert(bm25() == before, "answers must survive the shrink migration")
+      // idempotent: the shrunken index is inside both bounds
+      assert(Postings.rebucketIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = bytes / 64, minBuckets = 4).isEmpty)
+    } finally Postings.dropIndex(spark, name)
+  }
+
+  test("IVF shrink-side rebucket policy: migrates down to the byte floor, answers bit-identical, idempotent") {
+    val dir  = Files.createTempDirectory("graft_shrk").toString
+    val name = "t_ifsck_ivshr"
+    try {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val ed = e.select(col("vec_id"), Knn.asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(Knn.dot(col("v"), col("v"))))
+      val cents = ed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+      Knn.writeIvfIndex(e, cents, "vec_id", "embedding", name, dir, buckets = 32)
+      def topk() = Knn.ivfTopK(spark, name, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val before = topk()
+      val bytes = graft.sources.Layout.parquetBytes(spark, s"${name}_ivf")
+      assert(Knn.rebucketIvfIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = 1L).isEmpty)
+      val migrated = Knn.rebucketIvfIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = bytes, minBuckets = 8)
+      assert(migrated.contains(8), s"expected shrink to the 8-bucket floor, got $migrated")
+      assert(graft.sources.Layout.numBuckets(spark, s"${name}_ivf") == 8)
+      assert(topk() == before, "answers must survive the IVF shrink migration")
+      assert(Knn.rebucketIvfIfMisSized(spark, name,
+        maxBytesPerBucket = bytes, minBytesPerBucket = bytes / 32, minBuckets = 8).isEmpty)
+    } finally Knn.dropIvfIndex(spark, name)
+  }
+
+  test("shrunkenBucketCount: smallest division restoring the floor, never past the grow bound, floored at minBuckets") {
+    // bytes/64 under the floor, bytes/16 at it → one division short of 16? No:
+    // 64→16 restores min → stop at 16
+    assert(Layout.shrunkenBucketCount(64, 1600L, 100L, 1000L, 4, 4) == 16)
+    // the grow bound blocks the last division (1600/4 = 400 > maxBytes 300)
+    assert(Layout.shrunkenBucketCount(16, 1600L, 1000L, 300L, 4, 1) == 16)
+    // floor at minBuckets even while under-filled
+    assert(Layout.shrunkenBucketCount(64, 10L, 100L, Long.MaxValue, 4, 16) == 16)
+    // healthy: no shrink
+    assert(Layout.shrunkenBucketCount(64, 6400L, 100L, Long.MaxValue, 4, 4) == 64)
+  }
+
   test("growth policies: the candidate count is computed in Long arithmetic, capped loudly — no overflow spin") {
     // the ADVICE r16 shape: an extreme bytes/bound ratio must fail fast,
     // never wrap Int and loop forever
