@@ -194,11 +194,21 @@ object Bench {
     // check caught the phantom regressions. Every pass is now ALSO
     // bracketed by canary runs; a pass is clean only when both its
     // bracketing canaries sit within SPARK_GRAFT_CANARY_DRIFT (default
-    // 1.4×) of the artifact's own per-kernel minimum (median ratio
+    // 1.75×) of the artifact's own per-kernel minimum (median ratio
     // over the three kernels — within-artifact, so host class cancels
     // and uniform slowness stays host_scale's job). Cost: ~2.5 s per
-    // pass, noise against a 100+ s pass.
-    val canaryDrift = sys.env.getOrElse("SPARK_GRAFT_CANARY_DRIFT", "1.4").toDouble
+    // pass, noise against a 100+ s pass. The threshold is CALIBRATED,
+    // not guessed: on this host class, bracket drift in accepted-clean
+    // windows reads 1.0-1.6 (ambient shuffle/sort variance at
+    // local[32] — the min-relative reference makes ordinary passes sit
+    // well above 1.0), while contention bursts price the kernels
+    // 2.0-2.3× and the r16 IO-deprived escape would have read higher
+    // still; 1.75 separates the regimes. A first recording at 1.4
+    // labeled a mildly-contended window "throttled" with zero clean
+    // passes because NO pass could sit within 1.4 of the artifact's
+    // single calmest canary moment — over-rejection that would starve
+    // every future artifact on an averagely-busy box.
+    val canaryDrift = sys.env.getOrElse("SPARK_GRAFT_CANARY_DRIFT", "1.75").toDouble
     val loads     = scala.collection.mutable.ArrayBuffer(loadAvg())
     val probes    = scala.collection.mutable.ArrayBuffer(probe())
     val canaries  = scala.collection.mutable.ArrayBuffer(canary(), canary()) // 2nd run = post-JIT
