@@ -152,7 +152,17 @@ object Postings {
     * (df) or DISTINCTed (resolution) at query time.
     */
   def dictRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    postings(docs, idCol, textCol)
+    dictRows(postings(docs, idCol, textCol))
+
+  /** Dict partial from an ALREADY-BUILT postings frame (one row per
+    * (term, doc), `term_h`/`term` columns present — extra doc-constant
+    * meta columns are harmless, they change no group boundaries).
+    * Callers that just materialized the batch's postings (appendBatch)
+    * aggregate the cached rows instead of re-running the
+    * tokenize+explode lineage.
+    */
+  def dictRows(postingsFrame: DataFrame): DataFrame =
+    postingsFrame
       .groupBy(col("term_h"), col("term"))
       .agg(count(lit(1)).as("df"))
 
@@ -259,17 +269,28 @@ object Postings {
       idCol: String,
       textCol: String,
       name: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      statsObs: Option[org.apache.spark.sql.Observation] = None): Unit = {
     val spark = batch.sparkSession
     val table = tombsTableName(name)
+    // the batch's stats fold (the caller's negative marker inputs)
+    // rides the tombstone write as observe() metrics when requested
+    // (r17): one scan of the delete batch instead of a statsRow scan
+    // plus the write. The fold is statsRow's exactly — count of
+    // screened rows, sum of per-doc token counts.
+    val observed = statsObs.fold(batch)(o =>
+      batch.observe(
+        o,
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount(col(textCol))).as("sum_dl")))
     if (!spark.table(table).columns.contains("pb")) {
-      graft.sources.IndexLifecycle.appendTombs(batch, idCol, table, "doc_id", batchId)
+      graft.sources.IndexLifecycle.appendTombs(observed, idCol, table, "doc_id", batchId)
       return
     }
     def maskFor(t: String): Column =
       if (spark.catalog.tableExists(t)) bucketMask(col(textCol), Layout.numBuckets(spark, t))
       else lit(null).cast("array<int>")
-    batch
+    observed
       .select(
         col(idCol).cast("long").as("doc_id"),
         lit(batchId).as("batch_id"),
@@ -318,24 +339,46 @@ object Postings {
     graft.sources.IndexLifecycle.requireNotTombstoned(
       spark, tombsTableName(name), "doc_id",
       docs.filter(col(textCol).isNotNull), idCol, s"appendBatch($name)")
-    // the batch's stats are computed FIRST (one tokenize pass, same
-    // longs as statsRow's fold): an EMPTY batch — zero rows or
-    // all-null text — appends nothing and commits NO marker, keeping
-    // the sign-separated marker space disjoint at zero (an n_docs = 0
-    // row would satisfy both sides' replay checks, so a streamed
-    // empty append with id N would block a later delete batch N)
-    val st = statsRow(docs, idCol, textCol, batchId).collect().head
-    if (st.getLong(0) == 0L) return
-    // a batch is small by definition (incremental ingest), so the dict
-    // partial simply recomputes the batch-postings lineage — cheaper
-    // than caching the frame under the append write (same measurement
-    // as writeIndex). Denormalized-facet columns (if this index was
-    // built with denormFacets) are inferred from the live schema in
-    // table order, so callers can't drift — same rule as the forward
-    // side below.
+    // an EMPTY batch — zero rows or all-null text — appends nothing
+    // and commits NO marker, keeping the sign-separated marker space
+    // disjoint at zero (an n_docs = 0 row would satisfy both sides'
+    // replay checks, so a streamed empty append with id N would block
+    // a later delete batch N). The probe is a limit-1 scan; through
+    // r16 the emptiness decision rode a FULL statsRow tokenize pass.
+    val screened = docs.filter(col(textCol).isNotNull)
+    if (screened.isEmpty) return
+    // Denormalized-facet columns (if this index was built with
+    // denormFacets) are inferred from the live schema in table order,
+    // so callers can't drift — same rule as the forward side below.
     val denormCols = spark.table(postingsTableName(name)).columns
       .filterNot(Seq("term_h", "term", "doc_id", "tf", "dl").contains).toSeq
-    Layout.append(postings(docs, idCol, textCol, denormCols), postingsTableName(name))
+    // the batch's stats ride the postings append itself as observe()
+    // metrics (r17 — the same one-pass trick writeIndex has carried
+    // since r12): n_docs counts the screened docs, sum_dl sums tf over
+    // the batch postings (Σ tf over a doc's terms == its dl by
+    // construction; a zero-token doc contributes 1 to n_docs upstream
+    // and 0 to sum_dl by absence, so an all-zero-token batch leaves
+    // sum_dl NULL — statsRow's sum-over-nothing semantics exactly).
+    // One tokenize pass per append instead of two — at 100 TB the
+    // append path scans every ingested batch once, not twice.
+    val obsTag   = s"${batchId}_${System.nanoTime()}"
+    val nDocsObs = org.apache.spark.sql.Observation(s"graft_${name}_app_ndocs_$obsTag")
+    val sumDlObs = org.apache.spark.sql.Observation(s"graft_${name}_app_sumdl_$obsTag")
+    val frame = postingsFromScreened(
+      screened.observe(nDocsObs, count(lit(1)).as("n_docs")), idCol, textCol, denormCols)
+      .observe(sumDlObs, sum(col("tf")).as("sum_dl"))
+    Layout.append(frame, postingsTableName(name))
+    val nDocs = nDocsObs.get("n_docs").asInstanceOf[Long]
+    val sumDl = sumDlObs.get.get("sum_dl").map(_.asInstanceOf[Long])
+    // the dict partial recomputes the batch-postings lineage rather
+    // than caching the appended frame: a cached plan's output
+    // partitioning is pinned (AQE coalescing does not apply to
+    // InMemoryRelation reads by default), so writing the postings from
+    // a cache multiplies the files-per-bucket an append leaves behind
+    // — measured in r17 as an early compactIfFragmented trip; the
+    // recompute costs one extra batch-sized tokenize, the cache costs
+    // index fragmentation. (The statsRow pass O3 removed above had no
+    // such trade — observe changes no plan shape.)
     dictRows(docs, idCol, textCol)
       .write.mode("append").insertInto(dictTableName(name))
     // the forward side (if this index was built with metaCols) grows
@@ -351,8 +394,8 @@ object Postings {
     // marker-last can only duplicate one — see the class doc)
     spark.range(1)
       .select(
-        lit(st.getLong(0)).as("n_docs"),
-        lit(if (st.isNullAt(1)) null else st.getLong(1)).cast("long").as("sum_dl"),
+        lit(nDocs).as("n_docs"),
+        lit(sumDl.orNull).cast("long").as("sum_dl"),
         lit(batchId).as("batch_id"))
       .write.mode("append").insertInto(statsTableName(name))
   }
@@ -437,17 +480,25 @@ object Postings {
       docs.filter(col(textCol).isNotNull), idCol, s"deleteBatch($name)",
       excludeBatchId = if (batchId >= 0L) Some(batchId) else None)
     if (hasStats) {
-      // compute the batch's stats FIRST (the same skip-empty rule as
-      // appendBatch: an empty delete batch writes neither tombstones
-      // nor a marker, so it cannot shadow an append batch's id)
-      val st = statsRow(docs, idCol, textCol, batchId).collect().head
-      if (st.getLong(0) == 0L) return
-      writeTombRows(docs.filter(col(textCol).isNotNull), idCol, textCol, name, batchId)
+      // skip-empty rule, same as appendBatch: an empty delete batch
+      // writes neither tombstones nor a marker, so it cannot shadow an
+      // append batch's id. The probe is a limit-1 scan; the batch's
+      // stats fold rides the tombstone write itself as observe()
+      // metrics (r17 — one scan of the delete batch, where through
+      // r16 a full statsRow tokenize pass preceded the write).
+      val batch = docs.filter(col(textCol).isNotNull)
+      if (batch.isEmpty) return
+      val obs = org.apache.spark.sql.Observation(
+        s"graft_${name}_del_${batchId}_${System.nanoTime()}")
+      writeTombRows(batch, idCol, textCol, name, batchId, statsObs = Some(obs))
+      val m      = obs.get
+      val nDocs  = m("n_docs").asInstanceOf[Long]
+      val sumDl  = Option(m("sum_dl")).map(_.asInstanceOf[Long])
       // negative stats row == commit marker, written LAST
       spark.range(1)
         .select(
-          lit(-st.getLong(0)).as("n_docs"),
-          lit(if (st.isNullAt(1)) null else -st.getLong(1)).cast("long").as("sum_dl"),
+          lit(-nDocs).as("n_docs"),
+          lit(sumDl.map(-_).orNull).cast("long").as("sum_dl"),
           lit(batchId).as("batch_id"))
         .write.mode("append").insertInto(statsTableName(name))
     } else {
@@ -960,9 +1011,15 @@ object Postings {
     // scan.
     def maskedBuckets(maskCol: String, nb: Int): Option[Set[Int]] =
       if (!tombs.columns.contains(maskCol)) None
-      else if (tombs.filter(col(maskCol).isNull).limit(1).count() > 0) None
       else {
-        val ms = tombs.select(explode(col(maskCol)).as("b"))
+        // ONE job for null-probe + distinct ids (r17 — was a limit-1
+        // null scan THEN an explode/distinct): a null mask maps to the
+        // sentinel [-1], which the existing out-of-range distrust
+        // turns into the same None. An EMPTY mask (zero-token doc)
+        // stays empty — it touches no buckets, exactly as before.
+        val ms = tombs
+          .select(explode(
+            when(col(maskCol).isNull, array(lit(-1))).otherwise(col(maskCol))).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         if (ms.exists(b => b < 0 || b >= nb)) None else Some(ms)
       }
@@ -984,19 +1041,42 @@ object Postings {
         }
         if (touched.isEmpty) None
         else {
-          // dict-exact retirement (round 15): stage the per-term
-          // decrement from the files the rewrite is about to drop,
-          // apply it as negative dict partials once the rewrite
-          // committed — summed df stays exact over the survivors,
-          // at touched-bucket cost (see stageDictDeltas)
-          val staged =
-            table == postingsTableName(name) &&
-              stageDictDeltas(spark, name, touched, tombIds)
-          Layout.compactBuckets(
-            spark, table, touched,
-            graft.sources.IndexLifecycle.dropTombstonedTransform(
-              spark, tombsT, "doc_id", "doc_id"))
-          if (staged) applyDictDeltas(spark, name)
+          // ONE physical read of the touched buckets serves BOTH the
+          // dict staging's tombstoned-term counts (semi-join) and the
+          // compaction rewrite's survivor filter (anti-join) — r17,
+          // guide §2.4: persist the raw touched-files frame, and the
+          // identical file-list reads inside stageDictDeltas and
+          // compactBuckets hit the cache by normalized-plan equality
+          // (a miss only costs the second read the r16 code always
+          // paid). Released before the swapped files are deleted is
+          // fine — the cache holds the rows, not the paths.
+          val rawCache: Option[DataFrame] =
+            if (table != postingsTableName(name)) None
+            else {
+              val files = Layout.bucketFiles(spark, table, touched)
+              if (files.isEmpty) None
+              else {
+                val meta = spark.sessionState.catalog.getTableMetadata(
+                  spark.sessionState.sqlParser.parseTableIdentifier(table))
+                Some(spark.read.schema(meta.schema).parquet(files: _*)
+                  .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+              }
+            }
+          try {
+            // dict-exact retirement (round 15): stage the per-term
+            // decrement from the files the rewrite is about to drop,
+            // apply it as negative dict partials once the rewrite
+            // committed — summed df stays exact over the survivors,
+            // at touched-bucket cost (see stageDictDeltas)
+            val staged =
+              table == postingsTableName(name) &&
+                stageDictDeltas(spark, name, touched, tombIds)
+            Layout.compactBuckets(
+              spark, table, touched,
+              graft.sources.IndexLifecycle.dropTombstonedTransform(
+                spark, tombsT, "doc_id", "doc_id"))
+            if (staged) applyDictDeltas(spark, name)
+          } finally rawCache.foreach(_.unpersist())
           Some(table -> touched.toSeq.sorted)
         }
       }
@@ -1049,10 +1129,18 @@ object Postings {
     // leaving it half-done keeps the stale cost profile on the
     // unswapped tables forever
     val resumedRebucket = resumeRebucketIfIncoherent(spark, name).nonEmpty
+    // ONE distinct-count job feeds both the budget check and the
+    // heavy-fraction policy (r17 — guide §1/§2.4: tombstonesExceed
+    // followed by a separate nTombs count ran the identical
+    // shuffle+count twice per maintenance entry; the probe result is
+    // the policy input, so compute it once). maxTombstones ==
+    // Long.MaxValue keeps the old short-circuit: no probe at all.
+    val nTombs =
+      if (maxTombstones == Long.MaxValue ||
+        !spark.catalog.tableExists(tombsTableName(name))) -1L
+      else spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count()
     val retired =
-      if (graft.sources.IndexLifecycle.tombstonesExceed(
-        spark, tombsTableName(name), "doc_id", maxTombstones)) {
-        val nTombs = spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count()
+      if (nTombs > maxTombstones) {
         val liveN =
           if (spark.catalog.tableExists(statsTableName(name)))
             statsTable(spark, name).agg(sum(col("n_docs"))).head().getLong(0)

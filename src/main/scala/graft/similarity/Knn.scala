@@ -673,9 +673,14 @@ object Knn {
       spark, tombsT, tombs.select(col("vec_id").as("n_id")).distinct())
     val maskedBuckets: Option[Set[Int]] =
       if (!tombs.columns.contains("cb")) None
-      else if (tombs.filter(col("cb").isNull).limit(1).count() > 0) None
       else {
-        val ms = tombs.select(explode(col("cb")).as("b"))
+        // ONE job for null-probe + distinct bucket ids (r17, same
+        // fusion as the postings twin): a null mask maps to the
+        // sentinel [-1], which the out-of-range distrust below turns
+        // into the same trace-scan fallback.
+        val ms = tombs
+          .select(explode(
+            when(col("cb").isNull, array(lit(-1))).otherwise(col("cb"))).as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         // a mask outside the live bucket range means the index was
         // rebuilt under a different spec since the delete — distrust
@@ -715,11 +720,15 @@ object Knn {
       maxTombstones: Long,
       heavyFraction: Double = 0.2): Boolean = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    // ONE distinct-count job feeds both the budget check and the
+    // heavy-fraction policy (r17, same fusion as the postings twin).
+    val nTombs =
+      if (maxTombstones == Long.MaxValue ||
+        !spark.catalog.tableExists(ivfTombsTableName(name))) -1L
+      else spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count()
     val retired =
-      if (graft.sources.IndexLifecycle.tombstonesExceed(
-        spark, ivfTombsTableName(name), "vec_id", maxTombstones)) {
-        val nTombs = spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count()
-        val liveN  = liveIvf(spark, name).count()
+      if (nTombs > maxTombstones) {
+        val liveN = liveIvf(spark, name).count()
         if (liveN > 0 && nTombs.toDouble > heavyFraction * liveN.toDouble)
           compactIvfIndex(spark, name)
         else
