@@ -357,10 +357,13 @@ object Postings {
     // since r12): n_docs counts the screened docs, sum_dl sums tf over
     // the batch postings (Σ tf over a doc's terms == its dl by
     // construction; a zero-token doc contributes 1 to n_docs upstream
-    // and 0 to sum_dl by absence, so an all-zero-token batch leaves
-    // sum_dl NULL — statsRow's sum-over-nothing semantics exactly).
-    // One tokenize pass per append instead of two — at 100 TB the
-    // append path scans every ingested batch once, not twice.
+    // and 0 to sum_dl by absence). One corner differs from statsRow's
+    // fold and now matches writeIndex's instead: a non-empty batch of
+    // ONLY zero-token docs writes sum_dl NULL (sum over zero posting
+    // rows) where statsRow wrote 0 — downstream SUMs treat the two
+    // identically. One tokenize pass per append instead of two — at
+    // 100 TB the append path scans every ingested batch once, not
+    // twice.
     val obsTag   = s"${batchId}_${System.nanoTime()}"
     val nDocsObs = org.apache.spark.sql.Observation(s"graft_${name}_app_ndocs_$obsTag")
     val sumDlObs = org.apache.spark.sql.Observation(s"graft_${name}_app_sumdl_$obsTag")

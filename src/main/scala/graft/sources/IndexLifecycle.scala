@@ -121,10 +121,16 @@ object IndexLifecycle {
 
   /** Whether the tombstone set exists and is non-empty (the
     * compaction paths read this once and branch — an empty set means
-    * no drop-rewrite work at all).
+    * no drop-rewrite work at all). Footer-metadata probe, no job
+    * (r17); an unreadable footer (-1) falls back to the limit-1 scan.
     */
   def tombsLive(spark: SparkSession, table: String): Boolean =
-    spark.catalog.tableExists(table) && !spark.table(table).isEmpty
+    spark.catalog.tableExists(table) && {
+      Layout.parquetRowCount(spark, table) match {
+        case -1L => !spark.table(table).isEmpty
+        case n   => n > 0L
+      }
+    }
 
   /** Clear the tombstone set after compaction physically dropped the
     * rows — called LAST in the compaction order, so a crash anywhere
@@ -229,11 +235,11 @@ object IndexLifecycle {
       df: DataFrame,
       dfIdName: String): DataFrame =
     if (!spark.catalog.tableExists(table)) df
-    else {
-      val t = spark.table(table).select(col(idName).as(dfIdName))
-      if (t.isEmpty) df
-      else df.join(maybeBroadcast(spark, table, t), Seq(dfIdName), "left_anti")
-    }
+    else if (!tombsLive(spark, table)) df // footer probe, no job (r17)
+    else
+      df.join(
+        maybeBroadcast(spark, table, spark.table(table).select(col(idName).as(dfIdName))),
+        Seq(dfIdName), "left_anti")
 
   /** Compaction-rewrite transform: drop tombstoned rows while the
     * generation rewrite is running anyway (physical deletion costs
@@ -288,9 +294,14 @@ object IndexLifecycle {
       op: String,
       excludeBatchId: Option[Long] = None): Unit = {
     if (!spark.catalog.tableExists(tombsTable)) return
+    // footer-metadata emptiness fast path (r17): a row-empty table
+    // cannot conflict, no job. A non-empty table whose every row is
+    // batch-excluded previously short-circuited on a limit-1 probe
+    // job; now it runs the conflict join directly — same answer, and
+    // one job either way.
+    if (!tombsLive(spark, tombsTable)) return
     val all = spark.table(tombsTable)
     val tombs = excludeBatchId.fold(all)(b => all.filter(col("batch_id") =!= b))
-    if (tombs.isEmpty) return
     val conflict = ids
       .select(col(idCol).cast("long").as(idName))
       .join(maybeBroadcast(spark, tombsTable, tombs.select(col(idName))), Seq(idName))

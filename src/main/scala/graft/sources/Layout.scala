@@ -191,6 +191,42 @@ object Layout {
     listParquet(fs, dir).size
   }
 
+  /** Exact row count of a plain table's current generation from its
+    * parquet FOOTERS — a driver-side metadata probe, no Spark job
+    * (r17): each footer's block metadata carries authoritative row
+    * counts, so summing them answers "is this table empty" (and "how
+    * many rows") for the price of one directory listing plus one ~KB
+    * footer read per file. This replaces the limit-1 emptiness JOB
+    * that every indexed read's `liveView`, every append/delete's
+    * tombstone guard, and every retirement probe used to launch —
+    * the single most-multiplied fixed cost in the engine. File count
+    * is bounded by the maintenance contract (`coalescePlain`).
+    * Returns -1 when any footer is unreadable — callers fall back to
+    * the probe job (conservative, never wrong).
+    */
+  private[graft] def parquetRowCount(spark: SparkSession, tableName: String): Long = {
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      val dir = new org.apache.hadoop.fs.Path(meta.location)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return 0L
+      var rows = 0L
+      val it = fs.listStatus(dir).iterator
+      while (it.hasNext) {
+        val s = it.next()
+        if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(s, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try rows += r.getRecordCount
+          finally r.close()
+        }
+      }
+      rows
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+  }
+
   /** Total parquet bytes of a table's current generation — a METADATA
     * probe (one directory listing, no job): the size gate the
     * tombstone-set broadcast hints key off (see
