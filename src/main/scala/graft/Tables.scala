@@ -8,8 +8,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * column pruning into the parquet scan.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def rd(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Schema memo (r17, guide §6): without an explicit schema every
+  // `spark.read.parquet` re-infers from footers at plan time — per
+  // query, per table, per bench pass; at real scale (many files)
+  // inference is a distributed job. A production catalog serves the
+  // schema from the metastore instead; this memo is that, per
+  // process. Keyed by path; SCHEMAS only, never data or results.
+  private def rd(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = Tables.schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   lazy val region: DataFrame     = rd("region")
   lazy val nation: DataFrame     = rd("nation")
@@ -24,6 +33,9 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+
+  private[graft] val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
   /** Every table the testdata directory ships. */
   val names: Seq[String] = Seq(

@@ -1963,10 +1963,14 @@ object Postings {
     if (!fs.exists(scratch)) return
     fs.rename(scratch, applying)
     try {
-      val deltas = spark.read.schema(dictDeltaSchema).parquet(applying.toString)
-      if (!deltas.isEmpty)
+      // footer-metadata emptiness probe (r17, no job); -1 (unreadable)
+      // falls through to the read, whose failure condemns below —
+      // identical semantics to the r16 isEmpty probe
+      if (Layout.parquetRowCountAt(spark, applying) != 0L) {
+        val deltas = spark.read.schema(dictDeltaSchema).parquet(applying.toString)
         deltas.select(col("term_h"), col("term"), col("df"))
           .write.mode("append").insertInto(dictT)
+      }
     } catch {
       // unreadable staging (torn write, corrupt footer): condemned by
       // the delete below — the conservative overcount, never a wedge

@@ -83,6 +83,9 @@ object IndexLifecycle {
     */
   def markerPresent(spark: SparkSession, table: String, batchId: Long, kind: String): Boolean = {
     requireKindColumn(spark, table)
+    // footer-metadata fast path (r17): a row-empty log holds no marker
+    // — no job. Non-empty (or unreadable, -1) runs the filter probe.
+    Layout.parquetRowCount(spark, table) != 0L &&
     !spark.table(table)
       .filter(col("batch_id") === batchId && col("kind") === kind).isEmpty
   }

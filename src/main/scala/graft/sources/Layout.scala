@@ -204,12 +204,21 @@ object Layout {
     * Returns -1 when any footer is unreadable — callers fall back to
     * the probe job (conservative, never wrong).
     */
-  private[graft] def parquetRowCount(spark: SparkSession, tableName: String): Long = {
+  private[graft] def parquetRowCount(spark: SparkSession, tableName: String): Long =
     try {
       val meta = spark.sessionState.catalog.getTableMetadata(
         spark.sessionState.sqlParser.parseTableIdentifier(tableName))
-      val dir = new org.apache.hadoop.fs.Path(meta.location)
-      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      parquetRowCountAt(spark, new org.apache.hadoop.fs.Path(meta.location))
+    } catch { case scala.util.control.NonFatal(_) => -1L }
+
+  /** Path form of `parquetRowCount` — for staged/scratch directories
+    * that are not catalog tables (e.g. the dict-delta staging).
+    */
+  private[graft] def parquetRowCountAt(
+      spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    try {
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!fs.exists(dir)) return 0L
       var rows = 0L
       val it = fs.listStatus(dir).iterator
