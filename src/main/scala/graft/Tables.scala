@@ -37,6 +37,20 @@ object Tables {
   private[graft] val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Invalidate the schema memo for `path` (or everything, with no
+    * argument) — the hook any code path that REWRITES a base-table
+    * directory in-process must call (ADVICE r17: the memo is
+    * process-global and never expires, so a regenerated directory
+    * with a different schema would otherwise be read under the stale
+    * explicit schema, which parquet resolves to silent nulls instead
+    * of a loud inference mismatch). `tools.BuildSf1` — the only
+    * in-repo rewriter of testdata directories — calls this after its
+    * rebuild; external regeneration requires a new process, where the
+    * memo starts empty.
+    */
+  private[graft] def invalidateSchema(path: String): Unit = { schemaMemo.remove(path); () }
+  private[graft] def invalidateSchemas(): Unit = schemaMemo.clear()
+
   /** Every table the testdata directory ships. */
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",

@@ -211,15 +211,39 @@ object Postings {
     Layout.bucketize(frame, postingsTableName(name), s"$path/postings", Seq("term_h"), buckets)
     val nDocs = nDocsObs.get("n_docs").asInstanceOf[Long]
     val sumDl = sumDlObs.get.get("sum_dl") // None only for an all-null corpus
-    docs.sparkSession.range(1)
-      .select(
-        lit(nDocs).as("n_docs"),
-        lit(sumDl.map(_.asInstanceOf[Long]).orNull).cast("long").as("sum_dl"),
-        lit(-1L).as("batch_id"))
-      .write.mode("overwrite").option("path", s"$path/stats").saveAsTable(statsTableName(name))
-    docs.sparkSession.read.parquet(s"$path/postings")
+    // the stats table is one literal row whose values are already
+    // driver-side longs — create the table as catalog metadata and
+    // write the row driver-side, no Spark jobs (r18)
+    Layout.createEmptyTable(
+      docs.sparkSession, statsTableName(name), s"$path/stats",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "n_docs", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField(
+          "sum_dl", org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          "batch_id", org.apache.spark.sql.types.LongType, nullable = false))))
+    Layout.appendRowDriverSide(
+      docs.sparkSession, statsTableName(name),
+      Seq(
+        "n_docs" -> nDocs,
+        "sum_dl" -> sumDl.map(_.asInstanceOf[Long]).map(Long.box).orNull,
+        "batch_id" -> -1L))
+    // Dict build reads the TABLE, not the path (r18): the bucketed
+    // scan's HashPartitioning(term_h) satisfies the groupBy(term_h,
+    // term) clustering, so the aggregation runs WITHOUT an exchange —
+    // at 100 TB that shuffle was term-cardinality-sized; locally it
+    // was one extra job + one schema-inference job (the path read
+    // re-inferred from footers). The r12 stale-snapshot trap this
+    // path-read used to dodge (a table-name read seeds THIS session's
+    // relation cache with the just-built file list, which a LATER
+    // append from a cloned streaming session would never refresh) is
+    // closed deterministically below: the seeded entry is dropped via
+    // refreshTable as soon as the dict write completes.
+    docs.sparkSession.table(postingsTableName(name))
       .groupBy(col("term_h"), col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").option("path", s"$path/dict").saveAsTable(dictTableName(name))
+    docs.sparkSession.catalog.refreshTable(postingsTableName(name))
     if (metaCols.nonEmpty)
       Layout.bucketize(
         forwardRows(docs, idCol, textCol, metaCols),
@@ -238,12 +262,18 @@ object Postings {
     * and a doc whose index family lacks the corresponding table gets
     * null for that mask.
     */
-  private def writeEmptyTombs(spark: SparkSession, name: String, path: String): Unit =
-    spark.range(0)
-      .select(
-        col("id").as("doc_id"), col("id").as("batch_id"),
-        lit(null).cast("array<int>").as("pb"), lit(null).cast("array<int>").as("xb"))
-      .write.mode("overwrite").option("path", s"$path/tombs").saveAsTable(tombsTableName(name))
+  private def writeEmptyTombs(spark: SparkSession, name: String, path: String): Unit = {
+    // catalog metadata only, no zero-row write job (r18) — see
+    // Layout.createEmptyTable; schema unchanged from the writer form
+    import org.apache.spark.sql.types._
+    Layout.createEmptyTable(
+      spark, tombsTableName(name), s"$path/tombs",
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("batch_id", LongType, nullable = false),
+        StructField("pb", ArrayType(IntegerType, containsNull = true), nullable = true),
+        StructField("xb", ArrayType(IntegerType, containsNull = true), nullable = true))))
+  }
 
   /** The distinct term-hash bucket ids of `textCol` under `nb` buckets
     * — the per-doc bucket mask a delete batch stores so retirement
@@ -320,7 +350,7 @@ object Postings {
       idCol: String,
       textCol: String,
       name: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L): Boolean = {
     val spark = docs.sparkSession
     // marker spaces are SIGN-separated: appends mark with their
     // (strictly positive) stats row, deletes with their negated one —
@@ -328,9 +358,13 @@ object Postings {
     // index can both use their own zero-based foreachBatch ids without
     // colliding. Zero belongs to NEITHER side: an empty batch commits
     // no marker at all (see below), so the check is strict.
+    // Returns whether anything was WRITTEN (r18): a replayed or empty
+    // batch mutates no table, so its stream wrapper can skip the
+    // owner-session catalog refreshes outright.
     if (batchId >= 0L &&
+      !Layout.footerExcludesLongValue(spark, statsTableName(name), "batch_id", batchId) &&
       !spark.table(statsTableName(name))
-        .filter(col("batch_id") === batchId && col("n_docs") > 0).isEmpty) return
+        .filter(col("batch_id") === batchId && col("n_docs") > 0).isEmpty) return false
     // caller contract, ENFORCED (was documentation through r13): a doc
     // whose tombstone is still live cannot re-add — the read anti-join
     // would hide it while its stats row counts it, silently drifting
@@ -346,7 +380,7 @@ object Postings {
     // a later delete batch N). The probe is a limit-1 scan; through
     // r16 the emptiness decision rode a FULL statsRow tokenize pass.
     val screened = docs.filter(col(textCol).isNotNull)
-    if (screened.isEmpty) return
+    if (screened.isEmpty) return false
     // Denormalized-facet columns (if this index was built with
     // denormFacets) are inferred from the live schema in table order,
     // so callers can't drift — same rule as the forward side below.
@@ -394,13 +428,15 @@ object Postings {
         forwardTableName(name))
     // stats row == commit marker, written LAST from the already-
     // computed literals (marker-first would LOSE a batch on crash;
-    // marker-last can only duplicate one — see the class doc)
-    spark.range(1)
-      .select(
-        lit(nDocs).as("n_docs"),
-        lit(sumDl.orNull).cast("long").as("sum_dl"),
-        lit(batchId).as("batch_id"))
-      .write.mode("append").insertInto(statsTableName(name))
+    // marker-last can only duplicate one — see the class doc). One
+    // literal row: driver-side write, no Spark job (r18)
+    Layout.appendRowDriverSide(
+      spark, statsTableName(name),
+      Seq(
+        "n_docs" -> nDocs,
+        "sum_dl" -> sumDl.map(Long.box).orNull,
+        "batch_id" -> batchId))
+    true
   }
 
   /** Document DELETION — the curation operation every training-data
@@ -446,7 +482,7 @@ object Postings {
       idCol: String,
       textCol: String,
       name: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L): Boolean = {
     val spark = docs.sparkSession
     require(
       spark.catalog.tableExists(tombsTableName(name)),
@@ -460,6 +496,7 @@ object Postings {
       // independent batch ids.
       val replayed =
         if (hasStats)
+          !Layout.footerExcludesLongValue(spark, statsTableName(name), "batch_id", batchId) &&
           !spark.table(statsTableName(name))
             .filter(col("batch_id") === batchId && col("n_docs") < 0).isEmpty
         else {
@@ -469,7 +506,7 @@ object Postings {
           graft.sources.IndexLifecycle.markerPresent(
             spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
         }
-      if (replayed) return
+      if (replayed) return false
     }
     // batchId < 0 is the AD-HOC sentinel: every non-streaming delete
     // shares batch_id = -1 in the tombstone table, so -1 is NEVER a
@@ -490,29 +527,32 @@ object Postings {
       // metrics (r17 — one scan of the delete batch, where through
       // r16 a full statsRow tokenize pass preceded the write).
       val batch = docs.filter(col(textCol).isNotNull)
-      if (batch.isEmpty) return
+      if (batch.isEmpty) return false
       val obs = org.apache.spark.sql.Observation(
         s"graft_${name}_del_${batchId}_${System.nanoTime()}")
       writeTombRows(batch, idCol, textCol, name, batchId, statsObs = Some(obs))
       val m      = obs.get
       val nDocs  = m("n_docs").asInstanceOf[Long]
       val sumDl  = Option(m("sum_dl")).map(_.asInstanceOf[Long])
-      // negative stats row == commit marker, written LAST
-      spark.range(1)
-        .select(
-          lit(-nDocs).as("n_docs"),
-          lit(sumDl.map(-_).orNull).cast("long").as("sum_dl"),
-          lit(batchId).as("batch_id"))
-        .write.mode("append").insertInto(statsTableName(name))
+      // negative stats row == commit marker, written LAST — one
+      // literal row: driver-side write, no Spark job (r18)
+      Layout.appendRowDriverSide(
+        spark, statsTableName(name),
+        Seq(
+          "n_docs" -> -nDocs,
+          "sum_dl" -> sumDl.map(v => Long.box(-v)).orNull,
+          "batch_id" -> batchId))
+      true
     } else {
       val batch = docs.filter(col(textCol).isNotNull)
-      if (batch.isEmpty) return
+      if (batch.isEmpty) return false
       writeTombRows(batch, idCol, textCol, name, batchId)
       // marker LAST, in the delete kind space of the (uncompacted)
       // positional marker log
       if (batchId >= 0L)
         graft.sources.IndexLifecycle.writeMarker(
           spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
+      true
     }
   }
 
@@ -561,10 +601,15 @@ object Postings {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        deleteBatch(batch, idCol, textCol, name, batchId)
-        Seq(tombsTableName(name), statsTableName(name), posMarkersTableName(name))
-          .filter(owner.catalog.tableExists)
-          .foreach(owner.catalog.refreshTable)
+        // refresh ONLY after a batch that wrote (r18): a replayed or
+        // empty micro-batch mutates nothing, so the owner's cached
+        // relations are already current — N table refreshes (and the
+        // re-listings they force on the owner's next read) for a
+        // no-op batch were pure fixed cost
+        if (deleteBatch(batch, idCol, textCol, name, batchId))
+          Seq(tombsTableName(name), statsTableName(name), posMarkersTableName(name))
+            .filter(owner.catalog.tableExists)
+            .foreach(owner.catalog.refreshTable)
       }
   }
 
@@ -591,13 +636,16 @@ object Postings {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatch(batch, idCol, textCol, name, batchId)
         // forward table only when the index was built with metaCols
-        // (refreshTable on a missing table throws)
-        Seq(postingsTableName(name), statsTableName(name), dictTableName(name),
-          forwardTableName(name))
-          .filter(owner.catalog.tableExists)
-          .foreach(owner.catalog.refreshTable)
+        // (refreshTable on a missing table throws); refresh ONLY
+        // after a batch that wrote (r18) — a replayed/empty batch
+        // changed nothing, so the refreshes (and the re-listings
+        // they force) would be pure fixed cost per micro-batch
+        if (appendBatch(batch, idCol, textCol, name, batchId))
+          Seq(postingsTableName(name), statsTableName(name), dictTableName(name),
+            forwardTableName(name))
+            .filter(owner.catalog.tableExists)
+            .foreach(owner.catalog.refreshTable)
       }
   }
 
@@ -932,16 +980,22 @@ object Postings {
       name: String,
       maxFilesPerBucket: Int): Map[String, Seq[Int]] = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
-    val tombsLive = graft.sources.IndexLifecycle.tombsLive(spark, tombsTableName(name))
+    // ONE listing feeds the emptiness probe and the broadcast size
+    // gate (r18 — the fused-guard pattern of liveView)
+    val (tombRows, tombBytes) =
+      if (!spark.catalog.tableExists(tombsTableName(name))) (0L, 0L)
+      else Layout.parquetDirStats(spark, tombsTableName(name))
+    val tombsLive =
+      if (tombRows == -1L) !spark.table(tombsTableName(name)).isEmpty else tombRows > 0L
     val dropTombstoned: DataFrame => DataFrame =
       if (!tombsLive) identity
       else
         graft.sources.IndexLifecycle.dropTombstonedTransform(
-          spark, tombsTableName(name), "doc_id", "doc_id")
+          spark, tombsTableName(name), "doc_id", "doc_id", tombBytes)
     val tombIds =
       if (!tombsLive) spark.emptyDataFrame
-      else graft.sources.IndexLifecycle.maybeBroadcast(
-        spark, tombsTableName(name),
+      else graft.sources.IndexLifecycle.maybeBroadcastBytes(
+        spark, tombBytes,
         spark.table(tombsTableName(name)).select(col("doc_id")).distinct())
     Seq(postingsTableName(name), posTableName(name), forwardTableName(name))
       .filter(spark.catalog.tableExists)
@@ -999,10 +1053,15 @@ object Postings {
     */
   def retireTombstones(spark: SparkSession, name: String): Map[String, Seq[Int]] = {
     val tombsT = tombsTableName(name)
-    if (!graft.sources.IndexLifecycle.tombsLive(spark, tombsT)) return Map.empty
+    if (!spark.catalog.tableExists(tombsT)) return Map.empty
+    // ONE listing feeds the emptiness probe and the broadcast size
+    // gate (r18 — the fused-guard pattern of liveView)
+    val (tombRows, tombBytes) = Layout.parquetDirStats(spark, tombsT)
+    val live = if (tombRows == -1L) !spark.table(tombsT).isEmpty else tombRows > 0L
+    if (!live) return Map.empty
     val tombs   = spark.table(tombsT)
-    val tombIds = graft.sources.IndexLifecycle.maybeBroadcast(
-      spark, tombsT, tombs.select(col("doc_id")).distinct())
+    val tombIds = graft.sources.IndexLifecycle.maybeBroadcastBytes(
+      spark, tombBytes, tombs.select(col("doc_id")).distinct())
     // mask fast path: every tombstone row carries the bucket mask its
     // delete batch computed (r15 schema, non-null for this family's
     // table) — touched buckets come from the SLIM set alone, no index
@@ -1077,7 +1136,7 @@ object Postings {
             Layout.compactBuckets(
               spark, table, touched,
               graft.sources.IndexLifecycle.dropTombstonedTransform(
-                spark, tombsT, "doc_id", "doc_id"))
+                spark, tombsT, "doc_id", "doc_id", tombBytes))
             if (staged) applyDictDeltas(spark, name)
           } finally rawCache.foreach(_.unpersist())
           Some(table -> touched.toSeq.sorted)
@@ -1141,7 +1200,15 @@ object Postings {
     val nTombs =
       if (maxTombstones == Long.MaxValue ||
         !spark.catalog.tableExists(tombsTableName(name))) -1L
-      else spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count()
+      else {
+        // footer-count SHORT-CIRCUIT (r18): distinct ids ≤ physical
+        // rows, so a physical count within budget can never trip —
+        // the maintenance call on a healthy (empty-set) index skips
+        // the distinct-count job entirely. -1 (unreadable) runs it.
+        val physical = Layout.parquetRowCount(spark, tombsTableName(name))
+        if (physical >= 0L && physical <= maxTombstones) physical
+        else spark.table(tombsTableName(name)).select(col("doc_id")).distinct().count()
+      }
     val retired =
       if (nTombs > maxTombstones) {
         val liveN =
@@ -2628,14 +2695,14 @@ object Postings {
       idCol: String,
       textCol: String,
       name: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L): Boolean = {
     val spark = docs.sparkSession
     if (batchId >= 0L) {
       require(
         spark.catalog.tableExists(posMarkersTableName(name)),
         s"positional index $name has no marker table — rebuild with writePositionalIndex before idempotent appends")
       if (graft.sources.IndexLifecycle.markerPresent(
-          spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return
+          spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return false
     }
     // same enforced caller contract as appendBatch: a still-tombstoned
     // doc cannot re-add until compaction clears the set (null-text
@@ -2647,6 +2714,7 @@ object Postings {
     if (batchId >= 0L)
       graft.sources.IndexLifecycle.writeMarker(
         spark, posMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)
+    true
   }
 
   /** Maintain the positional index from a stream — the phrase/proximity
@@ -2665,9 +2733,10 @@ object Postings {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendPositionalBatch(batch, idCol, textCol, name, batchId)
-        Seq(posTableName(name), posMarkersTableName(name))
-          .foreach(owner.catalog.refreshTable)
+        // refresh only after a batch that wrote (r18), as above
+        if (appendPositionalBatch(batch, idCol, textCol, name, batchId))
+          Seq(posTableName(name), posMarkersTableName(name))
+            .foreach(owner.catalog.refreshTable)
       }
   }
 

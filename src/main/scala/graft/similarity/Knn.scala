@@ -274,12 +274,17 @@ object Knn {
   private def writeEmptyIvfTombs(
       spark: org.apache.spark.sql.SparkSession,
       name: String,
-      path: String): Unit =
-    spark.range(0)
-      .select(
-        col("id").as("vec_id"), col("id").as("batch_id"),
-        lit(null).cast("array<int>").as("cb"))
-      .write.mode("overwrite").option("path", path).saveAsTable(ivfTombsTableName(name))
+      path: String): Unit = {
+    // catalog metadata only, no zero-row write job (r18) — see
+    // Layout.createEmptyTable; schema unchanged from the writer form
+    import org.apache.spark.sql.types._
+    graft.sources.Layout.createEmptyTable(
+      spark, ivfTombsTableName(name), path,
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("batch_id", LongType, nullable = false),
+        StructField("cb", ArrayType(IntegerType, containsNull = true), nullable = true))))
+  }
 
   /** Append a delete batch's tombstone rows. On a mask-capable table
     * (r15 schema) with the batch's vectors available (`vecCol`), the
@@ -337,14 +342,14 @@ object Knn {
       idCol: String,
       vecCol: String,
       name: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L): Boolean = {
     val spark = newVecs.sparkSession
     if (batchId >= 0L) {
       require(
         spark.catalog.tableExists(ivfMarkersTableName(name)),
         s"IVF index $name has no marker table — rebuild with writeIvfIndex before idempotent appends")
       if (graft.sources.IndexLifecycle.markerPresent(
-          spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return
+          spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)) return false
     }
     // enforced caller contract (the posting index's rule, mirrored): a
     // still-tombstoned vector cannot re-add — liveIvf/ivfTopK would
@@ -357,6 +362,7 @@ object Knn {
     if (batchId >= 0L)
       graft.sources.IndexLifecycle.writeMarker(
         spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Append)
+    true
   }
 
   /** Maintain the IVF index from a stream — lifecycle parity with the
@@ -376,10 +382,12 @@ object Knn {
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendIvfBatch(batch, idCol, vecCol, name, batchId)
-        Seq(ivfTableName(name), ivfMarkersTableName(name))
-          .filter(owner.catalog.tableExists)
-          .foreach(owner.catalog.refreshTable)
+        // refresh only after a batch that wrote (r18): a replayed
+        // batch changed nothing — see Postings.maintainFromStream
+        if (appendIvfBatch(batch, idCol, vecCol, name, batchId))
+          Seq(ivfTableName(name), ivfMarkersTableName(name))
+            .filter(owner.catalog.tableExists)
+            .foreach(owner.catalog.refreshTable)
       }
   }
 
@@ -420,13 +428,13 @@ object Knn {
       idCol: String,
       name: String,
       batchId: Long = -1L,
-      vecCol: Option[String] = None): Unit = {
+      vecCol: Option[String] = None): Boolean = {
     val spark = ids.sparkSession
     require(
       spark.catalog.tableExists(ivfTombsTableName(name)),
       s"IVF index $name has no tombstone table — rebuild with writeIvfIndex before deletes")
     if (batchId >= 0L && graft.sources.IndexLifecycle.markerPresent(
-        spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)) return
+        spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)) return false
     graft.sources.IndexLifecycle.requireNotTombstoned(
       spark, ivfTombsTableName(name), "vec_id", ids, idCol, s"deleteIvfBatch($name)",
       excludeBatchId = if (batchId >= 0L) Some(batchId) else None)
@@ -434,6 +442,7 @@ object Knn {
     if (batchId >= 0L)
       graft.sources.IndexLifecycle.writeMarker(
         spark, ivfMarkersTableName(name), batchId, graft.sources.IndexLifecycle.Delete)
+    true
   }
 
   /** Maintain the IVF index from a DELETION stream — the vector twin
@@ -455,10 +464,11 @@ object Knn {
     ids.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        deleteIvfBatch(batch, idCol, name, batchId, vecCol)
-        Seq(ivfTombsTableName(name), ivfMarkersTableName(name))
-          .filter(owner.catalog.tableExists)
-          .foreach(owner.catalog.refreshTable)
+        // refresh only after a batch that wrote (r18), as above
+        if (deleteIvfBatch(batch, idCol, name, batchId, vecCol))
+          Seq(ivfTombsTableName(name), ivfMarkersTableName(name))
+            .filter(owner.catalog.tableExists)
+            .foreach(owner.catalog.refreshTable)
       }
   }
 
@@ -618,7 +628,13 @@ object Knn {
     val table = ivfTableName(name)
     val frag = graft.sources.Layout.fragmentedBucketIds(spark, table, maxFilesPerBucket)
     if (frag.isEmpty) return Nil
-    val tombsLive = graft.sources.IndexLifecycle.tombsLive(spark, ivfTombsTableName(name))
+    // ONE listing feeds the emptiness probe and the broadcast size
+    // gate (r18 — the fused-guard pattern of liveView)
+    val (tombRows, tombBytes) =
+      if (!spark.catalog.tableExists(ivfTombsTableName(name))) (0L, 0L)
+      else graft.sources.Layout.parquetDirStats(spark, ivfTombsTableName(name))
+    val tombsLive =
+      if (tombRows == -1L) !spark.table(ivfTombsTableName(name)).isEmpty else tombRows > 0L
     val clearedIds: Seq[Long] =
       if (!tombsLive) Nil
       else {
@@ -628,8 +644,8 @@ object Knn {
         spark.read.schema(meta.schema).parquet(files: _*)
           .select(col("n_id").as("vec_id"))
           .join(
-            graft.sources.IndexLifecycle.maybeBroadcast(
-              spark, ivfTombsTableName(name),
+            graft.sources.IndexLifecycle.maybeBroadcastBytes(
+              spark, tombBytes,
               spark.table(ivfTombsTableName(name)).select(col("vec_id"))),
             Seq("vec_id"))
           .distinct().collect().map(_.getLong(0)).toSeq
@@ -638,7 +654,7 @@ object Knn {
       if (!tombsLive) identity
       else
         graft.sources.IndexLifecycle.dropTombstonedTransform(
-          spark, ivfTombsTableName(name), "vec_id", "n_id")
+          spark, ivfTombsTableName(name), "vec_id", "n_id", tombBytes)
     graft.sources.Layout.compactBuckets(spark, table, frag.toSet, dropTombstoned)
     if (clearedIds.nonEmpty)
       graft.sources.IndexLifecycle.removeTombs(
@@ -664,13 +680,18 @@ object Knn {
     */
   def retireIvfTombstones(spark: org.apache.spark.sql.SparkSession, name: String): Seq[Int] = {
     val tombsT = ivfTombsTableName(name)
-    if (!graft.sources.IndexLifecycle.tombsLive(spark, tombsT)) return Nil
+    if (!spark.catalog.tableExists(tombsT)) return Nil
+    // ONE listing feeds the emptiness probe and the broadcast size
+    // gate (r18 — the fused-guard pattern of liveView)
+    val (tombRows, tombBytes) = graft.sources.Layout.parquetDirStats(spark, tombsT)
+    val live = if (tombRows == -1L) !spark.table(tombsT).isEmpty else tombRows > 0L
+    if (!live) return Nil
     val table = ivfTableName(name)
     graft.sources.Layout.recoverBucketCompact(spark, table)
     val nb = graft.sources.Layout.numBuckets(spark, table)
     val tombs = spark.table(tombsT)
-    val tombIds = graft.sources.IndexLifecycle.maybeBroadcast(
-      spark, tombsT, tombs.select(col("vec_id").as("n_id")).distinct())
+    val tombIds = graft.sources.IndexLifecycle.maybeBroadcastBytes(
+      spark, tombBytes, tombs.select(col("vec_id").as("n_id")).distinct())
     val maskedBuckets: Option[Set[Int]] =
       if (!tombs.columns.contains("cb")) None
       else {
@@ -697,7 +718,7 @@ object Knn {
       graft.sources.Layout.compactBuckets(
         spark, table, touched,
         graft.sources.IndexLifecycle.dropTombstonedTransform(
-          spark, tombsT, "vec_id", "n_id"))
+          spark, tombsT, "vec_id", "n_id", tombBytes))
     graft.sources.IndexLifecycle.clearTombs(spark, tombsT, "vec_id")
     touched.toSeq.sorted
   }
@@ -725,14 +746,43 @@ object Knn {
     val nTombs =
       if (maxTombstones == Long.MaxValue ||
         !spark.catalog.tableExists(ivfTombsTableName(name))) -1L
-      else spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count()
+      else {
+        // footer-count SHORT-CIRCUIT (r18, postings-side twin):
+        // distinct ids ≤ physical rows, so a physical count within
+        // budget can never trip — no distinct-count job on a healthy
+        // (empty-set) index. -1 (unreadable) runs the job.
+        val physical = graft.sources.Layout.parquetRowCount(spark, ivfTombsTableName(name))
+        if (physical >= 0L && physical <= maxTombstones) physical
+        else spark.table(ivfTombsTableName(name)).select(col("vec_id")).distinct().count()
+      }
     val retired =
       if (nTombs > maxTombstones) {
-        val liveN = liveIvf(spark, name).count()
-        if (liveN > 0 && nTombs.toDouble > heavyFraction * liveN.toDouble)
-          compactIvfIndex(spark, name)
-        else
-          retireIvfTombstones(spark, name)
+        // heavy-fraction policy WITHOUT the live-count job when the
+        // footer bound is decisive (r18 — VERDICT r17 #8): physical
+        // ivf rows P bound the live count as P - nTombs ≤ liveN ≤ P
+        // (each vector lives in exactly one index row — the
+        // `vector_unique` fsck invariant appends preserve), so
+        //   nTombs > hf·P            ⟹ heavy (liveN ≤ P, and
+        //                              liveN ≥ P - nTombs > 0),
+        //   nTombs ≤ hf·(P - nTombs) ⟹ not heavy (liveN ≥ P - nTombs).
+        // Only the band in between — or an unreadable footer — pays
+        // the exact anti-join count, and the branch decision is
+        // IDENTICAL to the exact test in every decisive case. (An
+        // index violating vector_unique is already red in fsck; the
+        // bound then still picks a correct maintenance mode, just not
+        // necessarily the cheaper one.)
+        val physical = graft.sources.Layout.parquetRowCount(spark, ivfTableName(name))
+        val heavy =
+          if (physical >= 0L && physical - nTombs > 0L &&
+            nTombs.toDouble > heavyFraction * physical.toDouble) true
+          else if (physical >= 0L &&
+            nTombs.toDouble <= heavyFraction * (physical - nTombs).toDouble) false
+          else {
+            val liveN = liveIvf(spark, name).count()
+            liveN > 0 && nTombs.toDouble > heavyFraction * liveN.toDouble
+          }
+        if (heavy) compactIvfIndex(spark, name)
+        else retireIvfTombstones(spark, name)
         true
       } else false
     val defragged = compactFragmentedIvfBuckets(spark, name, maxFilesPerBucket).nonEmpty

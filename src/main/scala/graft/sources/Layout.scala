@@ -191,6 +191,22 @@ object Layout {
     listParquet(fs, dir).size
   }
 
+  /** Directory-listing counter — a test hook (r18): specs pin the
+    * one-listing-per-guard contract of the fused tombstone probes by
+    * diffing this counter around a call. Every Layout helper that
+    * lists a directory goes through `listDirStatus`, so the count is
+    * authoritative for Layout-issued listings (at object-store scale
+    * the listing, not the footer read, is the dominated cost).
+    */
+  private[graft] val dirListings = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def listDirStatus(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    dirListings.incrementAndGet()
+    fs.listStatus(dir)
+  }
+
   /** Exact row count of a plain table's current generation from its
     * parquet FOOTERS — a driver-side metadata probe, no Spark job
     * (r17): each footer's block metadata carries authoritative row
@@ -216,25 +232,68 @@ object Layout {
     */
   private[graft] def parquetRowCountAt(
       spark: SparkSession,
-      dir: org.apache.hadoop.fs.Path): Long = {
+      dir: org.apache.hadoop.fs.Path): Long =
+    parquetDirStatsAt(spark, dir)._1
+
+  /** One-listing fused probe (r18 — VERDICT r17 #4/#5): `(rows, bytes)`
+    * of a plain table's current generation from ONE directory listing —
+    * rows from the parquet footers (the r17 emptiness probe), bytes
+    * from the same `FileStatus` entries (the broadcast size gate).
+    * Callers that need both (`liveView`, `requireNotTombstoned`) used
+    * to pay two listings of the same directory per guard call; at
+    * object-store scale the listing is the cost, so one is the budget.
+    *
+    * Hardened fail-CLOSED (ADVICE r17): a subdirectory or a
+    * non-parquet data file (ignoring `_`/`.`-prefixed bookkeeping
+    * names — `_SUCCESS`, `.crc`, the invisible `_bucket_compact`
+    * scratch) means the flat-layout contract this shortcut rides on
+    * does not hold, so rows reports -1 and the caller falls back to
+    * the probe JOB (slow-correct) instead of treating an undercount
+    * as authoritative. Bytes still sums the listed `*.parquet` files
+    * (exactly what `parquetBytes` reported before).
+    */
+  private[graft] def parquetDirStatsAt(
+      spark: SparkSession,
+      dir: org.apache.hadoop.fs.Path): (Long, Long) = {
     try {
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(dir)) return 0L
-      var rows = 0L
-      val it = fs.listStatus(dir).iterator
+      if (!fs.exists(dir)) return (0L, 0L)
+      var rows  = 0L
+      var bytes = 0L
+      var flat  = true
+      val it = listDirStatus(fs, dir).iterator
       while (it.hasNext) {
         val s = it.next()
-        if (s.isFile && s.getPath.getName.endsWith(".parquet") && s.getLen > 0) {
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromStatus(s, spark.sparkContext.hadoopConfiguration)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try rows += r.getRecordCount
-          finally r.close()
-        }
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) {
+          // bookkeeping entries (_SUCCESS, .crc, _bucket_compact…) are
+          // not data under Spark's own file-index rules — ignore
+        } else if (s.isFile && name.endsWith(".parquet")) {
+          bytes += s.getLen
+          if (s.getLen > 0) {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, spark.sparkContext.hadoopConfiguration)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try rows += r.getRecordCount
+            finally r.close()
+          }
+        } else flat = false // nested dir / foreign data file: distrust
       }
-      rows
-    } catch { case scala.util.control.NonFatal(_) => -1L }
+      (if (flat) rows else -1L, bytes)
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
   }
+
+  /** Table form of `parquetDirStatsAt` — `(rows, bytes)` in one
+    * listing; `(-1, -1)` when the table metadata itself is unreadable
+    * (callers degrade to the probe job + an un-gated hint decision
+    * exactly as before).
+    */
+  private[graft] def parquetDirStats(spark: SparkSession, tableName: String): (Long, Long) =
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      parquetDirStatsAt(spark, new org.apache.hadoop.fs.Path(meta.location))
+    } catch { case scala.util.control.NonFatal(_) => (-1L, -1L) }
 
   /** Total parquet bytes of a table's current generation — a METADATA
     * probe (one directory listing, no job): the size gate the
@@ -247,13 +306,170 @@ object Layout {
     val dir = new org.apache.hadoop.fs.Path(meta.location)
     val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return 0L
-    val it = fs.listStatus(dir).iterator
+    val it = listDirStatus(fs, dir).iterator
     var bytes = 0L
     while (it.hasNext) {
       val s = it.next()
       if (s.isFile && s.getPath.getName.endsWith(".parquet")) bytes += s.getLen
     }
     bytes
+  }
+
+  /** PROOF-of-absence probe from parquet footer column statistics
+    * (r18 — the O8 pattern extended from row counts to value ranges):
+    * TRUE only when every block's min/max statistics for `column`
+    * prove NO row can equal `value` — the caller may then skip its
+    * probe JOB outright. FALSE means "cannot prove" (value possibly
+    * present, stats missing, unreadable footer, unexpected layout) —
+    * the caller runs the job exactly as before, so the answer is
+    * never wrong, only sometimes cheaper.
+    *
+    * This is what kills the replay-marker probe job on the COMMON
+    * path: streaming batch ids are monotone, so a new batch id sits
+    * above every file's max(batch_id) and the whole log prunes from
+    * footers the emptiness probe was already reading. Same flat-
+    * layout distrust rules as `parquetDirStatsAt`.
+    */
+  private[graft] def footerExcludesLongValue(
+      spark: SparkSession,
+      tableName: String,
+      column: String,
+      value: Long): Boolean =
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+      val dir = new org.apache.hadoop.fs.Path(meta.location)
+      val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dir)) return true // no files: value certainly absent
+      val it = listDirStatus(fs, dir).iterator
+      while (it.hasNext) {
+        val s = it.next()
+        val name = s.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) {
+          // bookkeeping — ignore
+        } else if (s.isFile && name.endsWith(".parquet")) {
+          if (s.getLen > 0) {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromStatus(s, spark.sparkContext.hadoopConfiguration)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = r.getFooter.getBlocks.iterator()
+              while (blocks.hasNext) {
+                val b = blocks.next()
+                if (b.getRowCount > 0L) {
+                  val cols = b.getColumns.iterator()
+                  var proved = false
+                  while (cols.hasNext && !proved) {
+                    val c = cols.next()
+                    if (c.getPath.toDotString == column) {
+                      val st = c.getStatistics
+                      if (st == null) return false
+                      if (st.getNumNulls == b.getRowCount) proved = true // all null ≠ value
+                      else if (!st.hasNonNullValue) return false // no min/max recorded
+                      else
+                        st match {
+                          case ls: org.apache.parquet.column.statistics.LongStatistics =>
+                            if (value >= ls.getMin && value <= ls.getMax) return false
+                            proved = true
+                          case _ => return false // unexpected physical type
+                        }
+                    }
+                  }
+                  if (!proved) return false // column missing from this file
+                }
+              }
+            } finally r.close()
+          }
+        } else return false // nested dir / foreign data file: distrust
+      }
+      true
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  /** Append ONE literal row to a plain external parquet table,
+    * DRIVER-SIDE — no Spark job (r18): the stats rows and replay
+    * markers every append/delete/build commits are single literal
+    * rows, and a one-task Spark write job is pure fixed overhead at
+    * any scale (the row's values are already driver-side longs). The
+    * write follows the same visibility discipline as Spark's own
+    * committer: bytes land under a `.`-prefixed temp name (invisible
+    * to readers AND to the footer probes), then RENAME into place —
+    * so the row appears atomically, and a crash mid-write leaves only
+    * invisible garbage, never a torn visible file. The session's
+    * cached relation is refreshed afterwards, exactly as insertInto
+    * would. Values: `Long`/`String` append a value, `null` appends a
+    * NULL (the column is written `optional`).
+    */
+  private[graft] def appendRowDriverSide(
+      spark: SparkSession,
+      tableName: String,
+      row: Seq[(String, Any)]): Unit = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(tableName))
+    val dir  = new org.apache.hadoop.fs.Path(meta.location)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs   = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val b = Types.buildMessage()
+    row.foreach {
+      case (n, _: Long)   => b.addField(Types.optional(INT64).named(n))
+      case (n, _: String) => b.addField(
+        Types.optional(BINARY).as(LogicalTypeAnnotation.stringType()).named(n))
+      case (n, null)      => b.addField(Types.optional(INT64).named(n))
+      case (n, v)         => throw new IllegalArgumentException(s"$n: unsupported $v")
+    }
+    val schema = b.named("spark_schema")
+    val unique = java.util.UUID.randomUUID().toString
+    val tmp    = new org.apache.hadoop.fs.Path(dir, s".graft-$unique.parquet.tmp")
+    val dst    = new org.apache.hadoop.fs.Path(dir, s"part-graft-$unique.parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withType(schema)
+      .withConf(conf)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(schema).newGroup()
+      row.foreach {
+        case (n, v: Long)   => g.add(n, v)
+        case (n, v: String) => g.add(n, v)
+        case (_, null)      => () // optional field, absent = NULL
+        case _              => ()
+      }
+      writer.write(g)
+    } finally writer.close()
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+    // insertInto would invalidate this session's cached relation (the
+    // file list) — do the same, so the marker is immediately visible
+    spark.catalog.refreshTable(tableName)
+  }
+
+  /** (Re)create an EMPTY external parquet table — catalog metadata
+    * only, NO Spark job (r18 — guide §1/§2.4): the zero-row writes
+    * that `writeEmptyTombs`/`writeEmptyMarkers`/`clearTombs` used to
+    * run launched one single-task job each just to produce an empty
+    * directory plus a schema — but the schema lives in the catalog
+    * and an external parquet table with no data files already reads
+    * as empty. Paid inside every index build (tombs + marker log)
+    * and at the end of every retirement/compaction (the tombstone
+    * clear), so the saved jobs multiply with maintenance cadence.
+    * Overwrite semantics match the writer form: any existing table
+    * under `table` is dropped and `path`'s contents deleted (a fresh
+    * build must not resurrect stale rows from a previous build at
+    * the same path).
+    */
+  private[graft] def createEmptyTable(
+      spark: SparkSession,
+      table: String,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.mkdirs(p)
+    spark.catalog.createTable(table, "parquet", schema, Map("path" -> path))
+    ()
   }
 
   /** Recover from a crash inside `swapGeneration`'s DROP→RENAME window:
@@ -471,7 +687,7 @@ object Layout {
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
     if (!fs.exists(dir)) return Nil
-    val it  = fs.listStatus(dir).iterator
+    val it  = listDirStatus(fs, dir).iterator
     val out = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
     while (it.hasNext) {
       val s = it.next()

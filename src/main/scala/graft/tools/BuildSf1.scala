@@ -44,6 +44,9 @@ object BuildSf1 {
       val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, target.toPath)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      // this process just rewrote a base-table directory — drop any
+      // memoized schema for it (ADVICE r17: the memo never expires)
+      Tables.invalidateSchema(target.toString)
       println(s"[sf1] $name rows=${spark.read.parquet(target.toString).count()}")
     }
 

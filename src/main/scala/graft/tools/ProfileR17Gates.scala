@@ -34,7 +34,9 @@ object ProfileR17Gates {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var bytesRead = 0L
-    @volatile var traceJobs = false
+    // r18: SPARK_GRAFT_TRACE_ALL=1 prints every job's call site in
+    // every phase (the r17 toggle traced only the maintain phase)
+    @volatile var traceJobs = sys.env.get("SPARK_GRAFT_TRACE_ALL").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs += 1

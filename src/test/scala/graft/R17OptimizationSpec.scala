@@ -43,8 +43,11 @@ class R17OptimizationSpec extends SparkTestBase {
     val written = spark.table(s"${name}_stats").filter(col("batch_id") === 7L).collect()
     assert(written.length === 1)
     assert(written.head.getLong(0) === expected.getLong(0), "n_docs")
-    assert(written.head.isNullAt(1) === expected.isNullAt(1) ||
-      written.head.getLong(1) === expected.getLong(1), "sum_dl")
+    // (ADVICE r17: the old disjunction was vacuous when both sides
+    // were non-null — compare nullity, THEN values when non-null)
+    assert(written.head.isNullAt(1) === expected.isNullAt(1), "sum_dl nullity")
+    if (!expected.isNullAt(1))
+      assert(written.head.getLong(1) === expected.getLong(1), "sum_dl")
     // the fold itself: 2 screened docs, dl 2 + 0
     assert(written.head.getLong(0) === 2L)
     assert(written.head.getLong(1) === 2L)
