@@ -41,8 +41,11 @@ object ProfileR17Gates {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs += 1
         if (traceJobs) {
-          val site = Option(js.properties.getProperty("callSite.short")).getOrElse("?")
-          println(s"  JOB $site")
+          val site = Option(js.properties.getProperty("callSite.short"))
+            .orElse(Option(js.properties.getProperty("spark.job.description")))
+            .orElse(js.stageInfos.lastOption.map(_.name))
+            .getOrElse("?")
+          println(s"  JOB ${site.linesIterator.next().take(120)}")
         }
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -81,7 +84,8 @@ object ProfileR17Gates {
       phase("d73.deleteBatch") {
         P.deleteBatch(t.documents.filter(col("doc_id") % 7 === 3), "doc_id", "text", name, batchId = 2L)
       }
-      traceJobs = sys.env.get("SPARK_GRAFT_TRACE_JOBS").contains("1") && rep == reps
+      traceJobs = sys.env.get("SPARK_GRAFT_TRACE_ALL").contains("1") ||
+        (sys.env.get("SPARK_GRAFT_TRACE_JOBS").contains("1") && rep == reps)
       if (sys.env.get("SPARK_GRAFT_SPLIT_MAINTAIN").contains("1")) {
         phase("d73.maintain.nTombs") {
           spark.table(s"${name}_tombs").select(col("doc_id")).distinct().count()
@@ -106,7 +110,7 @@ object ProfileR17Gates {
           P.maintainIncremental(spark, name, maxFilesPerBucket = 1, maxTombstones = 0L)
         }
       }
-      traceJobs = false
+      traceJobs = sys.env.get("SPARK_GRAFT_TRACE_ALL").contains("1")
       phase("d73.bm25TopK.count") {
         P.bm25TopK(P.livePostings(spark, name), P.statsTable(spark, name),
           Seq("merge", "hash", "vector"), 50).count()
